@@ -1,0 +1,129 @@
+package graft.html
+
+import graft.url.UrlCanonical
+
+/** The reference's `Document` IR (/root/reference/src/markdown_converter.rs:30-71)
+  * as Spark-encodable case classes. */
+final case class Heading(level: Int, text: String)
+final case class Link(text: String, url: String)
+final case class Image(alt: String, src: String)
+final case class HtmlList(ordered: Boolean, items: Seq[String])
+final case class CodeBlock(language: String, code: String)
+
+final case class Doc(
+    title: String,
+    base_url: String,
+    headings: Seq[Heading],
+    paragraphs: Seq[String],
+    links: Seq[Link],
+    images: Seq[Image],
+    lists: Seq[HtmlList],
+    code_blocks: Seq[CodeBlock],
+    blockquotes: Seq[String]
+)
+
+object Doc {
+
+  /** Rust `str::trim` — Unicode White_Space on both ends. Java's
+    * `String.strip` misses U+00A0/U+2007/U+202F (and `&nbsp;` decodes to
+    * U+00A0), so roll our own. */
+  def rustTrim(s: String): String = {
+    var start = 0
+    var end = s.length
+    while (start < end && isUniWs(s.charAt(start))) start += 1
+    while (end > start && isUniWs(s.charAt(end - 1))) end -= 1
+    if (start == 0 && end == s.length) s else s.substring(start, end)
+  }
+
+  def isUniWs(c: Char): Boolean = {
+    val cp = c.toInt
+    cp == 0x09 || cp == 0x0a || cp == 0x0b || cp == 0x0c || cp == 0x0d ||
+    cp == 0x20 || cp == 0x85 || cp == 0xa0 || cp == 0x1680 ||
+    (cp >= 0x2000 && cp <= 0x200a) || cp == 0x2028 || cp == 0x2029 ||
+    cp == 0x202f || cp == 0x205f || cp == 0x3000
+  }
+
+  /** `parse_html_to_document` (markdown_converter.rs:266-294). All
+    * selectors run over the WHOLE document, not main content (quirk Q3);
+    * empty-after-trim texts are dropped (Q4); `pre, code` double-extracts
+    * nested code (Q2); missing img alt → "image"; missing title →
+    * "No Title" with inner whitespace preserved (Q10). */
+  def fromHtml(html: String, baseUrl: String): Doc = {
+    val root = HtmlParser.parse(html)
+
+    val title = HtmlParser.selectTag(root, "title").nextOption() match {
+      case Some(t) => rustTrim(t.text)
+      case None    => "No Title"
+    }
+
+    val headings = Seq.newBuilder[Heading]
+    var lvl = 1
+    while (lvl <= 6) { // level-major order: all h1s, then all h2s, ... (rs:103)
+      HtmlParser.selectTag(root, "h" + lvl).foreach { e =>
+        val t = rustTrim(e.text)
+        if (t.nonEmpty) headings += Heading(lvl, t)
+      }
+      lvl += 1
+    }
+
+    val paragraphs = HtmlParser.selectTag(root, "p")
+      .map(e => rustTrim(e.text)).filter(_.nonEmpty).toSeq
+
+    val links = HtmlParser.selectWithAttr(root, "a", "href").flatMap { e =>
+      val t = rustTrim(e.text)
+      if (t.isEmpty) None
+      else Some(Link(t, UrlCanonical.resolve(baseUrl, e.attr("href").get)))
+    }.toSeq
+
+    val images = HtmlParser.selectWithAttr(root, "img", "src").map { e =>
+      Image(e.attr("alt").getOrElse("image"), UrlCanonical.resolve(baseUrl, e.attr("src").get))
+    }.toSeq
+
+    def listItems(e: HtmlParser.Elem): Seq[String] =
+      HtmlParser.selectTag(e, "li").map(li => rustTrim(li.text)).filter(_.nonEmpty).toSeq
+    val uls = HtmlParser.selectTag(root, "ul").map(listItems).filter(_.nonEmpty)
+      .map(items => HtmlList(ordered = false, items)).toSeq
+    val ols = HtmlParser.selectTag(root, "ol").map(listItems).filter(_.nonEmpty)
+      .map(items => HtmlList(ordered = true, items)).toSeq
+
+    val codeBlocks = HtmlParser.selectTags(root, Set("pre", "code")).flatMap { e =>
+      val t = rustTrim(e.text)
+      if (t.isEmpty) None
+      else {
+        val lang = e.classes.find(_.startsWith("language-"))
+          .map(_.stripPrefix("language-")).getOrElse("")
+        Some(CodeBlock(lang, t))
+      }
+    }.toSeq
+
+    val blockquotes = HtmlParser.selectTag(root, "blockquote")
+      .map(e => rustTrim(e.text)).filter(_.nonEmpty).toSeq
+
+    Doc(title, baseUrl, headings.result(), paragraphs, links, images, uls ++ ols, codeBlocks, blockquotes)
+  }
+
+  /** `extract_links` (html_parser.rs:80-111) — outlinks for frontier
+    * expansion: skip javascript:/#, keep absolute hrefs VERBATIM, resolve
+    * relative ones, then lexicographic sort + dedup (quirk Q9). */
+  def extractLinks(html: String, baseUrl: String): Seq[String] = {
+    val root = HtmlParser.parse(html)
+    val out = Seq.newBuilder[String]
+    HtmlParser.selectWithAttr(root, "a", "href").foreach { e =>
+      val href = e.attr("href").get
+      if (!href.startsWith("javascript:") && !href.startsWith("#")) {
+        if (href.startsWith("http://") || href.startsWith("https://")) out += href
+        else {
+          val joined = UrlCanonical.join(baseUrl, href)
+          if (joined != null) out += joined
+        }
+      }
+    }
+    val sorted = out.result().sorted // byte order == Rust Vec<String>::sort on ASCII
+    // dedup: remove CONSECUTIVE duplicates (Vec::dedup) — equals global
+    // dedup after a sort
+    val res = Seq.newBuilder[String]
+    var prev: String = null
+    sorted.foreach { s => if (s != prev) { res += s; prev = s } }
+    res.result()
+  }
+}

@@ -1,0 +1,236 @@
+package graft.html
+
+/** Renderers for the Document IR — byte-identical to the reference:
+  *  - markdown: /root/reference/src/markdown_converter.rs:297-415
+  *    (grouped-by-element-type order, quirk Q1; literal two-pass newline
+  *    collapse, quirk Q5)
+  *  - json: serde_json::to_string_pretty (rs:418-421) — 2-space indent,
+  *    struct field order
+  *  - xml: quick_xml::se::to_string (rs:424-436) — compact, repeated
+  *    elements per Vec item
+  */
+object DocRender {
+
+  /** `document_to_markdown` — title, then ALL headings (already in
+    * level-major order from extraction), paragraphs, links, images,
+    * lists, code blocks, blockquotes. */
+  def toMarkdown(doc: Doc): String = {
+    val sb = new StringBuilder(1024)
+    sb.append("# ").append(doc.title).append("\n\n")
+    doc.headings.foreach { h =>
+      var i = 0
+      while (i < h.level) { sb.append('#'); i += 1 }
+      sb.append(' ').append(h.text).append("\n\n")
+    }
+    doc.paragraphs.foreach(p => sb.append(p).append("\n\n"))
+    doc.links.foreach(l => sb.append('[').append(l.text).append("](").append(l.url).append(")\n\n"))
+    doc.images.foreach(im => sb.append("![").append(im.alt).append("](").append(im.src).append(")\n\n"))
+    doc.lists.foreach { list =>
+      if (list.ordered) {
+        var i = 0
+        list.items.foreach { item => i += 1; sb.append(i).append(". ").append(item).append('\n') }
+      } else list.items.foreach(item => sb.append("- ").append(item).append('\n'))
+      sb.append('\n')
+    }
+    doc.code_blocks.foreach(cb => sb.append("```").append(cb.language).append('\n').append(cb.code).append("\n```\n\n"))
+    doc.blockquotes.foreach { bq =>
+      // Rust str::lines() — split on \n, strip one trailing \r per line
+      val quoted = bq.split("\n", -1).map { l =>
+        val line = if (l.endsWith("\r")) l.substring(0, l.length - 1) else l
+        "> " + line
+      }.mkString("\n")
+      sb.append(quoted).append("\n\n")
+    }
+    cleanMarkdown(sb.toString)
+  }
+
+  /** `clean_markdown` (rs:392-398): two sequential String::replace
+    * passes — NOT a regex; five consecutive newlines collapse to three
+    * then two, unlike `\n{3,}` → `\n\n`. Then Unicode trim. */
+  def cleanMarkdown(markdown: String): String =
+    Doc.rustTrim(markdown.replace("\n\n\n\n", "\n\n").replace("\n\n\n", "\n\n"))
+
+  // --- JSON (serde_json pretty format) ---
+
+  private def jsonEscape(s: String, sb: StringBuilder): Unit = {
+    sb.append('"')
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      c match {
+        case '"'  => sb.append("\\\"")
+        case '\\' => sb.append("\\\\")
+        case '\n' => sb.append("\\n")
+        case '\r' => sb.append("\\r")
+        case '\t' => sb.append("\\t")
+        case '\b' => sb.append("\\b")
+        case '\f' => sb.append("\\f")
+        case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
+        case c => sb.append(c)
+      }
+      i += 1
+    }
+    sb.append('"')
+  }
+
+  /** serde_json::to_string_pretty: 2-space indent; `[]`/`{}` stay on one
+    * line when empty; items each on their own line. */
+  def toJson(doc: Doc): String = {
+    val sb = new StringBuilder(2048)
+
+    def strField(ind: String, name: String, v: String, comma: Boolean): Unit = {
+      sb.append(ind).append('"').append(name).append("\": ")
+      jsonEscape(v, sb)
+      if (comma) sb.append(',')
+      sb.append('\n')
+    }
+    def arrOpen(ind: String, name: String, empty: Boolean, comma: Boolean): Boolean = {
+      sb.append(ind).append('"').append(name).append("\": ")
+      if (empty) { sb.append("[]"); if (comma) sb.append(','); sb.append('\n'); false }
+      else { sb.append("[\n"); true }
+    }
+    def arrClose(ind: String, comma: Boolean): Unit = {
+      sb.append(ind).append(']'); if (comma) sb.append(','); sb.append('\n')
+    }
+
+    sb.append("{\n")
+    strField("  ", "title", doc.title, comma = true)
+    strField("  ", "base_url", doc.base_url, comma = true)
+
+    if (arrOpen("  ", "headings", doc.headings.isEmpty, comma = true)) {
+      var i = 0
+      doc.headings.foreach { h =>
+        i += 1
+        sb.append("    {\n")
+        sb.append("      \"level\": ").append(h.level).append(",\n")
+        sb.append("      \"text\": "); jsonEscape(h.text, sb); sb.append('\n')
+        sb.append("    }").append(if (i < doc.headings.size) "," else "").append('\n')
+      }
+      arrClose("  ", comma = true)
+    }
+
+    if (arrOpen("  ", "paragraphs", doc.paragraphs.isEmpty, comma = true)) {
+      var i = 0
+      doc.paragraphs.foreach { p =>
+        i += 1
+        sb.append("    "); jsonEscape(p, sb)
+        sb.append(if (i < doc.paragraphs.size) "," else "").append('\n')
+      }
+      arrClose("  ", comma = true)
+    }
+
+    if (arrOpen("  ", "links", doc.links.isEmpty, comma = true)) {
+      var i = 0
+      doc.links.foreach { l =>
+        i += 1
+        sb.append("    {\n")
+        sb.append("      \"text\": "); jsonEscape(l.text, sb); sb.append(",\n")
+        sb.append("      \"url\": "); jsonEscape(l.url, sb); sb.append('\n')
+        sb.append("    }").append(if (i < doc.links.size) "," else "").append('\n')
+      }
+      arrClose("  ", comma = true)
+    }
+
+    if (arrOpen("  ", "images", doc.images.isEmpty, comma = true)) {
+      var i = 0
+      doc.images.foreach { im =>
+        i += 1
+        sb.append("    {\n")
+        sb.append("      \"alt\": "); jsonEscape(im.alt, sb); sb.append(",\n")
+        sb.append("      \"src\": "); jsonEscape(im.src, sb); sb.append('\n')
+        sb.append("    }").append(if (i < doc.images.size) "," else "").append('\n')
+      }
+      arrClose("  ", comma = true)
+    }
+
+    if (arrOpen("  ", "lists", doc.lists.isEmpty, comma = true)) {
+      var i = 0
+      doc.lists.foreach { list =>
+        i += 1
+        sb.append("    {\n")
+        sb.append("      \"ordered\": ").append(list.ordered).append(",\n")
+        if (list.items.isEmpty) sb.append("      \"items\": []\n")
+        else {
+          sb.append("      \"items\": [\n")
+          var j = 0
+          list.items.foreach { item =>
+            j += 1
+            sb.append("        "); jsonEscape(item, sb)
+            sb.append(if (j < list.items.size) "," else "").append('\n')
+          }
+          sb.append("      ]\n")
+        }
+        sb.append("    }").append(if (i < doc.lists.size) "," else "").append('\n')
+      }
+      arrClose("  ", comma = true)
+    }
+
+    if (arrOpen("  ", "code_blocks", doc.code_blocks.isEmpty, comma = true)) {
+      var i = 0
+      doc.code_blocks.foreach { cb =>
+        i += 1
+        sb.append("    {\n")
+        sb.append("      \"language\": "); jsonEscape(cb.language, sb); sb.append(",\n")
+        sb.append("      \"code\": "); jsonEscape(cb.code, sb); sb.append('\n')
+        sb.append("    }").append(if (i < doc.code_blocks.size) "," else "").append('\n')
+      }
+      arrClose("  ", comma = true)
+    }
+
+    if (arrOpen("  ", "blockquotes", doc.blockquotes.isEmpty, comma = false)) {
+      var i = 0
+      doc.blockquotes.foreach { bq =>
+        i += 1
+        sb.append("    "); jsonEscape(bq, sb)
+        sb.append(if (i < doc.blockquotes.size) "," else "").append('\n')
+      }
+      arrClose("  ", comma = false)
+    }
+
+    sb.append('}')
+    sb.toString
+  }
+
+  // --- XML (quick_xml serde serializer: compact) ---
+
+  private def xmlEscape(s: String): String = {
+    if (s.indexOf('&') < 0 && s.indexOf('<') < 0 && s.indexOf('>') < 0) return s
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+  }
+
+  /** quick_xml::se::to_string(document): root element = struct name;
+    * each Vec field emits one element per item named after the field;
+    * struct items nest their own fields as child elements. */
+  def toXml(doc: Doc): String = {
+    val sb = new StringBuilder(2048)
+    def el(name: String, body: String): Unit =
+      sb.append('<').append(name).append('>').append(xmlEscape(body)).append("</").append(name).append('>')
+    sb.append("<Document>")
+    el("title", doc.title)
+    el("base_url", doc.base_url)
+    doc.headings.foreach { h =>
+      sb.append("<headings>")
+      el("level", h.level.toString); el("text", h.text)
+      sb.append("</headings>")
+    }
+    doc.paragraphs.foreach(p => el("paragraphs", p))
+    doc.links.foreach { l =>
+      sb.append("<links>"); el("text", l.text); el("url", l.url); sb.append("</links>")
+    }
+    doc.images.foreach { im =>
+      sb.append("<images>"); el("alt", im.alt); el("src", im.src); sb.append("</images>")
+    }
+    doc.lists.foreach { list =>
+      sb.append("<lists>")
+      el("ordered", list.ordered.toString)
+      list.items.foreach(item => el("items", item))
+      sb.append("</lists>")
+    }
+    doc.code_blocks.foreach { cb =>
+      sb.append("<code_blocks>"); el("language", cb.language); el("code", cb.code); sb.append("</code_blocks>")
+    }
+    doc.blockquotes.foreach(bq => el("blockquotes", bq))
+    sb.append("</Document>")
+    sb.toString
+  }
+}

