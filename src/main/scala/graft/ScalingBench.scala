@@ -1,0 +1,40 @@
+package graft
+
+import graft.jobs.CrawlJob
+
+/** Two-parallelism scaling evidence for the north_rule's N→4N criterion
+  * (no real cluster in the sandbox): the identical crawl on identical
+  * input at local[8] and local[32], reporting throughput at both and
+  * efficiency = (T8/T32)/4 — written up in BENCH.md/BASELINE.md.
+  *
+  * Usage: runMain graft.ScalingBench [sfDirHint] [lowCpus] [highCpus]
+  */
+object ScalingBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val low = if (args.length > 1) args(1).toInt else 8
+    val high = if (args.length > 2) args(2).toInt else 32
+
+    // generate the shared input once (bytes identical for both runs)
+    val genSpark = CrawlJob.session(high, "graft-scaling-gen")
+    val siteDir = Bench.ensureBenchSite(genSpark, sfDir, high)
+    genSpark.stop()
+
+    def runAt(cpus: Int): (Long, Double) = {
+      val spark = CrawlJob.session(cpus, s"graft-scaling-$cpus")
+      val workDir = java.nio.file.Files.createTempDirectory(s"graft_scale_$cpus").toString
+      val (fetched, _, sec) = Bench.crawlBench(spark, siteDir, workDir)
+      spark.stop()
+      (fetched, sec)
+    }
+
+    val (fLow, sLow) = runAt(low)
+    val (fHigh, sHigh) = runAt(high)
+    require(fLow == fHigh, s"runs diverged: $fLow vs $fHigh urls")
+    val thrLow = fLow / sLow
+    val thrHigh = fHigh / sHigh
+    val coreRatio = high.toDouble / low
+    val efficiency = (thrHigh / thrLow) / coreRatio
+    println(f"""{"scaling":{"low_cpus":$low,"high_cpus":$high,"urls":$fLow,"sec_low":$sLow%.1f,"sec_high":$sHigh%.1f,"thr_low":$thrLow%.1f,"thr_high":$thrHigh%.1f,"speedup":${thrHigh / thrLow}%.2f,"efficiency":$efficiency%.3f}}""")
+  }
+}

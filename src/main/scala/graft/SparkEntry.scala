@@ -1,13 +1,501 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.dedup.Dedup
+import graft.functions.GraftFunctions
+import graft.multimodal.Multimodal
+import graft.sim.Similarity
+import graft.synth.SyntheticWeb
+import graft.text.TextOps
+
+/** Driver contract — one probe query per implemented operator family
+  * (SURVEY.md §2), with DuckDB-equivalent oracle SQL wherever the
+  * semantics are ANSI-SQL-expressible. Column names/aliases match
+  * between the Spark plan and the oracle exactly (the driver's compare
+  * sorts columns by name before hashing). Aggregates over floats go
+  * through DECIMAL so both engines sum exactly; every query ends in a
+  * stable ORDER BY. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def pq(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Deterministic inline mini-web for the crawl-op probes (no external
+    * data; same generator as the bench/parity corpora). */
+  private def inlinePages(spark: SparkSession, n: Int): DataFrame = {
+    import spark.implicits._
+    val nHosts = 4
+    spark.range(0, n.toLong, 1, 4).map { i =>
+      val url = SyntheticWeb.urlOf(i, nHosts, 42L)
+      (url, SyntheticWeb.htmlOf(i, n.toLong, nHosts, 42L), SyntheticWeb.tsOf(i))
+    }.toDF("url", "html", "warc_ts")
+  }
+
+  /** Flagship: the single-document pipeline (3.1) over an inline site —
+    * convert every page to markdown, chunk it, count chunks per host. */
+  def entry(spark: SparkSession): DataFrame = {
+    GraftFunctions.register(spark)
+    val pages = inlinePages(spark, 48)
+    pages
+      .withColumn("markdown", GraftFunctions.html_to_markdown(col("html"), col("url")))
+      .select(col("url"),
+        GraftFunctions.chunk_markdown(col("markdown"), col("url"),
+          date_format(col("warc_ts"), "yyyy-MM-dd'T'HH:mm:ss"), lit(1000), lit(200)))
+      .groupBy(graft.frontier.Frontier.hostUdf(col("url")).as("host"))
+      .agg(count(lit(1)).as("n_chunks"))
+      .orderBy("host")
+  }
+
+  // fixed 64-dim query vector for ANN probes: q[j] = ((j*37)%19 - 9)/10
+  private val QueryVec: Array[Float] =
+    (0 until 64).map(j => (((j * 37) % 19) - 9) / 10.0f).toArray
+  private def queryVecSql: String =
+    QueryVec.map(v => f"$v%.1f").mkString("[", ", ", "]")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- relational core (baseline Spark ops, DuckDB-verified) ----
+
+    "q1_agg" -> ((s, dir) => {
+      pq(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity").cast("decimal(18,2)")), 2).cast("double").as("sum_qty"),
+          round(sum(col("l_extendedprice").cast("decimal(18,2)")), 2).cast("double").as("sum_price"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    "q2_join_broadcast" -> ((s, dir) => {
+      val orders = pq(s, dir, "orders")
+      val cust = pq(s, dir, "customer")
+      orders.join(broadcast(cust), orders("o_custkey") === cust("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          round(sum(col("o_totalprice").cast("decimal(18,2)")), 2).cast("double").as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("c_mktsegment")
+    }),
+
+    "q3_window_first_event" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      pq(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n_users"))
+        .orderBy("event_type")
+    }),
+
+    "q4_antijoin" -> ((s, dir) => {
+      val part = pq(s, dir, "part")
+      val li = pq(s, dir, "lineitem")
+      val unsold = part.join(li, part("p_partkey") === li("l_partkey"), "left_anti")
+      unsold.agg(count(lit(1)).as("n_unsold_parts"),
+        coalesce(min(col("p_partkey")), lit(-1L)).as("min_partkey"))
+    }),
+
+    "q5_topk_orders" -> ((s, dir) => {
+      pq(s, dir, "orders")
+        .select(col("o_orderkey"), round(col("o_totalprice").cast("decimal(18,2)"), 2).cast("double").as("price"))
+        .orderBy(desc("price"), asc("o_orderkey")).limit(10)
+    }),
+
+    // ---- crawl-operator probes over the provided tables ----
+
+    // P3 canonicalize (identity on already-canonical urls) + P17 chunk-id
+    // hash + P21 host extraction, verified against plain-SQL construction
+    "p_url_ops" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      pq(s, dir, "documents")
+        .withColumn("url", concat(lit("https://"), col("source"), lit(".example/docs/d"), col("doc_id")))
+        .select(
+          col("doc_id"),
+          GraftFunctions.canonicalize_url(col("url")).as("canon_url"),
+          graft.frontier.Frontier.hostUdf(col("url")).as("host"),
+          md5(concat_ws(":", col("url"), col("source"))).as("chunk_id"))
+        .orderBy("doc_id")
+    }),
+
+    // F3 min-priority filter semantics (NULL passes)
+    "f3_priority_filter" -> ((s, dir) => {
+      pq(s, dir, "events")
+        .filter(col("value").isNull || col("value") >= 5.0)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }),
+
+    // F4 include/exclude regex filters (re.search semantics = RLIKE)
+    "f4_regex_filter" -> ((s, dir) => {
+      pq(s, dir, "documents")
+        .filter(col("text").rlike("spark|stream") && !col("text").rlike("merge"))
+        .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+        .orderBy("lang")
+    }),
+
+    // W1 priority-ordered selection + limit
+    "w1_priority_topk" -> ((s, dir) => {
+      pq(s, dir, "events")
+        .select(col("event_id"), round(col("value").cast("decimal(18,2)"), 2).cast("double").as("priority"))
+        .orderBy(desc("priority"), asc("event_id")).limit(20)
+    }),
+
+    // W2 politeness: window-ranked per-host batches (user_id = host analog)
+    "w2_politeness_rank" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(desc("value"), asc("event_id"))
+      pq(s, dir, "events")
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_selected"),
+          round(sum(col("value").cast("decimal(18,2)")), 2).cast("double").as("batch_value"))
+        .orderBy("user_id")
+    }),
+
+    // A1 per-domain stats (success/error counts, rates)
+    "a1_domain_stats" -> ((s, dir) => {
+      pq(s, dir, "events")
+        .withColumn("host_bucket", col("user_id") % 10)
+        .groupBy(col("host_bucket"))
+        .agg(
+          count(lit(1)).as("n_requests"),
+          sum(when(col("event_type") === "error", 1).otherwise(0)).as("n_errors"),
+          round(sum(col("value").cast("decimal(18,2)")), 2).cast("double").as("total_value"))
+        .withColumn("error_rate", round(col("n_errors").cast("double") / col("n_requests"), 4))
+        .orderBy("host_bucket")
+    }),
+
+    // A2 adaptive rate adjust rule (throttle.py:268-299) on top of A1
+    "a2_adaptive_rate" -> ((s, dir) => {
+      val stats = pq(s, dir, "events")
+        .withColumn("host_bucket", col("user_id") % 10)
+        .groupBy(col("host_bucket"))
+        .agg(
+          count(lit(1)).as("n_requests"),
+          sum(when(col("event_type") === "error", 1).otherwise(0)).as("n_errors"),
+          avg(col("value")).as("avg_rt"))
+      stats
+        .withColumn("error_rate", col("n_errors").cast("double") / col("n_requests"))
+        .withColumn("base_rate", lit(1.0))
+        .withColumn("rate1",
+          when(col("avg_rt") > 8.0, greatest(lit(0.1), col("base_rate") * 0.8))
+            .when(col("avg_rt") < 6.0 && col("error_rate") < 0.05, least(lit(10.0), col("base_rate") * 1.2))
+            .otherwise(col("base_rate")))
+        .withColumn("new_rate",
+          round(when(col("error_rate") > 0.1, greatest(lit(0.1), col("rate1") * 0.5))
+            .otherwise(col("rate1")), 4))
+        .select(col("host_bucket"), col("n_requests"), col("n_errors"), col("new_rate"))
+        .orderBy("host_bucket")
+    }),
+
+    // A3 exponential backoff schedule (throttle.py:150-160, deterministic:
+    // jitter dropped)
+    "a3_backoff" -> ((s, dir) => {
+      s.range(1, 11).toDF("consecutive_errors")
+        .withColumn("backoff_sec",
+          round(least(lit(60.0), lit(2.0) * pow(lit(2.0), col("consecutive_errors").cast("double") - 1)), 2))
+        .orderBy("consecutive_errors")
+    }),
+
+    // ---- dedup suite (documents table) ----
+
+    "d1_exact_dedup" -> ((s, dir) => {
+      val docs = pq(s, dir, "documents")
+      // self-union with shifted ids = deterministic duplicates to detect
+      val dup = docs.select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+        .filter(col("doc_id") % 3 === 0)
+      val all = docs.select(col("doc_id"), col("text")).unionByName(dup)
+      Dedup.exactGroups(all, "doc_id", "text")
+        .select(col("text_hash"), col("dup_count"))
+        .orderBy("text_hash")
+    }),
+
+    "d2_minhash_lsh" -> ((s, dir) => {
+      val docs = pq(s, dir, "documents")
+      // plant near-duplicates: copy of each 5th doc with first word changed
+      val nearDup = docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(lit("zzz "), substring_index(col("text"), " ", -200)).as("text"))
+      val all = docs.select(col("doc_id"), col("text")).unionByName(nearDup)
+      val pairs = Dedup.minhashLshPairs(all, "doc_id", "text", w = 3, m = 32, bands = 8, threshold = 0.5)
+      val verified = Dedup.verifyJaccard(pairs, all, "doc_id", "text", w = 3)
+      verified.agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(col("jaccard") >= 0.5, 1).otherwise(0)).as("n_confirmed"))
+    }),
+
+    "d3_simhash" -> ((s, dir) => {
+      val docs = pq(s, dir, "documents")
+      val nearDup = docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(col("text"), lit(" tail")).as("text"))
+      val all = docs.select(col("doc_id"), col("text")).unionByName(nearDup)
+      Dedup.simhashPairs(all, "doc_id", "text", maxDistance = 6)
+        .agg(count(lit(1)).as("n_pairs"), max(col("hamming")).as("max_hamming"))
+    }),
+
+    "d4_ngram_jaccard" -> ((s, dir) => {
+      val docs = pq(s, dir, "documents").select(col("doc_id"), col("text"))
+      // adjacent-id candidate pairs; exact 3-gram Jaccard per pair
+      val pairs = docs.select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+        .filter(col("id_a") % 10 === 0)
+      Dedup.verifyJaccard(pairs, docs, "doc_id", "text", w = 3)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("id_a")
+    }),
+
+    "d5_cosine_neardup" -> ((s, dir) => {
+      val emb = pq(s, dir, "embeddings")
+      val nearDup = emb.filter(col("vec_id") % 9 === 0)
+        .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"), col("label"))
+      val all = emb.unionByName(nearDup)
+      Dedup.cosinePairs(all, "vec_id", "embedding", dim = 64, planes = 10, threshold = 0.999)
+        .agg(count(lit(1)).as("n_pairs"), round(min(col("cos")), 4).as("min_cos"))
+    }),
+
+    // ---- text analysis (documents table) ----
+
+    "t1_token_count" -> ((s, dir) => {
+      pq(s, dir, "documents")
+        .select(col("doc_id"), TextOps.tokenCount(col("text")).as("n_tokens"),
+          TextOps.bpeishTokenCount(col("text")).as("n_bpeish"))
+        .orderBy("doc_id")
+    }),
+
+    "t2_quality" -> ((s, dir) => {
+      TextOps.withQualitySignals(pq(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("n_words"),
+          round(col("punct_ratio"), 4).as("punct_ratio"),
+          round(col("stopword_ratio"), 4).as("stopword_ratio"),
+          col("quality_score"))
+        .orderBy("doc_id")
+    }),
+
+    "t3_lang_id" -> ((s, dir) => {
+      TextOps.withLangId(pq(s, dir, "documents"), "text")
+        .groupBy(col("lang"), col("lang_pred")).agg(count(lit(1)).as("n"))
+        .orderBy("lang", "lang_pred")
+    }),
+
+    "t4_fingerprint" -> ((s, dir) => {
+      pq(s, dir, "documents")
+        .select(col("doc_id"),
+          md5(regexp_replace(trim(col("text")), "\\s+", " ").cast("binary")).as("fp_md5"))
+        .orderBy("doc_id")
+    }),
+
+    "t5_fingerprint64" -> ((s, dir) => {
+      pq(s, dir, "documents")
+        .select(col("doc_id"), TextOps.fingerprint64(col("text")).as("fp64"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- similarity search (embeddings table) ----
+
+    "v1_brute_topk" -> ((s, dir) => {
+      Similarity.bruteTopK(pq(s, dir, "embeddings"), "vec_id", "embedding", QueryVec, 10)
+    }),
+
+    "v2_ivf_topk" -> ((s, dir) => {
+      val emb = pq(s, dir, "embeddings")
+      val cents = Similarity.centroids(emb, "vec_id", "embedding", 16).cache()
+      val index = Similarity.ivfIndex(emb, "vec_id", "embedding", cents)
+      Similarity.ivfTopK(index, cents, "vec_id", "embedding", QueryVec, 10, nprobe = 4)
+    }),
+
+    // ---- streaming (events as a bounded stream) ----
+
+    "st1_stream_window" -> ((s, dir) => {
+      val schema = pq(s, dir, "events").schema
+      // FileStreamSource needs a directory basePath; the sf tables are
+      // single files → glob-filter the parent dir
+      val stream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .withColumn("ts", col("ts").cast("timestamp")) // parquet NTZ -> event-time type
+      val agg = stream
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "5 minutes").as("win"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value").cast("decimal(18,2)")), 2).cast("double").as("total_value"))
+      val qname = "st1_out_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = agg.writeStream.outputMode("append")
+        .format("memory").queryName(qname)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      // append mode emits only watermark-closed windows; take all closed ones
+      s.table(qname)
+        .select(col("win.start").as("win_start"), col("event_type"), col("n"), col("total_value"))
+        .orderBy("win_start", "event_type")
+    }),
+
+    // ---- crawl pipeline probes (inline synthetic site; rows-only) ----
+
+    "c1_convert" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      inlinePages(s, 64)
+        .select(col("url"),
+          md5(GraftFunctions.html_to_markdown(col("html"), col("url")).cast("binary")).as("md_hash"))
+        .orderBy("url")
+    }),
+
+    "c2_chunks" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      inlinePages(s, 64)
+        .withColumn("markdown", GraftFunctions.html_to_markdown(col("html"), col("url")))
+        .select(GraftFunctions.chunk_markdown(col("markdown"), col("url"), lit("t"), lit(1000), lit(200)))
+        .groupBy(col("chunk_type"))
+        .agg(count(lit(1)).as("n"), sum(col("word_count")).as("total_words"))
+        .orderBy("chunk_type")
+    }),
+
+    "c3_outlinks" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      inlinePages(s, 64)
+        .select(explode(GraftFunctions.extract_outlinks(col("html"), col("url"))).as("link"))
+        .groupBy(graft.frontier.Frontier.hostUdf(col("link")).as("host"))
+        .agg(count(lit(1)).as("n_links"))
+        .orderBy("host")
+    }),
+
+    "c4_robots_gate" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      import s.implicits._
+      val rules = (0 until 4).map { h =>
+        val r = graft.robots.Robots.parse(s"host$h.example", SyntheticWeb.robotsOf(h))
+        (r.host, r.allow, r.disallow)
+      }.toDF("host", "allow", "disallow")
+      inlinePages(s, 64)
+        .withColumn("host", graft.frontier.Frontier.hostUdf(col("url")))
+        .join(broadcast(rules), Seq("host"))
+        .withColumn("allowed",
+          GraftFunctions.robots_allows(graft.frontier.Frontier.pathUdf(col("url")), col("allow"), col("disallow")))
+        .groupBy(col("host"), col("allowed")).agg(count(lit(1)).as("n"))
+        .orderBy("host", "allowed")
+    }),
+
+    // ---- multimodal plumbing (rows-only; deterministic) ----
+
+    "m1_media_features" -> ((s, dir) => {
+      Multimodal.modalityStats(Multimodal.extractFeatures(Multimodal.synthMedia(s, 600, 8)))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_price,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q2_join_broadcast" ->
+      """SELECT c_mktsegment,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue,
+        |  count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q3_window_first_event" ->
+      """SELECT event_type, count(*) AS n_users FROM (
+        |  SELECT event_type, row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events) WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q4_antijoin" ->
+      """SELECT count(*) AS n_unsold_parts,
+        |  coalesce(min(p_partkey), -1) AS min_partkey
+        |FROM part WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)""".stripMargin,
+
+    "q5_topk_orders" ->
+      """SELECT o_orderkey, CAST(round(CAST(o_totalprice AS DECIMAL(18,2)), 2) AS DOUBLE) AS price
+        |FROM orders ORDER BY price DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+
+    "p_url_ops" ->
+      """SELECT doc_id,
+        |  'https://' || source || '.example/docs/d' || doc_id AS canon_url,
+        |  source || '.example' AS host,
+        |  md5('https://' || source || '.example/docs/d' || doc_id || ':' || source) AS chunk_id
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "f3_priority_filter" ->
+      """SELECT event_type, count(*) AS n FROM events
+        |WHERE value IS NULL OR value >= 5.0 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "f4_regex_filter" ->
+      """SELECT lang, count(*) AS n FROM documents
+        |WHERE regexp_matches(text, 'spark|stream') AND NOT regexp_matches(text, 'merge')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "w1_priority_topk" ->
+      """SELECT event_id, CAST(round(CAST(value AS DECIMAL(18,2)), 2) AS DOUBLE) AS priority
+        |FROM events ORDER BY priority DESC, event_id ASC LIMIT 20""".stripMargin,
+
+    "w2_politeness_rank" ->
+      """SELECT user_id, count(*) AS n_selected,
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS batch_value
+        |FROM (
+        |  SELECT user_id, value, row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id ASC) AS rank
+        |  FROM events) WHERE rank <= 3 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "a1_domain_stats" ->
+      """SELECT host_bucket, n_requests, n_errors, total_value,
+        |  round(CAST(n_errors AS DOUBLE) / n_requests, 4) AS error_rate
+        |FROM (
+        |  SELECT user_id % 10 AS host_bucket, count(*) AS n_requests,
+        |    sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors,
+        |    CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
+        |  FROM events GROUP BY 1) ORDER BY host_bucket""".stripMargin,
+
+    "a2_adaptive_rate" ->
+      """SELECT host_bucket, n_requests, n_errors,
+        |  round(CASE WHEN error_rate > 0.1 THEN greatest(0.1, rate1 * 0.5) ELSE rate1 END, 4) AS new_rate
+        |FROM (
+        |  SELECT host_bucket, n_requests, n_errors, error_rate,
+        |    CASE WHEN avg_rt > 8.0 THEN greatest(0.1, 1.0 * 0.8)
+        |         WHEN avg_rt < 6.0 AND error_rate < 0.05 THEN least(10.0, 1.0 * 1.2)
+        |         ELSE 1.0 END AS rate1
+        |  FROM (
+        |    SELECT user_id % 10 AS host_bucket, count(*) AS n_requests,
+        |      sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors,
+        |      avg(value) AS avg_rt,
+        |      CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS error_rate
+        |    FROM events GROUP BY 1))
+        |ORDER BY host_bucket""".stripMargin,
+
+    "a3_backoff" ->
+      """SELECT CAST(range AS BIGINT) AS consecutive_errors,
+        |  round(least(60.0, 2.0 * power(2.0, CAST(range AS DOUBLE) - 1)), 2) AS backoff_sec
+        |FROM range(1, 11) ORDER BY 1""".stripMargin,
+
+    "d1_exact_dedup" ->
+      """SELECT text_hash, count(*) AS dup_count FROM (
+        |  SELECT md5(text) AS text_hash FROM documents
+        |  UNION ALL
+        |  SELECT md5(text) AS text_hash FROM documents WHERE (doc_id + 1000000) % 3 = 0)
+        |GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""".stripMargin,
+
+    "t1_token_count" ->
+      """SELECT doc_id,
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+        |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpeish
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t4_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS fp_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "v1_brute_topk" ->
+      s"""SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), $queryVecSql), 6) AS score
+         |FROM embeddings ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+
+    "st1_stream_window" ->
+      """SELECT time_bucket(INTERVAL '5 minutes', ts) AS win_start, event_type,
+        |  count(*) AS n,
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
+        |FROM events
+        |WHERE time_bucket(INTERVAL '5 minutes', ts) + INTERVAL '5 minutes' + INTERVAL '10 minutes'
+        |      <= (SELECT max(ts) FROM events)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  )
 }

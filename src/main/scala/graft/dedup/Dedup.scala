@@ -1,0 +1,204 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.text.TextOps
+
+/** Deduplication operators for web-scale training data:
+  * exact (hash-groupBy), MinHash+LSH, SimHash, n-gram Jaccard,
+  * embedding-cosine near-dup. Designed around shuffles that stay
+  * key-bounded: every candidate-generation step buckets FIRST (band
+  * hash / simhash chunk / hyperplane sign) so the pairwise work is
+  * per-bucket, never a global cross join. */
+object Dedup {
+
+  // --- exact dedup (hash-groupBy; map-side partial agg for free) ---
+
+  /** Groups of byte-identical texts: (text_hash, dup_count, doc_ids). */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol).cast("binary")).as("text_hash"))
+      .agg(count(lit(1)).as("dup_count"), sort_array(collect_list(col(idCol))).as("doc_ids"))
+      .filter(col("dup_count") > 1)
+
+  /** Keep one representative per exact-duplicate group (min id wins —
+    * deterministic at any parallelism). */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col(textCol).cast("binary"))).orderBy(col(idCol))
+    df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+  }
+
+  // --- MinHash + LSH ---
+
+  /** m minhash values over word w-shingles. One expensive string-hash
+    * pass (xxhash64 per shingle), then m cheap universal-hash remixes
+    * (h·a+b over the 64-bit ring) — not m string-hash passes. Codegen'd
+    * higher-order functions, no UDF. */
+  def minhashSignature(text: Column, w: Int, m: Int): Column = {
+    val baseHashes = transform(TextOps.shingles(text, w), s => xxhash64(s))
+    array((0 until m).map { i =>
+      // numeric xxhash64 remix per function index — cheap long mixing,
+      // and safe under ANSI mode (a wrapping h·a+b multiply would throw)
+      coalesce(
+        array_min(transform(baseHashes, h => xxhash64(h, lit(i)))),
+        lit(Long.MaxValue))
+    }: _*)
+  }
+
+  /** LSH candidate pairs: band the signature (b bands × r rows), bucket
+    * by (band_id, hash(band)), pair up within buckets, then verify with
+    * the estimated Jaccard (signature agreement ratio) ≥ threshold.
+    *
+    * Scale shape: explode → groupBy bucket (shuffle keyed by band hash,
+    * uniform by construction) → pairs only within buckets. A bucket with
+    * k docs yields k(k-1)/2 pairs — hot buckets are capped. */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      w: Int = 3, m: Int = 32, bands: Int = 8,
+                      threshold: Double = 0.7, maxBucket: Int = 64): DataFrame = {
+    val r = m / bands
+    val withSig = df.select(col(idCol).as("doc_id"), minhashSignature(col(textCol), w, m).as("sig"))
+      .filter(size(col("sig")) === m)
+    val bandStructs = (0 until bands).map { b =>
+      val bandCols = (0 until r).map(j => element_at(col("sig"), b * r + j + 1))
+      struct(lit(b).as("band"), xxhash64(bandCols :+ lit(b): _*).as("bucket"))
+    }
+    val banded = withSig.select(
+      col("doc_id"), col("sig"),
+      explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bucket"))
+    val buckets = banded.groupBy("band", "bucket")
+      .agg(collect_list(struct(col("doc_id"), col("sig"))).as("members"))
+      .filter(size(col("members")).between(2, maxBucket))
+    // pairwise within bucket (driver-free: explode index pairs)
+    val pairs = buckets.select(explode(expr(
+      """flatten(transform(sequence(0, size(members)-2), i ->
+        |  transform(sequence(i+1, size(members)-1), j ->
+        |    struct(members[i] as a, members[j] as b))))""".stripMargin)).as("p"))
+      .select(
+        least(col("p.a.doc_id"), col("p.b.doc_id")).as("id_a"),
+        greatest(col("p.a.doc_id"), col("p.b.doc_id")).as("id_b"),
+        (size(zip_with(col("p.a.sig"), col("p.b.sig"),
+          (x, y) => when(x === y, 1).otherwise(null)).cast("array<int>"))
+          .cast("double") / lit(m)).as("est_jaccard_raw"),
+        col("p.a.sig").as("sig_a"), col("p.b.sig").as("sig_b"))
+      .withColumn("est_jaccard",
+        aggregate(zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1.0).otherwise(0.0)),
+          lit(0.0), (acc, v) => acc + v) / lit(m.toDouble))
+      .drop("est_jaccard_raw", "sig_a", "sig_b")
+      .dropDuplicates("id_a", "id_b")
+      .filter(col("est_jaccard") >= threshold)
+    pairs
+  }
+
+  // --- n-gram Jaccard (exact verify; also standalone) ---
+
+  /** Exact word-w-shingle Jaccard for given candidate pairs
+    * (pairs: id_a, id_b). Joins shingle SETS back by id — used as the
+    * verification stage after LSH. */
+  def verifyJaccard(pairs: DataFrame, docs: DataFrame, idCol: String, textCol: String,
+                    w: Int = 3): DataFrame = {
+    val sets = docs.select(col(idCol).as("_id"),
+      array_distinct(TextOps.shingles(col(textCol), w)).as("_set"))
+    pairs
+      .join(sets.withColumnRenamed("_id", "id_a").withColumnRenamed("_set", "set_a"), Seq("id_a"))
+      .join(sets.withColumnRenamed("_id", "id_b").withColumnRenamed("_set", "set_b"), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("set_a"), col("set_b"))))
+      .withColumn("uni", size(array_union(col("set_a"), col("set_b"))))
+      .withColumn("jaccard", when(col("uni") > 0, col("inter").cast("double") / col("uni")).otherwise(0.0))
+      .drop("set_a", "set_b", "inter", "uni")
+  }
+
+  // --- SimHash ---
+
+  /** 64-bit SimHash over word tokens: per-bit weighted vote of token
+    * hashes. Expressed with higher-order functions: for each bit,
+    * sum(sign(token)) over tokens; bit set when sum > 0. */
+  def simhash64(text: Column): Column = {
+    val tokens = split(lower(trim(text)), "\\s+")
+    val hashes = transform(tokens, t => xxhash64(t))
+    // bits via aggregate over 64 positions would explode expression size;
+    // use a compact form: sum per bit of (+1/-1), packed by bit shifts
+    val bitExprs = (0 until 64).map { b =>
+      val vote = aggregate(hashes, lit(0),
+        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
+      when(vote > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }
+    bitExprs.reduce((a: Column, b: Column) => a.bitwiseOR(b))
+  }
+
+  /** Hamming distance between two 64-bit columns. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs with pigeonhole bucketing: distance ≤ k ⇒
+    * at least one of (k+1) chunks equal; bucket by each 16-bit chunk
+    * (k ≤ 3) → candidates → exact hamming verify. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxDistance: Int = 3, maxBucket: Int = 64): DataFrame = {
+    val withSim = df.select(col(idCol).as("doc_id"), simhash64(col(textCol)).as("sim"))
+    val chunked = withSim.select(col("doc_id"), col("sim"),
+      explode(array((0 until 4).map(c =>
+        struct(lit(c).as("chunk"),
+          shiftright(col("sim"), c * 16).bitwiseAND(lit(0xffffL)).as("key"))): _*)).as("cb"))
+      .select(col("doc_id"), col("sim"), col("cb.chunk"), col("cb.key"))
+    val buckets = chunked.groupBy("chunk", "key")
+      .agg(collect_list(struct(col("doc_id"), col("sim"))).as("members"))
+      .filter(size(col("members")).between(2, maxBucket))
+    buckets.select(explode(expr(
+      """flatten(transform(sequence(0, size(members)-2), i ->
+        |  transform(sequence(i+1, size(members)-1), j ->
+        |    struct(members[i] as a, members[j] as b))))""".stripMargin)).as("p"))
+      .select(
+        least(col("p.a.doc_id"), col("p.b.doc_id")).as("id_a"),
+        greatest(col("p.a.doc_id"), col("p.b.doc_id")).as("id_b"),
+        hamming64(col("p.a.sim"), col("p.b.sim")).as("hamming"))
+      .dropDuplicates("id_a", "id_b")
+      .filter(col("hamming") <= maxDistance)
+  }
+
+  // --- embedding-cosine near-dup ---
+
+  /** Cosine similarity between two array<float> columns (codegen'd
+    * higher-order functions; no UDF). */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+    val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0d), (acc, v) => acc + v))
+    val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0d), (acc, v) => acc + v))
+    when(na > 0 && nb > 0, dot / (na * nb)).otherwise(lit(0.0))
+  }
+
+  /** Near-duplicate embedding pairs via random-hyperplane LSH: sign
+    * sketch of `planes` seeded hyperplanes → bucket on the sign prefix →
+    * pairwise cosine within buckets ≥ threshold. Hyperplane components
+    * are deterministic pseudo-gaussians from xxhash64(dim_index, plane). */
+  def cosinePairs(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+                  planes: Int = 12, threshold: Double = 0.95, maxBucket: Int = 256): DataFrame = {
+    // plane p component j = standard-normal-ish from two uniform hashes
+    // (Box–Muller over deterministic uniforms)
+    def u(p: Int, j: Int, salt: Long): Column =
+      (shiftrightunsigned(xxhash64(lit(p * 7919L + j * 104729L + salt)), 11).cast("double")
+        * lit(1.0 / (1L << 53))) + lit(1e-12)
+    val signBits = (0 until planes).map { p =>
+      val dot = (0 until dim).map { j =>
+        val g = sqrt(lit(-2.0) * log(u(p, j, 1))) * cos(lit(2 * math.Pi) * u(p, j, 2))
+        col(vecCol).getItem(j) * g
+      }.reduce(_ + _)
+      when(dot >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
+    }
+    val bucketed = df.select(col(idCol).as("doc_id"), col(vecCol).as("vec"),
+      signBits.reduce((a, b) => a.bitwiseOR(b)).as("bucket"))
+    val buckets = bucketed.groupBy("bucket")
+      .agg(collect_list(struct(col("doc_id"), col("vec"))).as("members"))
+      .filter(size(col("members")).between(2, maxBucket))
+    buckets.select(explode(expr(
+      """flatten(transform(sequence(0, size(members)-2), i ->
+        |  transform(sequence(i+1, size(members)-1), j ->
+        |    struct(members[i] as a, members[j] as b))))""".stripMargin)).as("p"))
+      .select(
+        least(col("p.a.doc_id"), col("p.b.doc_id")).as("id_a"),
+        greatest(col("p.a.doc_id"), col("p.b.doc_id")).as("id_b"),
+        cosine(col("p.a.vec"), col("p.b.vec")).as("cos"))
+      .dropDuplicates("id_a", "id_b")
+      .filter(col("cos") >= threshold)
+  }
+}

@@ -1,0 +1,74 @@
+package graft.frontier
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.functions.GraftFunctions
+
+/** Politeness scheduler — the reference's per-domain rate limiting
+  * (/root/reference/RAGnificent/core/throttle.py:85-129) re-expressed as
+  * window-ranked batches (SURVEY.md §2.6 W2): per round, each host may
+  * fetch `budget(host) = max(1, floor(rps × round_seconds))` urls, taken
+  * in (priority DESC NULLS LAST, url ASC) order — deterministic under
+  * any partitioning.
+  *
+  * Rate resolution mirrors throttle.py:254-266: exact host match first,
+  * then `*.suffix` wildcard (endswith pattern[1:]), then the default.
+  * Robots gating (F7, north_rule upgrade) happens before ranking so
+  * denied urls never consume budget. */
+object Scheduler {
+
+  final case class Config(
+      defaultRps: Double = 1.0, // core/scraper.py:41 default
+      roundSeconds: Double = 5.0,
+      maxDepth: Int = 3,
+      chunkSize: Int = 1000,
+      chunkOverlap: Int = 200)
+
+  /** Resolve per-host budgets for the hosts present in `frontier`.
+    * `limits` is the tiny (pattern, rps) config table → broadcast joins. */
+  def hostBudgets(frontier: DataFrame, limits: DataFrame, cfg: Config): DataFrame = {
+    val hosts = frontier.select("host").distinct()
+    val exact = limits.filter(!col("pattern").startsWith("*."))
+      .withColumnRenamed("rps", "exact_rps")
+    val wild = limits.filter(col("pattern").startsWith("*."))
+      .select(expr("substring(pattern, 2)").as("suffix"), col("rps").as("wild_rps"))
+    hosts
+      .join(broadcast(exact), hosts("host") === exact("pattern"), "left")
+      .join(broadcast(wild), expr("endswith(host, suffix)"), "left")
+      .select(col("host"),
+        coalesce(col("exact_rps"), col("wild_rps"), lit(cfg.defaultRps)).as("rps"))
+      .withColumn("budget", greatest(lit(1L), floor(col("rps") * lit(cfg.roundSeconds))))
+      .select("host", "budget")
+  }
+
+  /** One scheduling pass: robots-gate then window-rank within host and
+    * keep rank ≤ budget. Returns (selected, robotsDenied).
+    * `robots` columns: host, allow (array), disallow (array). */
+  def schedule(frontier: DataFrame, robots: DataFrame, limits: DataFrame, cfg: Config)
+      : (DataFrame, DataFrame) = {
+    // robots and budgets are per-host tables: tiny here, one row per host
+    // at web scale — so NOT force-broadcast; AQE picks broadcast when the
+    // side is small, shuffle-hash co-partitioned with the window otherwise.
+    val gated = frontier
+      .join(robots.select("host", "allow", "disallow"), Seq("host"), "left")
+      .withColumn("allowed",
+        coalesce(
+          GraftFunctions.robots_allows(Frontier.pathUdf(col("url")), col("allow"), col("disallow")),
+          lit(true))) // no robots row for host → allowed
+      .drop("allow", "disallow")
+    val denied = gated.filter(!col("allowed")).drop("allowed")
+    val allowed = gated.filter(col("allowed")).drop("allowed")
+
+    val budgets = hostBudgets(allowed, limits, cfg)
+    val w = Window.partitionBy(col("host"))
+      .orderBy(desc_nulls_last("priority"), asc("url"))
+    val selected = allowed
+      .join(budgets, Seq("host"), "left")
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= coalesce(col("budget"), lit(1L)))
+      .drop("budget")
+    (selected, denied)
+  }
+}

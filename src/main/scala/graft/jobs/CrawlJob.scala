@@ -1,0 +1,279 @@
+package graft.jobs
+
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.checkpoint.SnapshotStore
+import graft.chunk.{ChunkRec, Chunker}
+import graft.frontier.{Frontier, Scheduler}
+import graft.html.{Doc, DocRender}
+import graft.model._
+import graft.robots.Robots
+import graft.sitemap.Sitemap
+import graft.url.UrlCanonical
+
+/** The crawl round loop (SURVEY.md §3.2):
+  *
+  *   frontier Δ → canonicalize → dropDuplicates(url_hash)   [shuffle: by key]
+  *     → Bloom + left_anti vs seen snapshot (J1)
+  *     → robots gate (F7) → window-rank per host ≤ budget (W2)  [shuffle: by host]
+  *     → inner join pages ("fetch", J4)                         [shuffle, AQE skew]
+  *     → one-pass parse → markdown/outlinks/chunks (P4/P8/G1)
+  *     → commit snapshot: seen ∪ batch, frontier′, results, chunks, trace
+  *
+  * Every round commits to the SnapshotStore; a killed run resumes from
+  * the latest complete snapshot with identical results (order parity is
+  * (round, host, rank) — deterministic under any partitioning).
+  */
+object CrawlJob {
+
+  /** One-pass extraction product for a fetched page. */
+  final case class Extracted(
+      url: String, url_hash: Long, host: String, depth: Int,
+      title: String, markdown: String, outlinks: Seq[String],
+      chunks: Seq[ChunkRec], fetch_status: Int)
+
+  final case class RoundMetrics(
+      round: Int, scheduled: Long, fetched: Long, missing: Long,
+      robots_denied: Long, new_frontier: Long, chunks: Long, elapsedSec: Double)
+
+  def session(cpus: Int, appName: String = "graft-crawl"): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Parse the robots table (host, body) into rules (host, allow,
+    * disallow, sitemaps, crawl_delay). */
+  def robotsRules(spark: SparkSession, robotsDf: DataFrame): Dataset[RobotsRules] = {
+    import spark.implicits._
+    robotsDf.as[(String, String)].map { case (host, body) => Robots.parse(host, body) }
+  }
+
+  /** Round-0 frontier: seeds file (S1 semantics: skip blank + `#` lines)
+    * ∪ sitemap expansion for seed hosts (S2/S3: robots Sitemap: lines →
+    * recursive index-aware parse, domain-substring filter F1). */
+  def initialFrontier(spark: SparkSession, siteDir: String, rules: Dataset[RobotsRules]): DataFrame = {
+    import spark.implicits._
+    val seedsRaw = spark.read.text(s"$siteDir/seeds.txt")
+      .filter(trim(col("value")) =!= "" && !trim(col("value")).startsWith("#"))
+      .select(col("value").as("raw_url"))
+    val seeds = Frontier.withFrontierKeys(seedsRaw, "raw_url")
+      .select(col("url"), col("url_hash"), col("host"),
+        lit(0).as("depth"), lit(null).cast("double").as("priority"))
+
+    // sitemap discovery for seed hosts (tiny per-host tables; collected
+    // recursion mirrors _process_sitemap's seen-set loop)
+    val seedHosts = seeds.select("host").distinct().as[String].collect().toSet
+    val sitemapBodies = spark.read.parquet(s"$siteDir/sitemaps.parquet")
+      .as[(String, String, String)].collect()
+      .map { case (_, url, xml) => url -> xml }.toMap
+    val robotsSitemaps = rules.collect()
+      .filter(r => seedHosts.contains(r.host))
+      .flatMap(r => r.sitemaps.map(s => (r.host, s)))
+
+    val entries = Seq.newBuilder[(String, String, Double)] // (host, loc, priority) priority NaN = null
+    val processed = scala.collection.mutable.Set.empty[String]
+    val queue = scala.collection.mutable.Queue.empty[(String, String)]
+    robotsSitemaps.foreach(queue.enqueue(_))
+    while (queue.nonEmpty) {
+      val (host, smUrl) = queue.dequeue()
+      if (!processed.contains(smUrl)) { // F5 dedup (sitemap_utils.py:313-318)
+        processed += smUrl
+        sitemapBodies.get(smUrl).foreach { xml =>
+          val r = Sitemap.parse(xml, smUrl)
+          r.childSitemaps.foreach(c => queue.enqueue((host, c)))
+          r.entries.foreach { e =>
+            // F1: substring domain filter (sitemap_utils.py:400-407)
+            if (e.loc.contains(host)) entries += ((host, e.loc, e.priority.getOrElse(Double.NaN)))
+          }
+        }
+      }
+    }
+    val sitemapSeeds = entries.result().toDF("seed_host", "raw_url", "pr")
+    val sitemapFrontier = Frontier.withFrontierKeys(sitemapSeeds, "raw_url")
+      .select(col("url"), col("url_hash"), col("host"), lit(0).as("depth"),
+        when(isnan(col("pr")), lit(null).cast("double")).otherwise(col("pr")).as("priority"))
+
+    seeds.unionByName(sitemapFrontier)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("url_hash")
+          .orderBy(desc_nulls_last("priority"), asc("url"))))
+      .filter(col("rn") === 1).drop("rn")
+  }
+
+  /** One-pass extract: html → Doc → (markdown, outlinks, chunks). */
+  def extract(spark: SparkSession, fetched: DataFrame, cfg: Scheduler.Config): Dataset[Extracted] = {
+    import spark.implicits._
+    fetched
+      .select("url", "url_hash", "host", "depth", "html", "warc_ts")
+      .as[(String, Long, String, Int, Array[Byte], java.sql.Timestamp)]
+      .map { case (url, hash, host, depth, html, warcTs) =>
+        val h = new String(html, java.nio.charset.StandardCharsets.UTF_8)
+        val doc = Doc.fromHtml(h, url)
+        val md = DocRender.toMarkdown(doc)
+        val links = Doc.extractLinks(h, url)
+        val chunks = Chunker.semanticChunks(md, url, warcTs.toInstant.toString,
+          cfg.chunkSize, cfg.chunkOverlap)
+        Extracted(url, hash, host, depth, doc.title, md, links, chunks, 200)
+      }
+  }
+
+  /** Run (or resume) the crawl. Returns the final snapshot version. */
+  def run(spark: SparkSession, siteDir: String, workDir: String,
+          cfg: Scheduler.Config = Scheduler.Config(),
+          maxRounds: Int = 50,
+          bloomThreshold: Long = 100000L): Int = {
+    import spark.implicits._
+    val store = new SnapshotStore(workDir)
+    val pages = spark.read.parquet(s"$siteDir/pages.parquet")
+    val rules = robotsRules(spark, spark.read.parquet(s"$siteDir/robots.parquet")).cache()
+    val robotsDf = rules.toDF()
+    val limits = spark.read.parquet(s"$siteDir/host_limits.parquet")
+
+    var round = store.latestVersion.map(_ + 1).getOrElse(0)
+    var frontier: DataFrame =
+      if (round == 0) initialFrontier(spark, siteDir, rules)
+      else store.readTable(spark, round - 1, "frontier")
+    // seen is committed as per-round DELTAS (append semantics, like a
+    // real Iceberg append — a full rewrite per round would be quadratic
+    // in total crawl size); the live set is a FLAT multi-path read over
+    // all deltas (not an incremental union DAG, which would deepen the
+    // plan every round).
+    var seenPaths: Seq[String] =
+      if (round == 0) Nil
+      else (0 until round).map(v => store.manifest(v).tables("seen_delta").path)
+    def seenDf: DataFrame =
+      if (seenPaths.isEmpty) frontier.filter(lit(false)).select("url_hash", "url")
+      else spark.read.parquet(seenPaths: _*).select("url_hash", "url")
+    var seen: DataFrame = seenDf
+
+    var done = false
+    while (!done && round < maxRounds) {
+      val t0 = System.nanoTime()
+      frontier = frontier.dropDuplicates("url_hash").cache()
+      val seenCount = seen.count()
+      val bloom = if (seenCount > bloomThreshold)
+        Some(Frontier.buildBloom(seen, seenCount)) else None
+      val fresh = Frontier.notSeen(frontier, seen, bloom)
+
+      val (selected0, denied0) = Scheduler.schedule(fresh, robotsDf, limits, cfg)
+      val selected = selected0.cache()
+      val denied = denied0.cache()
+      val nScheduled = selected.count()
+      val nDenied = denied.count()
+      if (nScheduled == 0 && nDenied == 0) {
+        done = true
+        selected.unpersist(); denied.unpersist(); frontier.unpersist()
+      } else {
+        // "fetch" = equi join against the pages table (J4). The batch is
+        // politeness-budget-bounded, so broadcast IT into the pages scan:
+        // pages stream through a hash probe with no shuffle/sort of the
+        // (html-payload-heavy) big side. An SMJ here re-sorts the whole
+        // pages table every round. At the 10^10 design point with 10^8
+        // batches, the equivalent is a bucketed/storage-partitioned pages
+        // table joined on url_hash (no big-side shuffle either); AQE
+        // skew-join covers the fallback path.
+        val fetched =
+          if (nScheduled <= 2000000L)
+            pages.join(broadcast(selected.select("url", "url_hash", "host", "depth", "rank")), Seq("url"), "inner")
+          else selected.join(pages, Seq("url"), "inner")
+        val extracted = extract(spark, fetched, cfg).cache()
+        val nFetched = extracted.count()
+
+        val results = extracted.map(e => ExtractedPage(
+          e.url, e.url_hash, e.host, e.depth, round, e.title, e.markdown,
+          e.outlinks.size, e.chunks.size, e.fetch_status)).toDF()
+        val chunks = extracted.flatMap(_.chunks).toDF()
+        val nChunks = chunks.count()
+
+        // frontier growth: outlinks → canonical keys → depth+1 (G6)
+        val newLinks0 = extracted
+          .flatMap(e => e.outlinks.map(l => (l, e.depth + 1)))
+          .toDF("raw_url", "depth")
+          .filter(col("depth") <= cfg.maxDepth)
+        val newLinks = Frontier.withFrontierKeys(newLinks0, "raw_url")
+          .groupBy("url", "url_hash", "host")
+          .agg(min("depth").as("depth"))
+          .withColumn("priority", lit(null).cast("double"))
+          .select("url", "url_hash", "host", "depth", "priority")
+
+        // seen ∪= everything scheduled this round (fetched or missing) +
+        // robots-denied (never retried — reference treats denied as done)
+        val seenDelta = selected.select("url_hash", "url")
+          .unionByName(denied.select("url_hash", "url"))
+
+        // frontier′ = (frontier − scheduled − denied) ∪ new links, minus seen
+        val remaining = frontier.join(seenDelta.select("url_hash"), Seq("url_hash"), "left_anti")
+        // deterministic merge on rediscovery: keep min depth, max priority
+        // (max ignores nulls — link-discovered entries carry none)
+        val newFrontier = remaining
+          .unionByName(Frontier.notSeen(newLinks, seen, bloom)
+            .join(seenDelta.select("url_hash"), Seq("url_hash"), "left_anti"))
+          .groupBy("url_hash", "url", "host")
+          .agg(min("depth").as("depth"), max("priority").as("priority"))
+          .select("url", "url_hash", "host", "depth", "priority")
+
+        val trace = selected.select(lit(round).as("round"), col("host"), col("rank"), col("url"))
+        val nMissing = nScheduled - nFetched
+        val nNewFrontier = newFrontier.count()
+        val elapsed = (System.nanoTime() - t0) / 1e9
+
+        store.commit(spark, round,
+          Map(
+            "frontier" -> newFrontier,
+            "seen_delta" -> seenDelta,
+            "results" -> results,
+            "chunks" -> chunks.withColumn("round", lit(round)),
+            "trace" -> trace),
+          Map(
+            "scheduled" -> nScheduled.toDouble,
+            "fetched" -> nFetched.toDouble,
+            "missing" -> nMissing.toDouble,
+            "robots_denied" -> nDenied.toDouble,
+            "new_frontier" -> nNewFrontier.toDouble,
+            "chunks" -> nChunks.toDouble,
+            "elapsed_sec" -> elapsed),
+          partitionKeyCol = Some("host"),
+          knownCounts = Map(
+            "frontier" -> nNewFrontier,
+            "seen_delta" -> (nScheduled + nDenied),
+            "results" -> nFetched,
+            "chunks" -> nChunks,
+            "trace" -> nScheduled))
+
+        extracted.unpersist(); selected.unpersist(); denied.unpersist(); frontier.unpersist()
+        frontier = store.readTable(spark, round, "frontier")
+        seenPaths = seenPaths :+ store.manifest(round).tables("seen_delta").path
+        seen = seenDf
+        round += 1
+        if (nNewFrontier == 0) done = true
+      }
+    }
+    round - 1
+  }
+
+  /** spark-submit entry: CrawlJob <siteDir> <workDir> [cpus] */
+  def main(args: Array[String]): Unit = {
+    val siteDir = args(0)
+    val workDir = args(1)
+    val cpus = if (args.length > 2) args(2).toInt else 8
+    val spark = session(cpus)
+    val last = run(spark, siteDir, workDir)
+    val store = new SnapshotStore(workDir)
+    val seenTotal = (0 to last).map(v => store.manifest(v).tables("seen_delta").rows).sum
+    val resTotal = (0 to last).map(v => store.manifest(v).tables("results").rows).sum
+    val chunksTotal = (0 to last).map(v => store.manifest(v).tables("chunks").rows).sum
+    println(s"crawl complete: rounds=${last + 1} seen=$seenTotal results=$resTotal chunks=$chunksTotal")
+    spark.stop()
+  }
+}

@@ -1,0 +1,129 @@
+package graft.jobs
+
+import scala.collection.mutable
+
+import graft.chunk.Chunker
+import graft.frontier.Frontier
+import graft.html.Doc
+import graft.model.RobotsRules
+import graft.robots.Robots
+import graft.sitemap.Sitemap
+import graft.url.UrlCanonical
+
+/** Sequential single-process crawl executor — a direct expression of the
+  * reference loop semantics (/root/reference/RAGnificent/core/scraper.py:861-877
+  * visit loop + throttle.py:85-129 per-domain budgets + sitemap discovery
+  * :895-925), used as the ORACLE for the Spark CrawlJob: same seed list +
+  * politeness budget must yield the identical per-round visit order
+  * (round, host, rank, url) and identical final seen set
+  * (BASELINE.json north_rule). Pure Scala collections, no Spark. */
+object RefCrawl {
+
+  final case class TraceRow(round: Int, host: String, rank: Int, url: String)
+
+  final case class Result(trace: Seq[TraceRow], seen: Set[String], chunkCount: Long)
+
+  def run(
+      pages: Map[String, String], // canonical url -> html
+      robots: Map[String, RobotsRules], // host -> rules
+      sitemaps: Map[String, String], // sitemap url -> xml
+      limits: Map[String, Double], // pattern -> rps
+      seedLines: Seq[String],
+      defaultRps: Double = 1.0,
+      roundSeconds: Double = 5.0,
+      maxDepth: Int = 3,
+      maxRounds: Int = 50,
+      chunkSize: Int = 1000,
+      chunkOverlap: Int = 200): Result = {
+
+    def rpsOf(host: String): Double =
+      limits.getOrElse(host,
+        limits.collectFirst {
+          case (p, r) if p.startsWith("*.") && host.endsWith(p.substring(1)) => r
+        }.getOrElse(defaultRps))
+    def budgetOf(host: String): Int = math.max(1, math.floor(rpsOf(host) * roundSeconds).toInt)
+
+    // frontier entry: url -> (depth, priority)
+    val frontier = mutable.Map.empty[String, (Int, Option[Double])]
+    val seen = mutable.Set.empty[String]
+    val trace = Seq.newBuilder[TraceRow]
+    var chunkCount = 0L
+
+    def addFrontier(url: String, depth: Int, priority: Option[Double]): Unit = {
+      val key = Frontier.canonicalKey(url)
+      if (key != null && !seen.contains(key)) {
+        frontier.get(key) match {
+          case Some((d, p)) =>
+            val bestP = (p, priority) match {
+              case (Some(a), Some(b)) => Some(math.max(a, b))
+              case (a, b) => a.orElse(b)
+            }
+            frontier(key) = (math.min(d, depth), bestP)
+          case None => frontier(key) = (depth, priority)
+        }
+      }
+    }
+
+    // round-0 init: seeds file semantics + sitemap discovery (S1-S3, F1, F5)
+    val seeds = seedLines.map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+    seeds.foreach(s => addFrontier(s, 0, None))
+    val seedHosts = seeds.flatMap(s => Option(Frontier.canonicalKey(s)))
+      .map(UrlCanonical.hostOf).toSet
+    val processedSitemaps = mutable.Set.empty[String]
+    val queue = mutable.Queue.empty[(String, String)]
+    seedHosts.foreach(h => robots.get(h).foreach(_.sitemaps.foreach(s => queue.enqueue((h, s)))))
+    while (queue.nonEmpty) {
+      val (host, smUrl) = queue.dequeue()
+      if (!processedSitemaps.contains(smUrl)) {
+        processedSitemaps += smUrl
+        sitemaps.get(smUrl).foreach { xml =>
+          val r = Sitemap.parse(xml, smUrl)
+          r.childSitemaps.foreach(c => queue.enqueue((host, c)))
+          r.entries.foreach(e => if (e.loc.contains(host)) addFrontier(e.loc, 0, e.priority))
+        }
+      }
+    }
+
+    var round = 0
+    var progress = true
+    while (frontier.nonEmpty && round < maxRounds && progress) {
+      // robots gate
+      val (allowed, denied) = frontier.toSeq.partition { case (url, _) =>
+        val host = UrlCanonical.hostOf(url)
+        robots.get(host) match {
+          case Some(r) =>
+            val p = UrlCanonical.parse(url)
+            val path = (if (p.path.isEmpty) "/" else p.path) + (if (p.query != null) "?" + p.query else "")
+            Robots.allows(path, r.allow, r.disallow)
+          case None => true
+        }
+      }
+      denied.foreach { case (url, _) => seen += url; frontier.remove(url) }
+
+      // per-host ranking: (priority DESC NULLS LAST, url ASC), take budget
+      val byHost = allowed.groupBy { case (url, _) => UrlCanonical.hostOf(url) }
+      val batch = byHost.toSeq.flatMap { case (host, entries) =>
+        val ordered = entries.sortBy { case (url, (_, pr)) =>
+          (-pr.getOrElse(Double.NegativeInfinity), url)
+        }
+        ordered.take(budgetOf(host)).zipWithIndex.map { case ((url, (depth, _)), i) =>
+          (host, i + 1, url, depth)
+        }
+      }
+      progress = batch.nonEmpty || denied.nonEmpty
+      batch.foreach { case (host, rank, url, depth) =>
+        trace += TraceRow(round, host, rank, url)
+        seen += url
+        frontier.remove(url)
+        pages.get(url).foreach { html =>
+          val md = graft.html.DocRender.toMarkdown(Doc.fromHtml(html, url))
+          chunkCount += Chunker.semanticChunks(md, url, "t", chunkSize, chunkOverlap).size
+          if (depth + 1 <= maxDepth)
+            Doc.extractLinks(html, url).foreach(l => addFrontier(l, depth + 1, None))
+        }
+      }
+      if (batch.nonEmpty || denied.nonEmpty) round += 1
+    }
+    Result(trace.result(), seen.toSet, chunkCount)
+  }
+}

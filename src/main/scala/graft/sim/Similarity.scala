@@ -1,0 +1,68 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (array<float>).
+  *
+  * - `bruteTopK`: exact cosine top-k — the correctness baseline. One
+  *   scan, codegen'd dot product, no shuffle until the final top-k
+  *   (TakeOrderedAndProject: per-partition heap + driver merge, NOT a
+  *   global sort).
+  * - `ivfIndex`/`ivfTopK`: the scale path — k-means-lite inverted-file
+  *   index: assign every vector to its nearest of C seeded centroids
+  *   (one broadcast join + argmin), store bucketed-by-centroid; a query
+  *   probes only the nprobe nearest centroid buckets, scanning
+  *   ~nprobe/C of the data. At 100 TB the bucketed table is
+  *   partition-pruned by `centroid_id` (partitionBy on write). */
+object Similarity {
+
+  def vecLit(v: Array[Float]): Column =
+    array(v.map(x => lit(x.toDouble)): _*)
+
+  def cosineToQuery(vecCol: Column, query: Array[Float]): Column =
+    Dedup.cosine(vecCol.cast("array<double>"), vecLit(query))
+
+  /** Exact cosine top-k: orderBy+limit → TakeOrderedAndProject. */
+  def bruteTopK(df: DataFrame, idCol: String, vecCol: String,
+                query: Array[Float], k: Int): DataFrame =
+    df.select(col(idCol).as("vec_id_r"),
+        round(cosineToQuery(col(vecCol), query), 6).as("score"))
+      .orderBy(desc("score"), asc("vec_id_r"))
+      .limit(k)
+      .withColumnRenamed("vec_id_r", "vec_id")
+
+  /** Deterministic centroids: the embeddings of the C lowest ids
+    * (seeded sample without randomness — resume/replay-stable). */
+  def centroids(df: DataFrame, idCol: String, vecCol: String, c: Int): DataFrame =
+    df.orderBy(col(idCol)).limit(c)
+      .select(monotonically_increasing_id().as("centroid_id"), col(vecCol).as("centroid"))
+
+  /** Assign each vector to its nearest centroid (broadcast argmin). */
+  def ivfIndex(df: DataFrame, idCol: String, vecCol: String, cents: DataFrame): DataFrame = {
+    val joined = df.crossJoin(broadcast(cents))
+      .withColumn("sim", Dedup.cosine(col(vecCol).cast("array<double>"), col("centroid").cast("array<double>")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(desc("sim"), asc("centroid_id"))
+    joined.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
+      .select(col(idCol), col(vecCol), col("centroid_id"))
+  }
+
+  /** Probe the nprobe closest centroid buckets only. */
+  def ivfTopK(index: DataFrame, cents: DataFrame, idCol: String, vecCol: String,
+              query: Array[Float], k: Int, nprobe: Int): DataFrame = {
+    val probeIds = cents
+      .withColumn("sim", Dedup.cosine(col("centroid").cast("array<double>"), vecLit(query)))
+      .orderBy(desc("sim"), asc("centroid_id")).limit(nprobe)
+      .select("centroid_id")
+    index.join(broadcast(probeIds), Seq("centroid_id")) // partition-pruned at scale
+      .select(col(idCol).as("vec_id_r"),
+        round(cosineToQuery(col(vecCol), query), 6).as("score"))
+      .orderBy(desc("score"), asc("vec_id_r"))
+      .limit(k)
+      .withColumnRenamed("vec_id_r", "vec_id")
+  }
+}

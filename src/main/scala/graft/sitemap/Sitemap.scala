@@ -1,0 +1,81 @@
+package graft.sitemap
+
+import graft.model.SitemapEntry
+import graft.url.UrlCanonical
+import graft.html.HtmlParser
+
+/** Sitemap parsing — XML urlset/sitemapindex (namespace-tolerant, like
+  * the reference's regex-extracted-namespace ElementTree walk at
+  * /root/reference/RAGnificent/utils/sitemap_utils.py:162-266) and the
+  * HTML-sitemap fallback (:268-301). Pure functions; recursion over
+  * sitemap indexes is driven by the caller (a Dataset fixpoint loop in
+  * the Spark job, mirroring `_process_sitemap`'s seen-set recursion at
+  * :303-351). */
+object Sitemap {
+
+  /** Result of parsing one sitemap document: entries plus child sitemap
+    * urls when it was an index (`_parse_sitemap_xml` returns the same
+    * pair — sitemap_utils.py:162-221). */
+  final case class ParseResult(entries: Seq[SitemapEntry], childSitemaps: Seq[String])
+
+  def parseXml(content: String): ParseResult = {
+    val root =
+      try scala.xml.XML.loadString(content)
+      catch { case _: Exception => return ParseResult(Nil, Nil) } // ParseError → ([], []) (:182-187)
+    if (root.label == "sitemapindex") {
+      val children = (root \ "sitemap" \ "loc").map(_.text.trim).filter(_.nonEmpty)
+      ParseResult(Nil, children)
+    } else {
+      val entries = (root \ "url").flatMap { url =>
+        val loc = (url \ "loc").text.trim
+        if (loc.isEmpty) None
+        else {
+          def opt(name: String): Option[String] = {
+            val t = (url \ name).text.trim
+            if (t.isEmpty) None else Some(t)
+          }
+          val priority = opt("priority").flatMap(p =>
+            try Some(p.toDouble) catch { case _: Exception => None }) // float() failure → None (:255-266)
+          Some(SitemapEntry(loc, opt("lastmod"), opt("changefreq"), priority))
+        }
+      }
+      ParseResult(entries, Nil)
+    }
+  }
+
+  /** HTML sitemap fallback (:268-301): all a[href], skip empty/
+    * javascript:/# links, urljoin against the sitemap url, no metadata. */
+  def parseHtml(content: String, baseUrl: String): Seq[SitemapEntry] = {
+    val root = HtmlParser.parse(content)
+    HtmlParser.selectWithAttr(root, "a", "href").flatMap { a =>
+      val href = a.attr("href").get
+      if (href.isEmpty || href.startsWith("javascript:") || href.startsWith("#")) None
+      else Some(SitemapEntry(UrlCanonical.resolve(baseUrl, href), None, None, None))
+    }.toSeq
+  }
+
+  /** Dispatch on content shape, mirroring `_process_sitemap`'s
+    * content-type branch (:325-342) for stored sitemap bodies: XML if it
+    * parses, else HTML fallback. */
+  def parse(content: String, sitemapUrl: String): ParseResult = {
+    val trimmed = if (content == null) "" else content.trim
+    if (trimmed.startsWith("<?xml") || trimmed.startsWith("<urlset") || trimmed.startsWith("<sitemapindex")) {
+      val r = parseXml(trimmed)
+      if (r.entries.nonEmpty || r.childSitemaps.nonEmpty) r
+      else ParseResult(parseHtml(content, sitemapUrl), Nil)
+    } else ParseResult(parseHtml(content, sitemapUrl), Nil)
+  }
+
+  /** Candidate sitemap locations when robots.txt lists none
+    * (sitemap_utils.py:383-391). */
+  def defaultLocations(baseUrl: String): Seq[String] = {
+    val p = UrlCanonical.parse(baseUrl)
+    if (p == null || p.host.isEmpty) return Nil
+    val baseDomain = s"${p.scheme}://${p.host}" + (if (p.port >= 0) s":${p.port}" else "")
+    Seq(
+      s"$baseDomain/sitemap.xml",
+      s"$baseDomain/sitemap_index.xml",
+      s"$baseDomain/sitemap/sitemap.xml",
+      s"$baseDomain/sitemaps/sitemap.xml")
+  }
+}

@@ -1,0 +1,232 @@
+package graft.synth
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.sql.Timestamp
+
+import graft.html.{Doc, DocRender}
+
+/** Deterministic synthetic web generator (FIXTURES.md §1-2).
+  *
+  * Everything is a pure function of (pageIndex, nPages, nHosts, seed) so
+  * generation distributes over Spark tasks with no coordination and is
+  * byte-stable regardless of partitioning. Host assignment is Zipf-ish
+  * (quadratic concentration on low host ids) to exercise the skew
+  * handling the north_rule requires. HTML stays in the well-formed
+  * subset the reference handles (mirrors
+  * /root/reference/test_data/medium.html structure: nav/header/footer
+  * noise, script/style, main/article wrapper, headings, paragraphs,
+  * links incl. javascript:/# decoys + relative forms, images, lists,
+  * pre/code, blockquote).
+  */
+object SyntheticWeb {
+
+  val BaseTs: Long = 1704067200000L // 2024-01-01T00:00:00Z, fixed
+
+  /** splitmix64 — tiny deterministic per-index PRNG. */
+  def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+  def rand01(i: Long, seed: Long, stream: Long): Double = {
+    val h = mix64(mix64(i ^ (seed * 0x632be59bd9b4e019L)) ^ stream)
+    (h >>> 11) * (1.0 / (1L << 53))
+  }
+
+  /** Zipf-ish host for page i: u² concentrates pages on low host ids. */
+  def hostOf(i: Long, nHosts: Int, seed: Long): Int = {
+    val u = rand01(i, seed, 1)
+    math.min((u * u * nHosts).toInt, nHosts - 1)
+  }
+
+  def sectionOf(i: Long): Int = (i % 7).toInt
+
+  def urlOf(i: Long, nHosts: Int, seed: Long): String =
+    s"https://host${hostOf(i, nHosts, seed)}.example/sec${sectionOf(i)}/page$i"
+
+  /** Deterministic outlink targets for page i. */
+  def outlinkTargets(i: Long, nPages: Long, seed: Long): Seq[Long] = {
+    val n = 4 + (rand01(i, seed, 2) * 5).toInt // 4..8 links
+    (0 until n).map { j =>
+      math.floorMod(mix64(i * 31 + j * 7919 + seed), nPages)
+    }.distinct.filter(_ != i)
+  }
+
+  private val LoremWords = Array(
+    "data", "pipeline", "crawl", "frontier", "system", "model", "analysis",
+    "throughput", "shuffle", "partition", "budget", "politeness", "robots",
+    "markdown", "chunk", "heading", "section", "vector", "index", "graph",
+    "latency", "replica", "snapshot", "manifest", "lineage", "metric")
+
+  def sentence(i: Long, seed: Long, stream: Long, words: Int): String = {
+    val sb = new StringBuilder
+    var j = 0
+    while (j < words) {
+      val w = LoremWords((rand01(i, seed, stream * 131 + j) * LoremWords.length).toInt)
+      if (j == 0) sb.append(w.capitalize) else sb.append(' ').append(w)
+      j += 1
+    }
+    sb.append(" " + (mix64(i + stream) >>> 48) + ".")
+    sb.toString
+  }
+
+  /** Generate page i's HTML. Links: ~absolute https, absolute-path, and
+    * same-section relative forms, plus javascript:/#anchor decoys. */
+  def htmlOf(i: Long, nPages: Long, nHosts: Int, seed: Long): String = {
+    val host = hostOf(i, nHosts, seed)
+    val sec = sectionOf(i)
+    val targets = outlinkTargets(i, nPages, seed)
+    val sb = new StringBuilder(4096)
+    sb.append("<!DOCTYPE html>\n<html lang=\"en\">\n<head>\n")
+    sb.append(s"<meta charset=\"UTF-8\">\n<title>Page $i — host$host sec$sec</title>\n")
+    sb.append("<style>.ad { display: none; }</style>\n<script>function init(){console.log(\"x\");}</script>\n")
+    sb.append("</head>\n<body>\n<header><nav><ul>\n")
+    sb.append(s"<li><a href=\"/\">Home</a></li>\n<li><a href=\"#top\">Top</a></li>\n")
+    sb.append("<li><a href=\"javascript:void(0)\">JS</a></li>\n</ul></nav></header>\n")
+    sb.append("<main>\n<article>\n")
+    sb.append(s"<h1>Article $i on host$host</h1>\n")
+    val nSections = 2 + (rand01(i, seed, 3) * 3).toInt
+    var s = 0
+    while (s < nSections) {
+      sb.append(s"<h2>Topic ${(mix64(i + s) >>> 52)} section $s</h2>\n")
+      val nParas = 1 + (rand01(i, seed, 40 + s) * 3).toInt
+      var p = 0
+      while (p < nParas) {
+        sb.append("<p>").append(sentence(i, seed, 100 + s * 10 + p, 12 + (rand01(i, seed, 200 + s * 10 + p) * 30).toInt)).append("</p>\n")
+        p += 1
+      }
+      if (s == 0) {
+        sb.append("<ul>\n")
+        (0 until 3).foreach(k => sb.append(s"<li>Item ${mix64(i + k) >>> 56} of list</li>\n"))
+        sb.append("</ul>\n")
+      }
+      if (s == 1 && rand01(i, seed, 5) > 0.5) {
+        sb.append("<pre><code class=\"language-scala\">val x").append(i % 100)
+          .append(" = spark.read.parquet(\"pages\")\nx").append(i % 100).append(".count()</code></pre>\n")
+      }
+      s += 1
+    }
+    if (rand01(i, seed, 6) > 0.6)
+      sb.append("<blockquote>").append(sentence(i, seed, 7, 10)).append("</blockquote>\n")
+    sb.append(s"<img src=\"/images/fig$i.png\" alt=\"Figure $i\">\n")
+    // outlinks in three syntactic forms
+    sb.append("<h3>Related</h3>\n<ul>\n")
+    targets.zipWithIndex.foreach { case (t, k) =>
+      val tu = urlOf(t, nHosts, seed)
+      val form = k % 3
+      val href =
+        if (form == 0) tu // absolute
+        else if (form == 1) s"/sec${sectionOf(t)}/page$t" // absolute-path (same host only if t on same host; still resolves against this host — a dangling decoy otherwise, like real webs have)
+        else s"../sec${sectionOf(t)}/page$t" // relative with dot segment
+      val sameHost = hostOf(t, nHosts, seed) == hostOf(i, nHosts, seed)
+      // only emit path-relative forms when the target really lives on this
+      // host, so resolved links point at existing pages
+      if (form == 0 || sameHost) sb.append(s"<li><a href=\"$href\">Link to page $t</a></li>\n")
+      else sb.append(s"<li><a href=\"$tu\">Link to page $t</a></li>\n")
+    }
+    sb.append("</ul>\n</article>\n</main>\n")
+    sb.append("<footer><p>&copy; 2024 host").append(host).append(" — synthetic corpus.</p>")
+    sb.append("<nav><a href=\"/sitemap\">Sitemap</a></nav></footer>\n</body>\n</html>\n")
+    sb.toString
+  }
+
+  def tsOf(i: Long): Timestamp = new Timestamp(BaseTs + i * 1000L)
+
+  /** robots.txt body for a host: disallows /sec6/ everywhere, /private/
+    * too, declares the sitemap, crawl-delay varies by host. */
+  def robotsOf(host: Int): String = {
+    val delay = 1 + host % 3
+    s"""# robots for host$host.example
+       |User-agent: *
+       |Disallow: /sec6/
+       |Disallow: /private/
+       |Allow: /sec6/page0$$
+       |Crawl-delay: $delay
+       |
+       |Sitemap: https://host$host.example/sitemap.xml
+       |""".stripMargin
+  }
+
+  /** Sitemap XML for a host listing its seed-reachable sample. host0
+    * gets a sitemapindex with two children to exercise recursion. */
+  def sitemapXmlOf(host: Int, pageIdsOnHost: Seq[Long], nHosts: Int, seed: Long): Seq[(String, String)] = {
+    val hostBase = s"https://host$host.example"
+    def urlset(ids: Seq[Long]): String = {
+      val sb = new StringBuilder
+      sb.append("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n")
+      sb.append("<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n")
+      ids.foreach { i =>
+        val pr = math.rint(rand01(i, seed, 9) * 10) / 10.0
+        sb.append("  <url>\n")
+        sb.append(s"    <loc>${urlOf(i, nHosts, seed)}</loc>\n")
+        sb.append(s"    <lastmod>2024-01-0${1 + (i % 9)}</lastmod>\n")
+        sb.append(s"    <changefreq>weekly</changefreq>\n")
+        sb.append(s"    <priority>$pr</priority>\n")
+        sb.append("  </url>\n")
+      }
+      sb.append("</urlset>\n")
+      sb.toString
+    }
+    if (host == 0 && pageIdsOnHost.size >= 4) {
+      val (a, b) = pageIdsOnHost.splitAt(pageIdsOnHost.size / 2)
+      Seq(
+        (s"$hostBase/sitemap.xml",
+          s"""<?xml version="1.0" encoding="UTF-8"?>
+             |<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+             |  <sitemap><loc>$hostBase/sitemap_a.xml</loc></sitemap>
+             |  <sitemap><loc>$hostBase/sitemap_b.xml</loc></sitemap>
+             |</sitemapindex>
+             |""".stripMargin),
+        (s"$hostBase/sitemap_a.xml", urlset(a)),
+        (s"$hostBase/sitemap_b.xml", urlset(b)))
+    } else Seq((s"$hostBase/sitemap.xml", urlset(pageIdsOnHost)))
+  }
+
+  /** Write the full synthetic site: pages, robots, sitemaps, seeds,
+    * host_limits parquet tables under `dir`. Distributed + deterministic. */
+  def generate(spark: SparkSession, dir: String, nPages: Long, nHosts: Int, seed: Long = 42L,
+               partitions: Int = 32, withExpectedText: Boolean = true,
+               benchRps: Option[Double] = None): Unit = {
+    import spark.implicits._
+    val pages = spark.range(0, nPages, 1, partitions).map { i =>
+      val url = urlOf(i, nHosts, seed)
+      val html = htmlOf(i, nPages, nHosts, seed)
+      // expected-markdown column powers the per-row byte-identity check;
+      // skipped for bench-scale corpora (costs a full convert per page)
+      val md = if (withExpectedText) DocRender.toMarkdown(Doc.fromHtml(html, url)) else ""
+      graft.model.Page(url, tsOf(i), html.getBytes("UTF-8"), md, "en")
+    }
+    pages.write.mode("overwrite").parquet(s"$dir/pages.parquet")
+
+    val robots = (0 until nHosts).map(h => (s"host$h.example", robotsOf(h))).toDF("host", "body")
+    robots.write.mode("overwrite").parquet(s"$dir/robots.parquet")
+
+    // sitemap sample: every 17th page of a host (computed distributed,
+    // collected per host — sitemap tables are tiny by design)
+    val idsByHost = spark.range(0, nPages, 1, partitions)
+      .map(i => (hostOf(i, nHosts, seed), i))
+      .toDF("host", "id").where($"id" % 17 === 0)
+      .as[(Int, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    val sitemaps = (0 until nHosts).flatMap { h =>
+      sitemapXmlOf(h, idsByHost.getOrElse(h, Nil).take(200), nHosts, seed)
+        .map { case (u, xml) => (s"host$h.example", u, xml) }
+    }.toDF("host", "url", "xml")
+    sitemaps.write.mode("overwrite").parquet(s"$dir/sitemaps.parquet")
+
+    // seeds: first page of each of up to 8 hosts + comment/blank lines
+    // (links-file semantics, core/scraper.py:1156-1162)
+    val seedUrls = (0 until math.min(8, nHosts)).flatMap { h =>
+      (0L until math.min(nPages, 1000L)).find(i => hostOf(i, nHosts, seed) == h)
+        .map(i => urlOf(i, nHosts, seed))
+    }
+    val seedLines = Seq("# synthetic seed list", "") ++ seedUrls
+    seedLines.toDF("value").coalesce(1).write.mode("overwrite").text(s"$dir/seeds.txt")
+
+    val limits = (0 until nHosts).map { h =>
+      val rps = benchRps.getOrElse(if (h == 0) 8.0 else if (h % 5 == 0) 0.5 else 2.0)
+      (s"host$h.example", rps)
+    }.toDF("pattern", "rps")
+    limits.write.mode("overwrite").parquet(s"$dir/host_limits.parquet")
+  }
+}

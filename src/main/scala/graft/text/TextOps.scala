@@ -1,0 +1,100 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * language-ID, quality scoring, token counting, document
+  * fingerprinting. All built from codegen'd `functions._` expressions
+  * (no UDFs in the hot path) so they run inside WholeStageCodegen and
+  * push column pruning to the scan. */
+object TextOps {
+
+  /** Whitespace token count (matches DuckDB
+    * `len(regexp_split_to_array(trim(x), '\s+'))` for nonempty text). */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0))
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish subword token estimate: letter runs, digit runs, and single
+    * punctuation marks each count as one token. */
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+
+  /** Quality signals (reference-style heuristics: length, punctuation
+    * ratio, stopword ratio, word lengths — the kind of scoring the
+    * reference applies through semantic_density, chunker.rs:211-258). */
+  def withQualitySignals(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val nChars = length(t)
+    val words = split(trim(t), "\\s+")
+    val nWords = when(length(trim(t)) === 0, 0).otherwise(size(words))
+    val punct = size(regexp_extract_all(t, lit("[.,;:!?]"), lit(0)))
+    val upper = size(regexp_extract_all(t, lit("[A-Z]"), lit(0)))
+    val digits = size(regexp_extract_all(t, lit("[0-9]"), lit(0)))
+    val stop = size(regexp_extract_all(lower(t),
+      lit("\\b(the|a|an|and|or|of|to|in|is|it|that|for|on|with|as|this|be|are)\\b"), lit(0)))
+    df.withColumn("n_chars_q", nChars)
+      .withColumn("n_words", nWords)
+      .withColumn("avg_word_len", when(nWords > 0, nChars.cast("double") / nWords).otherwise(0.0))
+      .withColumn("punct_ratio", when(nChars > 0, punct.cast("double") / nChars).otherwise(0.0))
+      .withColumn("upper_ratio", when(nChars > 0, upper.cast("double") / nChars).otherwise(0.0))
+      .withColumn("digit_ratio", when(nChars > 0, digits.cast("double") / nChars).otherwise(0.0))
+      .withColumn("stopword_ratio", when(nWords > 0, stop.cast("double") / nWords).otherwise(0.0))
+      .withColumn("quality_score",
+        round(
+          least(lit(1.0), col("stopword_ratio") * 2.5) * 0.4
+            + when(col("avg_word_len").between(3.0, 8.0), 0.3).otherwise(0.0)
+            + when(col("punct_ratio").between(0.005, 0.1), 0.2).otherwise(0.0)
+            + when(col("digit_ratio") < 0.2, 0.1).otherwise(0.0), 4))
+  }
+
+  /** Tiny n-gram/stopword language-ID heuristic over {en, de, fr, es}.
+    * Pure column expressions: per-language stopword hit counts → argmax,
+    * "und" (undetermined) when no hits. */
+  private val LangMarkers: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|and|of|to|is|that|with|for|are|this)\\b",
+    "de" -> "\\b(der|die|das|und|ist|nicht|mit|für|auf|ein)\\b",
+    "fr" -> "\\b(le|la|les|et|est|pas|pour|dans|que|une)\\b",
+    "es" -> "\\b(el|la|los|las|es|no|para|con|que|una)\\b")
+
+  def withLangId(df: DataFrame, textCol: String): DataFrame = {
+    val t = lower(col(textCol))
+    val scored = LangMarkers.foldLeft(df) { case (d, (lang, pat)) =>
+      d.withColumn(s"_hits_$lang", size(regexp_extract_all(t, lit(pat), lit(0))))
+    }
+    val best = LangMarkers.map { case (lang, _) =>
+      struct(col(s"_hits_$lang").as("hits"), lit(lang).as("lang"))
+    }
+    scored
+      .withColumn("_best", greatest(best: _*))
+      .withColumn("lang_pred",
+        when(col("_best.hits") === 0, lit("und")).otherwise(col("_best.lang")))
+      .withColumn("lang_conf",
+        when(tokenCount(col(textCol)) > 0,
+          round(col("_best.hits").cast("double") / tokenCount(col(textCol)), 4)).otherwise(0.0))
+      .drop(LangMarkers.map { case (l, _) => s"_hits_$l" } :+ "_best": _*)
+  }
+
+  /** 64-bit polynomial rolling hash of the WHITESPACE-NORMALIZED text —
+    * a content fingerprint stable under formatting noise (the engine's
+    * analogue of the reference's blake2b cache key, cache.py:176-178).
+    * Pure-Scala companion below for tests/driver use. */
+  def fingerprint64(text: Column): Column =
+    xxhash64(regexp_replace(trim(text), "\\s+", " "))
+
+  def fingerprint64Scala(text: String): Long = {
+    val norm = text.trim.replaceAll("\\s+", " ")
+    graft.functions.GraftFunctions.url64(norm)
+  }
+
+  /** Word w-shingles as an array column (for n-gram Jaccard / MinHash). */
+  def shingles(text: Column, w: Int): Column = {
+    val words = split(lower(trim(text)), "\\s+")
+    // sliding windows via transform over indices; empty when < w words
+    val n = size(words)
+    when(n < w, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(0), n - w),
+        i => concat_ws(" ", slice(words, i + 1, lit(w)))))
+  }
+}

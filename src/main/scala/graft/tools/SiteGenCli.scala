@@ -1,0 +1,20 @@
+package graft.tools
+
+import graft.jobs.CrawlJob
+import graft.synth.SyntheticWeb
+
+/** Generate the deterministic synthetic site tables (FIXTURES.md §1-2).
+  * Usage: runMain graft.tools.SiteGenCli <dir> <nPages> <nHosts> [cpus] */
+object SiteGenCli {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val nPages = args(1).toLong
+    val nHosts = args(2).toInt
+    val cpus = if (args.length > 3) args(3).toInt else 8
+    val spark = CrawlJob.session(cpus, "graft-sitegen")
+    val t0 = System.nanoTime()
+    SyntheticWeb.generate(spark, dir, nPages, nHosts, partitions = cpus)
+    println(f"generated $nPages pages / $nHosts hosts in ${(System.nanoTime() - t0) / 1e9}%.1fs at $dir")
+    spark.stop()
+  }
+}

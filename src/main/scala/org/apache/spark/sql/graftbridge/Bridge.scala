@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.{ColumnNodeToExpressionConverter, ExpressionColumnNode}
+
+/** Spark 4 decoupled Column from catalyst Expression (Spark Connect);
+  * the classic bridge lives behind private[sql], so this one-file shim
+  * inside the org.apache.spark.sql package exposes the two conversions
+  * the engine's Column helpers need. Public API pattern documented in
+  * Spark's own classic.ColumnConversions. */
+object Bridge {
+  def expression(c: Column): Expression = ColumnNodeToExpressionConverter(c.node)
+  def column(e: Expression): Column = new Column(ExpressionColumnNode(e))
+}

@@ -1,0 +1,138 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+
+import graft.checkpoint.SnapshotStore
+import graft.jobs.{CrawlJob, RefCrawl}
+import graft.synth.SyntheticWeb
+
+/** The north_rule gate: the Spark CrawlJob must match the sequential
+  * reference executor's crawl ordering and final URL-seen set under the
+  * same seed list + politeness budget, resume exactly from a checkpoint,
+  * and reproduce the generator's expected extracted text byte-for-byte. */
+class CrawlParitySpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  private val nPages = 400L
+  private val nHosts = 5
+  private lazy val siteDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_site").toString
+    SyntheticWeb.generate(spark, dir, nPages, nHosts, seed = 42L, partitions = 4)
+    dir
+  }
+
+  private def collectSite() = {
+    import spark.implicits._
+    val pages = spark.read.parquet(s"$siteDir/pages.parquet")
+      .select("url", "html").as[(String, Array[Byte])].collect()
+      .map { case (u, h) => u -> new String(h, "UTF-8") }.toMap
+    val robots = spark.read.parquet(s"$siteDir/robots.parquet")
+      .as[(String, String)].collect()
+      .map { case (h, b) => h -> graft.robots.Robots.parse(h, b) }.toMap
+    val sitemaps = spark.read.parquet(s"$siteDir/sitemaps.parquet")
+      .as[(String, String, String)].collect()
+      .map { case (_, u, x) => u -> x }.toMap
+    val limits = spark.read.parquet(s"$siteDir/host_limits.parquet")
+      .as[(String, Double)].collect().toMap
+    val seeds = spark.read.text(s"$siteDir/seeds.txt")
+      .as[String].collect().toSeq
+    (pages, robots, sitemaps, limits, seeds)
+  }
+
+  private def runSparkCrawl(workDir: String, maxRounds: Int = 50): Int =
+    CrawlJob.run(spark, siteDir, workDir, maxRounds = maxRounds, bloomThreshold = 100L)
+  // bloomThreshold forced low so the Bloom path is exercised in-test
+
+  private def sparkTrace(workDir: String, last: Int): Seq[(Int, String, Int, String)] = {
+    val store = new SnapshotStore(workDir)
+    import spark.implicits._
+    (0 to last).flatMap { v =>
+      store.readTable(spark, v, "trace")
+        .as[(Int, String, Int, String)].collect().toSeq
+    }.sortBy(t => (t._1, t._2, t._3))
+  }
+
+  private def sparkSeen(workDir: String, last: Int): Set[String] = {
+    val store = new SnapshotStore(workDir)
+    import spark.implicits._
+    (0 to last).flatMap { v =>
+      store.readTable(spark, v, "seen_delta").select("url").as[String].collect()
+    }.toSet
+  }
+
+  test("crawl order and seen-set parity vs sequential reference executor") {
+    val (pages, robots, sitemaps, limits, seeds) = collectSite()
+    val ref = RefCrawl.run(pages, robots, sitemaps, limits, seeds)
+    assert(ref.trace.nonEmpty, "reference crawl visited nothing")
+
+    val workDir = java.nio.file.Files.createTempDirectory("graft_crawl").toString
+    val last = runSparkCrawl(workDir)
+    val got = sparkTrace(workDir, last)
+    val want = ref.trace.map(t => (t.round, t.host, t.rank, t.url)).sortBy(t => (t._1, t._2, t._3))
+
+    assert(got.size == want.size, s"trace size: spark=${got.size} ref=${want.size}")
+    got.zip(want).zipWithIndex.foreach { case ((g, w), i) =>
+      assert(g == w, s"trace row $i differs: spark=$g ref=$w")
+    }
+    assert(sparkSeen(workDir, last) == ref.seen)
+  }
+
+  test("extracted markdown is byte-identical to the expected text column per url") {
+    import spark.implicits._
+    val workDir = java.nio.file.Files.createTempDirectory("graft_crawl2").toString
+    val last = runSparkCrawl(workDir)
+    val store = new SnapshotStore(workDir)
+    val results = (0 to last).map(v => store.readTable(spark, v, "results"))
+      .reduce(_ unionByName _)
+    val pages = spark.read.parquet(s"$siteDir/pages.parquet").select($"url", $"text")
+    val joined = results.select($"url", $"markdown").join(pages, "url")
+    val total = joined.count()
+    val matching = joined.filter($"markdown" === $"text").count()
+    assert(total > 0)
+    assert(matching == total, s"byte-identity: $matching/$total urls match")
+  }
+
+  test("resume after kill: interrupted run continues to identical final state") {
+    val workFull = java.nio.file.Files.createTempDirectory("graft_full").toString
+    val workKill = java.nio.file.Files.createTempDirectory("graft_kill").toString
+    val lastFull = runSparkCrawl(workFull)
+    // "kill" after 2 rounds, then resume in a fresh invocation
+    runSparkCrawl(workKill, maxRounds = 2)
+    val lastResumed = runSparkCrawl(workKill) // resumes from snapshot v1
+    assert(lastResumed == lastFull, s"rounds differ: resumed=$lastResumed full=$lastFull")
+    assert(sparkTrace(workKill, lastResumed) == sparkTrace(workFull, lastFull))
+    assert(sparkSeen(workKill, lastResumed) == sparkSeen(workFull, lastFull))
+  }
+
+  test("robots-denied urls are never fetched (/sec6/ disallowed, page0 allowed back)") {
+    import spark.implicits._
+    val workDir = java.nio.file.Files.createTempDirectory("graft_robots").toString
+    val last = runSparkCrawl(workDir)
+    val trace = sparkTrace(workDir, last)
+    val denied = trace.filter(_._4.contains("/sec6/"))
+    assert(denied.forall(_._4.endsWith("page0")), s"fetched disallowed urls: ${denied.take(3)}")
+  }
+
+  test("politeness: per-round per-host batch sizes never exceed budget") {
+    val (_, _, _, limits, _) = collectSite()
+    val workDir = java.nio.file.Files.createTempDirectory("graft_budget").toString
+    val last = runSparkCrawl(workDir)
+    val trace = sparkTrace(workDir, last)
+    trace.groupBy(t => (t._1, t._2)).foreach { case ((_, host), rows) =>
+      val rps = limits.getOrElse(host, 1.0)
+      val budget = math.max(1, math.floor(rps * 5.0).toInt)
+      assert(rows.size <= budget, s"host $host exceeded budget: ${rows.size} > $budget")
+    }
+  }
+}

@@ -1,0 +1,182 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.sim.Similarity
+import graft.text.TextOps
+
+/** Correctness of the training-data operators: dedup family, ANN,
+  * text analysis, multimodal plumbing. */
+class OpsSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+  import org.apache.spark.sql.DataFrame
+
+  private def docsDf: DataFrame = {
+    import spark.implicits._
+    val base = (0 until 40).map { i =>
+      (i.toLong, (0 until 60).map(j => s"word${(i * 13 + j * 7) % 50} term${(i + j) % 23}").mkString(" "))
+    }
+    // 3 exact dup pairs + 3 near-dup pairs (one word changed)
+    val exact = Seq(100L -> base(5)._2, 101L -> base(11)._2, 102L -> base(17)._2)
+    val near = Seq(200L -> ("zzz " + base(7)._2.split(" ").drop(1).mkString(" ")),
+      201L -> (base(9)._2 + " tailword"),
+      202L -> base(13)._2.replace("word0", "wordX"))
+    (base ++ exact ++ near).toDF("doc_id", "text")
+  }
+
+  test("exact dedup finds exactly the planted duplicate groups") {
+    val groups = Dedup.exactGroups(docsDf, "doc_id", "text").collect()
+    assert(groups.length == 3)
+    assert(groups.forall(_.getLong(1) == 2))
+    val kept = Dedup.exactDedup(docsDf, "doc_id", "text")
+    assert(kept.count() == 43) // 46 - 3 removed dups
+  }
+
+  test("minhash LSH surfaces planted near-duplicates; exact jaccard verifies") {
+    val pairs = Dedup.minhashLshPairs(docsDf, "doc_id", "text", w = 2, m = 32, bands = 16, threshold = 0.5)
+    val verified = Dedup.verifyJaccard(pairs, docsDf, "doc_id", "text", w = 2)
+      .filter(col("jaccard") >= 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact dups (jaccard 1.0) must be found
+    assert(verified.contains((5L, 100L)), s"got $verified")
+    assert(verified.contains((11L, 101L)))
+    assert(verified.contains((17L, 102L)))
+    // near dups share almost all shingles
+    assert(verified.contains((9L, 201L)) || verified.contains((7L, 200L)) || verified.contains((13L, 202L)))
+  }
+
+  test("minhash est_jaccard approximates exact jaccard") {
+    val pairs = Dedup.minhashLshPairs(docsDf, "doc_id", "text", w = 2, m = 32, bands = 16, threshold = 0.3)
+    val v = Dedup.verifyJaccard(pairs, docsDf, "doc_id", "text", w = 2)
+      .select("est_jaccard", "jaccard").collect()
+    v.foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 0.35,
+        s"est=${r.getDouble(0)} exact=${r.getDouble(1)}")
+    }
+  }
+
+  test("simhash: identical → distance 0; near-dup found by pigeonhole buckets") {
+    val pairs = Dedup.simhashPairs(docsDf, "doc_id", "text", maxDistance = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).longValue()))
+    val exactPairs = pairs.filter(p => Set((5L, 100L), (11L, 101L), (17L, 102L)).contains((p._1, p._2)))
+    assert(exactPairs.length == 3)
+    assert(exactPairs.forall(_._3 == 0), s"exact dup hamming nonzero: ${exactPairs.toSeq}")
+  }
+
+  test("cosine column expr matches scala computation") {
+    import spark.implicits._
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(3.0f, 2.0f, 1.0f))).toDF("a", "b")
+    val got = df.select(Dedup.cosine(col("a").cast("array<double>"), col("b").cast("array<double>"))).head.getDouble(0)
+    val want = (1 * 3 + 2 * 2 + 3 * 1) / (math.sqrt(14.0) * math.sqrt(14.0))
+    assert(math.abs(got - want) < 1e-12)
+  }
+
+  test("embedding near-dup LSH finds planted duplicate vectors") {
+    import spark.implicits._
+    val vecs = (0 until 30).map { i =>
+      (i.toLong, (0 until 16).map(j => math.sin(i * 17 + j).toFloat).toArray)
+    }
+    val dups = Seq(100L -> vecs(3)._2, 101L -> vecs(8)._2)
+    val df = (vecs ++ dups).toDF("vec_id", "embedding")
+    val pairs = Dedup.cosinePairs(df, "vec_id", "embedding", dim = 16, planes = 8, threshold = 0.999)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((3L, 100L)) && pairs.contains((8L, 101L)), s"got $pairs")
+  }
+
+  test("brute-force top-k is exact; IVF top-k has high recall") {
+    import spark.implicits._
+    val dim = 16
+    val df = (0 until 200).map { i =>
+      (i.toLong, (0 until dim).map(j => math.cos(i * 31 + j * 3).toFloat).toArray)
+    }.toDF("vec_id", "embedding")
+    val q = (0 until dim).map(j => math.cos(7 * 31 + j * 3).toFloat).toArray // == vec 7
+    val brute = Similarity.bruteTopK(df, "vec_id", "embedding", q, 10)
+      .select("vec_id").collect().map(_.getLong(0))
+    assert(brute.head == 7L) // self-match first
+    val cents = Similarity.centroids(df, "vec_id", "embedding", 8)
+    val index = Similarity.ivfIndex(df, "vec_id", "embedding", cents)
+    assert(index.count() == 200)
+    val ivf = Similarity.ivfTopK(index, cents, "vec_id", "embedding", q, 10, nprobe = 4)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val recall = brute.count(ivf.contains).toDouble / brute.length
+    assert(recall >= 0.5, s"IVF recall too low: $recall")
+    assert(ivf.contains(7L))
+  }
+
+  test("token counts match Scala-side splits") {
+    import spark.implicits._
+    val samples = Seq("a b  c", "  leading and trailing  ", "", "one", "x,y.z!")
+    val df = samples.zipWithIndex.map { case (t, i) => (i, t) }.toDF("id", "text")
+    val got = df.select(col("id"), TextOps.tokenCount(col("text"))).collect()
+      .map(r => r.getInt(0) -> r.getInt(1)).toMap
+    samples.zipWithIndex.foreach { case (t, i) =>
+      val want = graft.chunk.Chunker.pySplit(t).length
+      assert(got(i) == want, s"'$t': got ${got(i)} want $want")
+    }
+  }
+
+  test("lang-id predicts obvious languages") {
+    import spark.implicits._
+    val df = Seq(
+      (1, "the cat and the dog are in the house with this thing"),
+      (2, "der hund und die katze ist nicht mit für ein auf"),
+      (3, "le chat est dans la maison et les chiens pour une"),
+      (4, "el perro es para la casa con los gatos que una"),
+      (5, "xyzzy qwerty")).toDF("id", "text")
+    val got = TextOps.withLangId(df, "text").select("id", "lang_pred").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(got(1) == "en"); assert(got(2) == "de"); assert(got(3) == "fr")
+    assert(got(4) == "es"); assert(got(5) == "und")
+  }
+
+  test("quality score in [0,1] and punct/stopword ratios sane") {
+    import spark.implicits._
+    val df = Seq((1, "The quick brown fox jumps over the lazy dog. It is a fine day, and the weather is good."))
+      .toDF("id", "text")
+    val r = TextOps.withQualitySignals(df, "text").select("quality_score", "punct_ratio", "stopword_ratio").head
+    assert(r.getDouble(0) >= 0.0 && r.getDouble(0) <= 1.0)
+    assert(r.getDouble(1) > 0.0 && r.getDouble(1) < 0.2)
+    assert(r.getDouble(2) > 0.1)
+  }
+
+  test("shingles produce correct sliding windows") {
+    import spark.implicits._
+    val df = Seq((1, "a b c d")).toDF("id", "text")
+    val got = df.select(TextOps.shingles(col("text"), 2)).head.getSeq[String](0)
+    assert(got == Seq("a b", "b c", "c d"))
+    val empty = Seq((1, "a")).toDF("id", "text")
+      .select(TextOps.shingles(col("text"), 2)).head.getSeq[String](0)
+    assert(empty.isEmpty)
+  }
+
+  test("multimodal: batch feature extraction is deterministic and typed") {
+    val media = graft.multimodal.Multimodal.synthMedia(spark, 90, 4)
+    val feats = graft.multimodal.Multimodal.extractFeatures(media)
+    val stats = graft.multimodal.Multimodal.modalityStats(feats).collect()
+    assert(stats.length == 3)
+    assert(stats.map(_.getString(0)).toSeq == Seq("audio", "image", "video"))
+    assert(stats.forall(_.getLong(1) == 30))
+    // determinism
+    val again = graft.multimodal.Multimodal.modalityStats(
+      graft.multimodal.Multimodal.extractFeatures(graft.multimodal.Multimodal.synthMedia(spark, 90, 4))).collect()
+    assert(stats.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
+  test("fingerprint is whitespace-normalization stable") {
+    import spark.implicits._
+    val df = Seq((1, "hello   world\n\tfoo"), (2, "hello world foo")).toDF("id", "text")
+    val fps = df.select(TextOps.fingerprint64(col("text"))).collect().map(_.getLong(0))
+    assert(fps(0) == fps(1))
+  }
+}
