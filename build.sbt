@@ -27,4 +27,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // batch-throughput workload: G1's 0.5s+ young pauses on a 40g heap cost
+  // ~20% of crawl wall time (measured); the parallel collector wins here
+  "-XX:+UseParallelGC",
 )

@@ -41,7 +41,7 @@ object Bench {
 
   def ensureBenchSite(spark: SparkSession, sfDir: String, cpus: Int): String = {
     val n = benchPagesFor(sfDir)
-    val siteDir = s"/tmp/graft_bench_site_$n"
+    val siteDir = s"/dev/shm/graft_bench_site_$n"
     val marker = new java.io.File(s"$siteDir/pages.parquet/_SUCCESS")
     if (!marker.exists()) {
       SyntheticWeb.generate(spark, siteDir, n, nHosts = 64, partitions = cpus,
@@ -57,7 +57,7 @@ object Bench {
 
     // headline: crawl throughput
     val siteDir = ensureBenchSite(spark, sfDir, cpus)
-    val workDir = java.nio.file.Files.createTempDirectory("graft_bench_crawl").toString
+    val workDir = java.nio.file.Files.createTempDirectory(java.nio.file.Paths.get("/dev/shm"), "graft_bench_crawl").toString
     val (fetched, chunks, crawlSec) = crawlBench(spark, siteDir, workDir)
     val urlsPerSec = if (crawlSec > 0) fetched / crawlSec else 0.0
 

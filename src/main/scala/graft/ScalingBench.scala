@@ -22,7 +22,7 @@ object ScalingBench {
 
     def runAt(cpus: Int): (Long, Double) = {
       val spark = CrawlJob.session(cpus, s"graft-scaling-$cpus")
-      val workDir = java.nio.file.Files.createTempDirectory(s"graft_scale_$cpus").toString
+      val workDir = java.nio.file.Files.createTempDirectory(java.nio.file.Paths.get("/dev/shm"), s"graft_scale_$cpus").toString
       val (fetched, _, sec) = Bench.crawlBench(spark, siteDir, workDir)
       spark.stop()
       (fetched, sec)

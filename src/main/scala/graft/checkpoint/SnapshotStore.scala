@@ -61,9 +61,10 @@ final class SnapshotStore(val root: String) {
              metrics: Map[String, Double],
              partitionKeyCol: Option[String] = None,
              lineageTables: Set[String] = Set("trace", "seen_delta"),
-             knownCounts: Map[String, Long] = Map.empty): Unit = {
+             knownCounts: Map[String, Long] = Map.empty,
+             preWritten: Map[String, String] = Map.empty): Unit = {
     Files.createDirectories(snapshotsDir)
-    val metas = tables.map { case (name, df) =>
+    val metas = (tables.map { case (name, df) =>
       val path = s"$root/data/v$version/$name"
       df.write.mode("overwrite").parquet(path)
       // row count: caller-supplied when already computed this round;
@@ -80,6 +81,9 @@ final class SnapshotStore(val root: String) {
       }
       val rows = knownCounts.getOrElse(name, committed.count())
       name -> TableMeta(rows, path, parts)
+    }) ++ preWritten.map { case (name, path) =>
+      val rows = knownCounts.getOrElse(name, spark.read.parquet(path).count())
+      name -> TableMeta(rows, path, Map.empty[String, Long])
     }
     val manifest = Manifest(version, version - 1, metas, metrics)
     val tmp = snapshotsDir.resolve(s".v$version.json.tmp")

@@ -31,20 +31,12 @@ object Dedup {
 
   // --- MinHash + LSH ---
 
-  /** m minhash values over word w-shingles. One expensive string-hash
-    * pass (xxhash64 per shingle), then m cheap universal-hash remixes
-    * (h·a+b over the 64-bit ring) — not m string-hash passes. Codegen'd
-    * higher-order functions, no UDF. */
-  def minhashSignature(text: Column, w: Int, m: Int): Column = {
-    val baseHashes = transform(TextOps.shingles(text, w), s => xxhash64(s))
-    array((0 until m).map { i =>
-      // numeric xxhash64 remix per function index — cheap long mixing,
-      // and safe under ANSI mode (a wrapping h·a+b multiply would throw)
-      coalesce(
-        array_min(transform(baseHashes, h => xxhash64(h, lit(i)))),
-        lit(Long.MaxValue))
-    }: _*)
-  }
+  /** m minhash values over word w-shingles — single-pass native
+    * expression (see SketchExpressions for why not HOF built-ins: HOFs
+    * are interpreted with no CSE, so an m-way HOF tree re-tokenizes the
+    * document m times). */
+  def minhashSignature(text: Column, w: Int, m: Int): Column =
+    graft.functions.GraftFunctions.minhash_sig(text, w, m)
 
   /** LSH candidate pairs: band the signature (b bands × r rows), bucket
     * by (band_id, hash(band)), pair up within buckets, then verify with
@@ -98,34 +90,19 @@ object Dedup {
     * verification stage after LSH. */
   def verifyJaccard(pairs: DataFrame, docs: DataFrame, idCol: String, textCol: String,
                     w: Int = 3): DataFrame = {
-    val sets = docs.select(col(idCol).as("_id"),
-      array_distinct(TextOps.shingles(col(textCol), w)).as("_set"))
+    val texts = docs.select(col(idCol).as("_id"), col(textCol).as("_text"))
     pairs
-      .join(sets.withColumnRenamed("_id", "id_a").withColumnRenamed("_set", "set_a"), Seq("id_a"))
-      .join(sets.withColumnRenamed("_id", "id_b").withColumnRenamed("_set", "set_b"), Seq("id_b"))
-      .withColumn("inter", size(array_intersect(col("set_a"), col("set_b"))))
-      .withColumn("uni", size(array_union(col("set_a"), col("set_b"))))
-      .withColumn("jaccard", when(col("uni") > 0, col("inter").cast("double") / col("uni")).otherwise(0.0))
-      .drop("set_a", "set_b", "inter", "uni")
+      .join(texts.withColumnRenamed("_id", "id_a").withColumnRenamed("_text", "text_a"), Seq("id_a"))
+      .join(texts.withColumnRenamed("_id", "id_b").withColumnRenamed("_text", "text_b"), Seq("id_b"))
+      .withColumn("jaccard",
+        graft.functions.GraftFunctions.jaccard_shingles(col("text_a"), col("text_b"), w))
+      .drop("text_a", "text_b")
   }
 
   // --- SimHash ---
 
-  /** 64-bit SimHash over word tokens: per-bit weighted vote of token
-    * hashes. Expressed with higher-order functions: for each bit,
-    * sum(sign(token)) over tokens; bit set when sum > 0. */
-  def simhash64(text: Column): Column = {
-    val tokens = split(lower(trim(text)), "\\s+")
-    val hashes = transform(tokens, t => xxhash64(t))
-    // bits via aggregate over 64 positions would explode expression size;
-    // use a compact form: sum per bit of (+1/-1), packed by bit shifts
-    val bitExprs = (0 until 64).map { b =>
-      val vote = aggregate(hashes, lit(0),
-        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
-      when(vote > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
-    }
-    bitExprs.reduce((a: Column, b: Column) => a.bitwiseOR(b))
-  }
+  /** 64-bit SimHash over word tokens — single-pass native expression. */
+  def simhash64(text: Column): Column = graft.functions.GraftFunctions.simhash64(text)
 
   /** Hamming distance between two 64-bit columns. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
@@ -158,14 +135,9 @@ object Dedup {
 
   // --- embedding-cosine near-dup ---
 
-  /** Cosine similarity between two array<float> columns (codegen'd
-    * higher-order functions; no UDF). */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
-    val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0d), (acc, v) => acc + v))
-    val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0d), (acc, v) => acc + v))
-    when(na > 0 && nb > 0, dot / (na * nb)).otherwise(lit(0.0))
-  }
+  /** Cosine similarity between two array<float|double> columns —
+    * single-pass native expression. */
+  def cosine(a: Column, b: Column): Column = graft.functions.GraftFunctions.cosine_sim(a, b)
 
   /** Near-duplicate embedding pairs via random-hyperplane LSH: sign
     * sketch of `planes` seeded hyperplanes → bucket on the sign prefix →
@@ -173,20 +145,8 @@ object Dedup {
     * are deterministic pseudo-gaussians from xxhash64(dim_index, plane). */
   def cosinePairs(df: DataFrame, idCol: String, vecCol: String, dim: Int,
                   planes: Int = 12, threshold: Double = 0.95, maxBucket: Int = 256): DataFrame = {
-    // plane p component j = standard-normal-ish from two uniform hashes
-    // (Box–Muller over deterministic uniforms)
-    def u(p: Int, j: Int, salt: Long): Column =
-      (shiftrightunsigned(xxhash64(lit(p * 7919L + j * 104729L + salt)), 11).cast("double")
-        * lit(1.0 / (1L << 53))) + lit(1e-12)
-    val signBits = (0 until planes).map { p =>
-      val dot = (0 until dim).map { j =>
-        val g = sqrt(lit(-2.0) * log(u(p, j, 1))) * cos(lit(2 * math.Pi) * u(p, j, 2))
-        col(vecCol).getItem(j) * g
-      }.reduce(_ + _)
-      when(dot >= 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
-    }
     val bucketed = df.select(col(idCol).as("doc_id"), col(vecCol).as("vec"),
-      signBits.reduce((a, b) => a.bitwiseOR(b)).as("bucket"))
+      graft.functions.GraftFunctions.hyperplane_bucket(col(vecCol), planes, 1L).as("bucket"))
     val buckets = bucketed.groupBy("bucket")
       .agg(collect_list(struct(col("doc_id"), col("vec"))).as("members"))
       .filter(size(col("members")).between(2, maxBucket))

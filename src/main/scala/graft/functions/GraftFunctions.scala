@@ -171,6 +171,14 @@ object GraftFunctions {
   def semantic_density(text: Column): Column = col(SemanticDensityExpr(expr(text)))
   def chunk_markdown(md: Column, url: Column, createdAt: Column, size: Column, overlap: Column): Column =
     col(ChunkMarkdownGenerator(Seq(expr(md), expr(url), expr(createdAt), expr(size), expr(overlap))))
+  def minhash_sig(text: Column, w: Int, m: Int): Column =
+    col(MinhashSig(expr(text), Literal(w), Literal(m)))
+  def simhash64(text: Column): Column = col(Simhash64(expr(text)))
+  def cosine_sim(a: Column, b: Column): Column = col(CosineSim(expr(a), expr(b)))
+  def hyperplane_bucket(vec: Column, planes: Int, seed: Long): Column =
+    col(HyperplaneBucket(expr(vec), Literal(planes), Literal(seed)))
+  def jaccard_shingles(a: Column, b: Column, w: Int): Column =
+    col(JaccardShingles(expr(a), expr(b), Literal(w)))
 
   /** Register all functions for SQL use. */
   def register(spark: SparkSession): Unit = {
@@ -182,5 +190,10 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("robots_allows", es => RobotsAllows(es(0), es(1), es(2)), "scala_udf")
     reg.createOrReplaceTempFunction("semantic_density", es => SemanticDensityExpr(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("chunk_markdown", es => ChunkMarkdownGenerator(es), "scala_udf")
+    reg.createOrReplaceTempFunction("minhash_sig", es => MinhashSig(es(0), es(1), es(2)), "scala_udf")
+    reg.createOrReplaceTempFunction("simhash64", es => Simhash64(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("cosine_sim", es => CosineSim(es(0), es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("hyperplane_bucket", es => HyperplaneBucket(es(0), es(1), es(2)), "scala_udf")
+    reg.createOrReplaceTempFunction("jaccard_shingles", es => JaccardShingles(es(0), es(1), es(2)), "scala_udf")
   }
 }

@@ -45,8 +45,18 @@ object CrawlJob {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // html-payload pages files are a few hundred MB but each row costs
+      // ~1ms of extract CPU — split scans finer than the 128MB default so
+      // extraction parallelizes across all cores
+      .config("spark.sql.files.maxPartitionBytes", (8 * 1024 * 1024).toString)
+      .config("spark.sql.files.openCostInBytes", (512 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the sandbox's /tmp disk writes at ~125 MB/s fully synchronously;
+      // shuffle + spill to tmpfs instead (a real cluster would use local
+      // NVMe per executor)
+      .config("spark.local.dir",
+        sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/graft_spark_local"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
@@ -157,20 +167,32 @@ object CrawlJob {
       else spark.read.parquet(seenPaths: _*).select("url_hash", "url")
     var seen: DataFrame = seenDf
 
+    val debugTiming = sys.env.contains("GRAFT_TIMING")
+    var tPhase = System.nanoTime()
+    def phase(name: String): Unit = {
+      if (debugTiming) {
+        val now = System.nanoTime()
+        println(f"[timing] r$round $name: ${(now - tPhase) / 1e9}%.1fs")
+        tPhase = now
+      }
+    }
     var done = false
     while (!done && round < maxRounds) {
       val t0 = System.nanoTime()
+      tPhase = t0
       frontier = frontier.dropDuplicates("url_hash").cache()
       val seenCount = seen.count()
       val bloom = if (seenCount > bloomThreshold)
         Some(Frontier.buildBloom(seen, seenCount)) else None
       val fresh = Frontier.notSeen(frontier, seen, bloom)
+      phase("dedup+seen+bloom")
 
       val (selected0, denied0) = Scheduler.schedule(fresh, robotsDf, limits, cfg)
       val selected = selected0.cache()
       val denied = denied0.cache()
       val nScheduled = selected.count()
       val nDenied = denied.count()
+      phase("schedule")
       if (nScheduled == 0 && nDenied == 0) {
         done = true
         selected.unpersist(); denied.unpersist(); frontier.unpersist()
@@ -187,19 +209,30 @@ object CrawlJob {
           if (nScheduled <= 2000000L)
             pages.join(broadcast(selected.select("url", "url_hash", "host", "depth", "rank")), Seq("url"), "inner")
           else selected.join(pages, Seq("url"), "inner")
-        val extracted = extract(spark, fetched, cfg).cache()
-        val nFetched = extracted.count()
+        // one typed parse pass written STRAIGHT to the snapshot's results
+        // table (markdown + outlinks + chunk structs inline) — parquet IS
+        // the round's materialization; persist()/cache() of this wide DF
+        // costs more than the parquet write (in-memory columnar builders
+        // on big string columns) and a second consumer would re-parse.
+        // All derived tables read back columnar + pruned.
+        val resultsPath = s"${store.root}/data/v$round/results"
+        extract(spark, fetched, cfg).toDF()
+          .withColumn("round", lit(round))
+          .write.mode("overwrite").parquet(resultsPath)
+        val extracted = spark.read.parquet(resultsPath)
+        val nFetched = extracted.count() // parquet metadata count
+        phase("fetch+extract")
 
-        val results = extracted.map(e => ExtractedPage(
-          e.url, e.url_hash, e.host, e.depth, round, e.title, e.markdown,
-          e.outlinks.size, e.chunks.size, e.fetch_status)).toDF()
-        val chunks = extracted.flatMap(_.chunks).toDF()
-        val nChunks = chunks.count()
+        val chunks = extracted
+          .select(explode(col("chunks")).as("c")).select(col("c.*"))
+          .withColumn("round", lit(round))
+        val nChunks = extracted.agg(coalesce(sum(size(col("chunks"))), lit(0L)))
+          .head.getLong(0)
+        phase("chunk-count")
 
         // frontier growth: outlinks → canonical keys → depth+1 (G6)
         val newLinks0 = extracted
-          .flatMap(e => e.outlinks.map(l => (l, e.depth + 1)))
-          .toDF("raw_url", "depth")
+          .select(explode(col("outlinks")).as("raw_url"), (col("depth") + 1).as("depth"))
           .filter(col("depth") <= cfg.maxDepth)
         val newLinks = Frontier.withFrontierKeys(newLinks0, "raw_url")
           .groupBy("url", "url_hash", "host")
@@ -226,14 +259,14 @@ object CrawlJob {
         val trace = selected.select(lit(round).as("round"), col("host"), col("rank"), col("url"))
         val nMissing = nScheduled - nFetched
         val nNewFrontier = newFrontier.count()
+        phase("frontier-merge")
         val elapsed = (System.nanoTime() - t0) / 1e9
 
         store.commit(spark, round,
           Map(
             "frontier" -> newFrontier,
             "seen_delta" -> seenDelta,
-            "results" -> results,
-            "chunks" -> chunks.withColumn("round", lit(round)),
+            "chunks" -> chunks,
             "trace" -> trace),
           Map(
             "scheduled" -> nScheduled.toDouble,
@@ -249,9 +282,11 @@ object CrawlJob {
             "seen_delta" -> (nScheduled + nDenied),
             "results" -> nFetched,
             "chunks" -> nChunks,
-            "trace" -> nScheduled))
+            "trace" -> nScheduled),
+          preWritten = Map("results" -> resultsPath))
+        phase("commit")
 
-        extracted.unpersist(); selected.unpersist(); denied.unpersist(); frontier.unpersist()
+        selected.unpersist(); denied.unpersist(); frontier.unpersist()
         frontier = store.readTable(spark, round, "frontier")
         seenPaths = seenPaths :+ store.manifest(round).tables("seen_delta").path
         seen = seenDf

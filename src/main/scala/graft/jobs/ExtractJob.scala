@@ -1,0 +1,48 @@
+package graft.jobs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.frontier.Scheduler
+
+/** Single-pass extract pipeline (SURVEY.md §3.1 / §7.2): every page in
+  * the table → Document → markdown + chunks, no crawl scheduling. This
+  * is the pure-throughput path — one scan, zero shuffles until the
+  * sinks — and the upper bound the crawl loop is measured against.
+  *
+  * Usage: runMain graft.jobs.ExtractJob <siteDir> <outDir> [cpus]
+  */
+object ExtractJob {
+
+  def run(spark: SparkSession, siteDir: String, outDir: String,
+          cfg: Scheduler.Config = Scheduler.Config()): (Long, Long) = {
+    import spark.implicits._
+    val pages = spark.read.parquet(s"$siteDir/pages.parquet")
+      .select(col("url"), xxhash64(col("url")).as("url_hash"),
+        graft.frontier.Frontier.hostUdf(col("url")).as("host"),
+        lit(0).as("depth"), col("html"), col("warc_ts"))
+    val extracted = CrawlJob.extract(spark, pages, cfg)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = extracted.map(e => (e.url, e.host, e.title, e.markdown, e.outlinks.size, e.chunks.size))
+      .toDF("url", "host", "title", "markdown", "n_links", "n_chunks")
+    out.write.mode("overwrite").parquet(s"$outDir/extracted.parquet")
+    val chunks = extracted.flatMap(_.chunks)
+    chunks.write.mode("overwrite").parquet(s"$outDir/chunks.parquet")
+    val nPages = spark.read.parquet(s"$outDir/extracted.parquet").count()
+    val nChunks = spark.read.parquet(s"$outDir/chunks.parquet").count()
+    extracted.unpersist()
+    (nPages, nChunks)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val siteDir = args(0)
+    val outDir = args(1)
+    val cpus = if (args.length > 2) args(2).toInt else 8
+    val spark = CrawlJob.session(cpus, "graft-extract")
+    val t0 = System.nanoTime()
+    val (nPages, nChunks) = run(spark, siteDir, outDir)
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(f"""{"extract_pages":$nPages,"chunks":$nChunks,"sec":$sec%.1f,"pages_per_sec":${nPages / sec}%.1f,"cpus":$cpus}""")
+    spark.stop()
+  }
+}

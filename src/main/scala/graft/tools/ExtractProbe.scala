@@ -1,0 +1,49 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+import graft.jobs.CrawlJob
+import graft.frontier.Scheduler
+
+/** A/B probe for the Spark extract path: isolates parse cost vs encoder
+  * vs persist vs parquet sinks.
+  * Usage: runMain graft.tools.ExtractProbe <siteDir> <mode> [cpus]
+  *   mode: scan | parse | full | persist */
+object ExtractProbe {
+  def main(args: Array[String]): Unit = {
+    val siteDir = args(0)
+    val mode = args(1)
+    val cpus = if (args.length > 2) args(2).toInt else 32
+    val spark = CrawlJob.session(cpus, "graft-probe")
+    import spark.implicits._
+    val pages = spark.read.parquet(s"$siteDir/pages.parquet")
+      .select(col("url"), xxhash64(col("url")).as("url_hash"),
+        graft.frontier.Frontier.hostUdf(col("url")).as("host"),
+        lit(0).as("depth"), col("html"), col("warc_ts"))
+    val t0 = System.nanoTime()
+    val n = mode match {
+      case "scan" =>
+        pages.select(sum(length(col("html")))).head.getLong(0)
+      case "parse" => // typed map doing the real work, count only
+        pages.select("url", "html").as[(String, Array[Byte])].map { case (url, html) =>
+          val h = new String(html, java.nio.charset.StandardCharsets.UTF_8)
+          val doc = graft.html.Doc.fromHtml(h, url)
+          val md = graft.html.DocRender.toMarkdown(doc)
+          val links = graft.html.Doc.extractLinks(h, url)
+          val chunks = graft.chunk.Chunker.semanticChunks(md, url, "t", 1000, 200)
+          chunks.size + links.size
+        }.reduce(_ + _).toLong
+      case "full" => // full Extracted encoder, count only
+        CrawlJob.extract(spark, pages, Scheduler.Config()).count()
+      case "persist" =>
+        val df = CrawlJob.extract(spark, pages, Scheduler.Config()).toDF()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val c = df.count()
+        val c2 = df.agg(sum(size(col("chunks")))).head.getLong(0)
+        df.unpersist()
+        c + c2
+      case _ => sys.error("mode?")
+    }
+    println(f"""{"mode":"$mode","result":$n,"sec":${(System.nanoTime() - t0) / 1e9}%.1f,"cpus":$cpus}""")
+    spark.stop()
+  }
+}

@@ -1,0 +1,40 @@
+package graft.tools
+
+import graft.chunk.Chunker
+import graft.html.{Doc, DocRender}
+import graft.synth.SyntheticWeb
+
+/** Single-threaded microbenchmark of the per-page extract path —
+  * isolates pure converter cost from Spark machinery (cf. the
+  * reference's criterion benches over medium/large.html,
+  * benches/RAGnificent_bench.rs). */
+object MicroBench {
+  def main(args: Array[String]): Unit = {
+    val n = if (args.length > 0) args(0).toInt else 2000
+    val pages = (0 until n).map { i =>
+      val url = SyntheticWeb.urlOf(i.toLong, 64, 42L)
+      (url, SyntheticWeb.htmlOf(i.toLong, 120000L, 64, 42L))
+    }
+    val htmlBytes = pages.map(_._2.length.toLong).sum
+    // warmup
+    pages.take(200).foreach { case (url, html) =>
+      val d = Doc.fromHtml(html, url); DocRender.toMarkdown(d); Doc.extractLinks(html, url)
+    }
+    def time(label: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      f
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"$label: $sec%.2fs  ${n / sec}%.0f pages/s  ${htmlBytes / sec / 1e6}%.1f MB/s")
+    }
+    time("parse-only       ") { pages.foreach { case (u, h) => Doc.fromHtml(h, u) } }
+    time("parse+render     ") { pages.foreach { case (u, h) => DocRender.toMarkdown(Doc.fromHtml(h, u)) } }
+    time("parse+links      ") { pages.foreach { case (u, h) => Doc.extractLinks(h, u) } }
+    time("full extract+chunk") {
+      pages.foreach { case (u, h) =>
+        val md = DocRender.toMarkdown(Doc.fromHtml(h, u))
+        Doc.extractLinks(h, u)
+        Chunker.semanticChunks(md, u, "t", 1000, 200)
+      }
+    }
+  }
+}
