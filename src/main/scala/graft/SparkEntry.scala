@@ -374,6 +374,122 @@ object SparkEntry {
         .orderBy("host", "allowed")
     }),
 
+    // ---- pipeline per-row ops (P13/P15/P16/P20, S11, J5, W6) ----
+
+    "p15_title_fallback" -> ((s, dir) => {
+      import s.implicits._
+      val fn = udf((md: String, url: String) => graft.text.PipelineOps.titleFallback(md, url))
+      pq(s, dir, "documents")
+        .withColumn("url", concat(lit("https://"), col("source"),
+          lit(".example/docs/intro-"), col("doc_id"), lit("_guide")))
+        .select(col("doc_id"), fn(col("text"), col("url")).as("title"))
+        .orderBy("doc_id")
+    }),
+
+    "p16_filename" -> ((s, dir) => {
+      pq(s, dir, "documents")
+        .withColumn("url", concat(lit("https://"), col("source"), lit(".example/docs/page"), col("doc_id")))
+        .select(col("doc_id"),
+          graft.text.PipelineOps.filenameFromUrlCol(col("url"), "markdown").as("filename"),
+          graft.text.PipelineOps.filenameFromUrlCol(col("url"), "xml").as("filename_xml"))
+        .orderBy("doc_id")
+    }),
+
+    "p20_redact" -> ((s, dir) => {
+      pq(s, dir, "documents")
+        .withColumn("sensitive", concat(lit("contact "), col("source"),
+          lit("@example.com from 10.0."), col("doc_id") % 256, lit(".7 end")))
+        .select(col("doc_id"), graft.text.PipelineOps.redactCol(col("sensitive")).as("redacted"))
+        .orderBy("doc_id")
+    }),
+
+    "s11_url_export" -> ((s, dir) => {
+      val df = pq(s, dir, "events")
+        .select(
+          concat(lit("https://h"), col("user_id"), lit(".example/e"), col("event_id")).as("loc"),
+          when(col("event_type") =!= "error", round(col("value").cast("decimal(18,2)"), 2).cast("double"))
+            .otherwise(lit(null).cast("double")).as("priority"),
+          date_format(col("ts"), "yyyy-MM-dd").as("lastmod"),
+          col("event_id"))
+      graft.sources.Sinks.urlExportLines(df.orderBy("event_id").limit(100), "loc", "priority", "lastmod")
+    }),
+
+    "j5_embed_cache" -> ((s, dir) => {
+      val docs = pq(s, dir, "documents")
+        .withColumn("text_sha", sha2(col("text"), 256))
+      val cache = docs.filter(col("doc_id") % 4 === 0)
+        .select(col("text_sha").as("cached_sha"), lit(true).as("cached"))
+      docs.join(cache, docs("text_sha") === cache("cached_sha"), "left")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("cached"), 1).otherwise(0)).as("n_cached"))
+        .orderBy("lang")
+    }),
+
+    "w6_rerank" -> ((s, dir) => {
+      val base = pq(s, dir, "documents")
+        .withColumn("score", (col("doc_id") % 97).cast("double") / 100.0 + col("doc_id").cast("double") / 1000000.0)
+      graft.text.PipelineOps.rerank(base, "score", "text", "spark data pipeline window", 15)
+        .select(col("doc_id"), col("adjusted_score"))
+    }),
+
+    "e1_hash_embedding" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val emb = pq(s, dir, "documents")
+        .select(col("doc_id"), graft.text.PipelineOps.hashEmbedding(col("text"), 64).as("embedding"))
+      val q = graft.text.PipelineOps.hashEmbedding(lit("spark data pipeline window shuffle"), 64)
+      emb.select(col("doc_id"), round(Dedup.cosine(col("embedding"), q), 6).as("score"))
+        .orderBy(desc("score"), asc("doc_id")).limit(10)
+    }),
+
+    "e2_count_embedding" -> ((s, dir) => {
+      val emb = graft.text.PipelineOps.countEmbedding(
+        pq(s, dir, "documents").select(col("doc_id"), col("text")), "doc_id", "text", 256)
+      emb.select(col("doc_id"), round(element_at(col("embedding"), 1), 6).as("f0"),
+        size(col("embedding")).as("dim"))
+        .orderBy("doc_id").limit(50)
+    }),
+
+    "c5_metadata" -> ((s, dir) => {
+      import s.implicits._
+      val fn = udf((html: String, url: String) => graft.text.PipelineOps.extractMetadata(html, url))
+      inlinePages(s, 48)
+        .select(fn(col("html"), col("url")).as("m"))
+        .select(col("m.url").as("url"), col("m.title").as("title"),
+          col("m.description").as("description"), col("m.og_title").as("og_title"))
+        .orderBy("url")
+    }),
+
+    "c6_chunk_text_variants" -> ((s, dir) => {
+      import s.implicits._
+      val ct = udf((t: String) => graft.chunk.Chunker.chunkText(t, 300, 60).size)
+      val rc = udf((t: String) => graft.chunk.Chunker.recursiveChunkText(t, 300, 60).size)
+      val g2 = udf((t: String) => graft.chunk.Chunker.rustSemanticChunks(t, 300, 60).size)
+      pq(s, dir, "documents")
+        .select(col("doc_id"), ct(col("text")).as("n_sliding"),
+          rc(col("text")).as("n_recursive"), g2(col("text")).as("n_rust"))
+        .orderBy("doc_id")
+    }),
+
+    "s8_chunks_jsonl" -> ((s, dir) => {
+      import s.implicits._
+      GraftFunctions.register(s)
+      val md = pq(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(lit("# Doc "), col("doc_id"), lit("\n\n"), col("text")).as("md"),
+          concat(lit("https://"), col("source"), lit(".example/d"), col("doc_id")).as("url"))
+        .as[(Long, String, String)]
+      val lines = md.flatMap { case (_, m, url) =>
+        graft.chunk.Chunker.semanticChunks(m, url, "1970-01-01T00:00:00").map(graft.sources.Sinks.chunkJsonl)
+      }.toDF("line")
+      lines.select(count(lit(1)).as("n_lines"),
+        sum(when(col("line").startsWith("{\"id\": "), 1).otherwise(0)).as("n_valid_prefix"))
+    }),
+
+    "st2_throttle_state" -> ((s, dir) => {
+      graft.streaming.ThrottleStream.runBounded(s, dir, "events.parquet")
+    }),
+
     // ---- multimodal plumbing (rows-only; deterministic) ----
 
     "m1_media_features" -> ((s, dir) => {
@@ -442,7 +558,7 @@ object SparkEntry {
         |  round(CAST(n_errors AS DOUBLE) / n_requests, 4) AS error_rate
         |FROM (
         |  SELECT user_id % 10 AS host_bucket, count(*) AS n_requests,
-        |    sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors,
+        |    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
         |    CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
         |  FROM events GROUP BY 1) ORDER BY host_bucket""".stripMargin,
 
@@ -456,7 +572,7 @@ object SparkEntry {
         |         ELSE 1.0 END AS rate1
         |  FROM (
         |    SELECT user_id % 10 AS host_bucket, count(*) AS n_requests,
-        |      sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors,
+        |      CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
         |      avg(value) AS avg_rt,
         |      CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS error_rate
         |    FROM events GROUP BY 1))
@@ -488,6 +604,72 @@ object SparkEntry {
     "v1_brute_topk" ->
       s"""SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), $queryVecSql), 6) AS score
          |FROM embeddings ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
+
+    "p15_title_fallback" ->
+      """SELECT doc_id,
+        |  list_aggregate(list_transform(
+        |    string_split(replace(replace('intro-' || doc_id || '_guide', '-', ' '), '_', ' '), ' '),
+        |    x -> upper(x[1]) || lower(x[2:])), 'string_agg', ' ') AS title
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "p16_filename" ->
+      """SELECT doc_id,
+        |  'docs_page' || doc_id || '.md' AS filename,
+        |  'docs_page' || doc_id || '.xml' AS filename_xml
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "p20_redact" ->
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace('contact ' || source || '@example.com from 10.0.' || (doc_id % 256) || '.7 end',
+        |      '[\w.-]+@[\w.-]+\.\w+', '[EMAIL REDACTED]', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP REDACTED]', 'g') AS redacted
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "s11_url_export" ->
+      """SELECT loc ||
+        |  CASE WHEN priority IS NOT NULL THEN ',' || CAST(priority AS VARCHAR) ELSE '' END ||
+        |  CASE WHEN lastmod IS NOT NULL THEN ',' || lastmod ELSE '' END AS line
+        |FROM (
+        |  SELECT 'https://h' || user_id || '.example/e' || event_id AS loc,
+        |    CASE WHEN event_type <> 'error' THEN CAST(round(CAST(value AS DECIMAL(18,2)), 2) AS DOUBLE) END AS priority,
+        |    strftime(ts, '%Y-%m-%d') AS lastmod, event_id
+        |  FROM events ORDER BY event_id LIMIT 100)""".stripMargin,
+
+    "j5_embed_cache" ->
+      """SELECT lang, count(*) AS n,
+        |  CAST(sum(CASE WHEN cached THEN 1 ELSE 0 END) AS BIGINT) AS n_cached
+        |FROM (
+        |  SELECT d.lang, c.cached FROM
+        |    (SELECT lang, sha256(text) AS text_sha FROM documents) d
+        |  LEFT JOIN
+        |    (SELECT sha256(text) AS cached_sha, true AS cached FROM documents WHERE doc_id % 4 = 0) c
+        |  ON d.text_sha = c.cached_sha)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "w6_rerank" ->
+      """SELECT doc_id, round(score * 0.7 + overlap * 0.2 + length_factor * 0.1, 6) AS adjusted_score
+        |FROM (
+        |  SELECT doc_id,
+        |    CAST(doc_id % 97 AS DOUBLE) / 100.0 + CAST(doc_id AS DOUBLE) / 1000000.0 AS score,
+        |    len(list_intersect(list_distinct(string_split_regex(lower(trim(text)), '\s+')),
+        |        ['spark', 'data', 'pipeline', 'window'])) / 4.0 AS overlap,
+        |    least(1.0, 200.0 / greatest(CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE), 1.0)) AS length_factor
+        |  FROM documents)
+        |ORDER BY adjusted_score DESC LIMIT 15""".stripMargin,
+
+    "st2_throttle_state" ->
+      """SELECT host, consecutive_errors,
+        |  round(CASE WHEN consecutive_errors > 1
+        |    THEN least(60.0, 2.0 * power(2.0, consecutive_errors - 1)) ELSE 0.0 END, 2) AS backoff_sec
+        |FROM (
+        |  SELECT 'h' || CAST(e.user_id AS VARCHAR) AS host,
+        |    CAST(count(*) FILTER (WHERE e.event_type = 'error' AND (l.ok_ts IS NULL OR e.ts > l.ok_ts)) AS INT) AS consecutive_errors
+        |  FROM events e LEFT JOIN
+        |    (SELECT user_id, max(ts) AS ok_ts FROM events WHERE event_type <> 'error' GROUP BY 1) l
+        |  ON e.user_id = l.user_id
+        |  GROUP BY 1)
+        |ORDER BY host""".stripMargin,
 
     "st1_stream_window" ->
       """SELECT time_bucket(INTERVAL '5 minutes', ts) AS win_start, event_type,

@@ -179,6 +179,8 @@ object GraftFunctions {
     col(HyperplaneBucket(expr(vec), Literal(planes), Literal(seed)))
   def jaccard_shingles(a: Column, b: Column, w: Int): Column =
     col(JaccardShingles(expr(a), expr(b), Literal(w)))
+  def hash_embedding(text: Column, dim: Int): Column =
+    col(HashEmbedding(expr(text), Literal(dim)))
 
   /** Register all functions for SQL use. */
   def register(spark: SparkSession): Unit = {
@@ -195,5 +197,6 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("cosine_sim", es => CosineSim(es(0), es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("hyperplane_bucket", es => HyperplaneBucket(es(0), es(1), es(2)), "scala_udf")
     reg.createOrReplaceTempFunction("jaccard_shingles", es => JaccardShingles(es(0), es(1), es(2)), "scala_udf")
+    reg.createOrReplaceTempFunction("hash_embedding", es => HashEmbedding(es(0), es(1)), "scala_udf")
   }
 }

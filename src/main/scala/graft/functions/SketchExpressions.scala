@@ -190,3 +190,31 @@ case class JaccardShingles(first: Expression, second: Expression, third: Express
     copy(f, s, t)
   override def prettyName: String = "jaccard_shingles"
 }
+
+/** hash_embedding(text, dim) → array<double>: hashing-trick count
+  * embedding, L2-normalized (deterministic stand-in for the reference's
+  * SimpleCountEmbedding, rag/embedding.py:486-548, with a fixed hashed
+  * vocabulary — the distributed no-state variant). */
+case class HashEmbedding(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullSafeEval(text: Any, dimAny: Any): Any = {
+    val dim = dimAny.asInstanceOf[Int]
+    val vec = new Array[Double](dim)
+    Sketch.tokens(text.toString).foreach { tok =>
+      val h = Sketch.hashString(UTF8String.fromString(tok), 42L)
+      vec(java.lang.Math.floorMod(h, dim.toLong).toInt) += 1.0
+    }
+    var norm = 0.0
+    var i = 0
+    while (i < dim) { norm += vec(i) * vec(i); i += 1 }
+    if (norm > 0) {
+      val n = math.sqrt(norm)
+      i = 0
+      while (i < dim) { vec(i) /= n; i += 1 }
+    }
+    new GenericArrayData(vec.map(Double.box).toArray[Any])
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): HashEmbedding = copy(l, r)
+  override def prettyName: String = "hash_embedding"
+}

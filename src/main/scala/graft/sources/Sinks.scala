@@ -1,0 +1,114 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.chunk.ChunkRec
+import graft.text.PipelineOps
+
+/** File sinks mirroring the reference's output formats:
+  *  - S7 per-document converted-content files (filename derived from the
+  *    URL — core/scraper.py:448-459, 944-968) — expressed as a DataFrame
+  *    (filename, content) written via partitioned text/parquet, not a
+  *    driver loop
+  *  - S8 chunks.jsonl with the reference's exact record shape
+  *    (utils/chunk_utils.py:222-245: `json.dumps(asdict(chunk))`, one
+  *    line per chunk; metadata key SET varies by chunk_type)
+  *  - S11 url export lines (loc[,priority][,lastmod])
+  */
+object Sinks {
+
+  /** S7: attach the derived filename column; caller writes
+    * `df.write.partitionBy(...)` or uses it for parity tests. */
+  def withFilename(df: DataFrame, urlCol: String, outputFormat: String): DataFrame =
+    df.withColumn("filename", PipelineOps.filenameFromUrlCol(col(urlCol), outputFormat))
+
+  /** Python json.dumps string escaping (ensure_ascii=True: non-ASCII →
+    * \\uXXXX). */
+  private def pyJsonString(s: String): String = {
+    val sb = new StringBuilder(s.length + 8)
+    sb.append('"')
+    s.foreach {
+      case '"'  => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case '\b' => sb.append("\\b")
+      case '\f' => sb.append("\\f")
+      case c if c < 0x20 || c > 0x7e => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.append('"')
+    sb.toString
+  }
+
+  /** One reference-shaped JSONL line for a chunk — key order and
+    * metadata key set per chunk_type match `json.dumps(asdict(chunk))`
+    * of the reference dataclass (id, content, metadata, source_url,
+    * created_at, chunk_type; metadata keys per chunk_utils.py:62-72
+    * section, :113-125 content_chunk, :287-292 text_chunk). */
+  def chunkJsonl(c: ChunkRec): String = {
+    val sb = new StringBuilder(512)
+    def kv(k: String, v: String, first: Boolean = false): Unit = {
+      if (!first) sb.append(", ")
+      sb.append(pyJsonString(k)).append(": ").append(v)
+    }
+    sb.append('{')
+    kv("id", pyJsonString(c.id), first = true)
+    kv("content", pyJsonString(c.content))
+    // metadata dict
+    val meta = new StringBuilder(256)
+    meta.append('{')
+    var metaFirst = true
+    def mkv(k: String, v: String): Unit = {
+      if (!metaFirst) meta.append(", ")
+      metaFirst = false
+      meta.append(pyJsonString(k)).append(": ").append(v)
+    }
+    c.chunk_type match {
+      case "section" | "content_chunk" =>
+        mkv("heading", pyJsonString(c.heading.getOrElse("")))
+        mkv("heading_level", c.heading_level.getOrElse(0).toString)
+        mkv("heading_path", pyJsonString(c.heading_path.getOrElse("")))
+        mkv("path_elements", c.path_elements.map(pyJsonString).mkString("[", ", ", "]"))
+        mkv("parent_headers", c.parent_headers.map { p =>
+          s"""{${pyJsonString("text")}: ${pyJsonString(p.text)}, ${pyJsonString("level")}: ${p.level}, ${pyJsonString("markdown")}: ${pyJsonString(p.markdown)}}"""
+        }.mkString("[", ", ", "]"))
+        mkv("domain", pyJsonString(c.domain))
+        if (c.chunk_type == "content_chunk") {
+          mkv("position", c.position.getOrElse(0).toString)
+          mkv("word_count", c.word_count.toString)
+          mkv("char_count", c.char_count.toString)
+          mkv("nested_level", c.nested_level.getOrElse(0).toString)
+          mkv("is_continuation", c.is_continuation.getOrElse(false).toString)
+        } else {
+          mkv("word_count", c.word_count.toString)
+          mkv("char_count", c.char_count.toString)
+          mkv("nested_level", c.nested_level.getOrElse(0).toString)
+        }
+      case _ => // text_chunk
+        mkv("domain", pyJsonString(c.domain))
+        mkv("position", c.position.getOrElse(0).toString)
+        mkv("word_count", c.word_count.toString)
+        mkv("char_count", c.char_count.toString)
+    }
+    meta.append('}')
+    kv("metadata", meta.toString)
+    kv("source_url", pyJsonString(c.source_url))
+    kv("created_at", pyJsonString(c.created_at))
+    kv("chunk_type", pyJsonString(c.chunk_type))
+    sb.append('}')
+    sb.toString
+  }
+
+  /** S8: chunks → JSONL lines dataset (write with `.text(...)`). */
+  def chunksToJsonl(chunks: Dataset[ChunkRec]): Dataset[String] = {
+    import chunks.sparkSession.implicits._
+    chunks.map(chunkJsonl)
+  }
+
+  /** S11: url export line column. */
+  def urlExportLines(df: DataFrame, loc: String, priority: String, lastmod: String): DataFrame =
+    df.select(PipelineOps.urlExportLine(col(loc), col(priority), col(lastmod)).as("line"))
+}

