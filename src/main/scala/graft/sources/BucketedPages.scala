@@ -1,0 +1,31 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The 10^10-scale fetch-join layout (SURVEY.md J4 / BENCH.md design
+  * notes): the pages table bucketed by `url`, so `frontier-batch ⋈
+  * pages` shuffles ONLY the politeness-bounded batch — the html-payload
+  * big side is read bucket-aligned with no Exchange and no sort (buckets
+  * are written pre-sorted). This is the drop-in stand-in for an Iceberg
+  * storage-partitioned join at cluster scale; the CrawlJob's default
+  * batch-broadcast path covers the local/bench case. */
+object BucketedPages {
+
+  /** One-time layout job: rewrite the pages table bucketed+sorted by
+    * url. At 100 TB this is the ingest job's write format, not a
+    * rewrite. */
+  def createBucketedTable(spark: SparkSession, pagesPath: String,
+                          table: String, buckets: Int): Unit = {
+    spark.read.parquet(pagesPath)
+      .write.mode("overwrite")
+      .bucketBy(buckets, "url")
+      .sortBy("url")
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
+  /** Fetch = batch ⋈ bucketed pages on url. The bucketed side needs no
+    * Exchange/Sort; only `batch` is shuffled into bucket alignment. */
+  def fetch(spark: SparkSession, table: String, batch: DataFrame): DataFrame =
+    spark.table(table).join(batch, Seq("url"), "inner")
+}

@@ -1,0 +1,97 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Physical-plan shape assertions — the plans we WANT, not just the
+  * first ones that passed (builder prompt: ".explain() the plan and
+  * iterate"). Guards against regressions that silently de-optimize:
+  * lost filter pushdown, lost column pruning, a broadcast turning into
+  * a sort-merge join, a top-k becoming a global sort. */
+class PlanSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(name: String, execute: Boolean = false): String = {
+    val df = SparkEntry.queries(name)(spark, sf)
+    if (execute) df.collect() // AQE reveals codegen/final joins only in the final plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q2: small dimension joins via BroadcastHashJoin (no big-side shuffle)") {
+    val p = planOf("q2_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"), "dim join degraded to SMJ")
+  }
+
+  test("q5/v1/w1: top-k is TakeOrderedAndProject, not a global sort") {
+    Seq("q5_topk_orders", "w1_priority_topk", "v1_brute_topk").foreach { q =>
+      val p = planOf(q)
+      assert(p.contains("TakeOrderedAndProject"), s"$q plan:\n${p.take(600)}")
+    }
+  }
+
+  test("f3: predicate pushed to the parquet scan") {
+    val p = planOf("f3_priority_filter")
+    assert(p.contains("PushedFilters: [Or(IsNull(value),GreaterThanOrEqual(value,5.0))]")
+      || p.matches("(?s).*PushedFilters: \\[[^\\]].*"), p.take(900))
+  }
+
+  test("t1: column pruning reaches the scan (only doc_id + text read)") {
+    val p = planOf("t1_token_count")
+    val readSchema = "ReadSchema: struct<doc_id:bigint,text:string>"
+    assert(p.contains(readSchema), p.take(900))
+  }
+
+  test("q4: anti join shape") {
+    val p = planOf("q4_antijoin")
+    assert(p.contains("LeftAnti"), p.take(600))
+  }
+
+  test("w2: single window shuffle partitioned by user_id") {
+    val p = planOf("w2_politeness_rank")
+    assert(p.contains("Window"), p.take(600))
+    // exactly one exchange below the window (the hash partitioning by key)
+    assert(p.contains("hashpartitioning(user_id"), p.take(900))
+  }
+
+  test("crawl fetch path: pages scan prunes the expected-text column") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("plan_site").toString
+    graft.synth.SyntheticWeb.generate(spark, dir, 50, 2, partitions = 2)
+    val pages = spark.read.parquet(s"$dir/pages.parquet")
+    val batch = Seq(("https://host0.example/sec0/page0", 0L, "host0.example", 0, 1))
+      .toDF("url", "url_hash", "host", "depth", "rank")
+    val fetched = pages.join(broadcast(batch), Seq("url"), "inner")
+    val extracted = graft.jobs.CrawlJob.extract(spark, fetched, graft.frontier.Scheduler.Config())
+    val p = extracted.queryExecution.executedPlan.toString
+    // the Page table's text/lang columns must not be read for extraction
+    assert(!p.contains("text:string,lang"), "scan reads unused text/lang columns:\n" + p.take(1200))
+    assert(p.contains("BroadcastHashJoin"), p.take(900))
+  }
+
+  test("q1: partial aggregation before the shuffle (map-side combine)") {
+    val p = planOf("q1_agg")
+    // two HashAggregate nodes around one Exchange
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(900))
+  }
+
+  test("whole-stage codegen present on the relational core") {
+    Seq("q1_agg", "w1_priority_topk", "f3_priority_filter").foreach { q =>
+      val p = planOf(q, execute = true)
+      // toString renders WholeStageCodegen spans as "*(id) Node"
+      assert(p.contains("*("), s"$q lost codegen:\n${p.take(600)}")
+    }
+  }
+}

@@ -1,0 +1,162 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.chunk.Chunker
+import graft.html.{Doc, DocRender, HtmlParser}
+import graft.robots.Robots
+import graft.url.UrlCanonical
+
+/** Property-based invariants (SURVEY.md §5 test plan item 3). */
+class PropertySpec extends AnyFunSuite {
+
+  // raw-ScalaCheck deterministic sampler (scalatestplus bridge is not in
+  // the offline cache): N samples from a fixed seed
+  private def forAll[A](gen: Gen[A], n: Int = 120)(f: A => Unit): Unit = {
+    var seed = Seed(42L)
+    var i = 0
+    var drawn = 0
+    while (i < n && drawn < n * 50) {
+      gen.apply(Gen.Parameters.default, seed) match {
+        case Some(a) => f(a); i += 1
+        case None => ()
+      }
+      seed = seed.next
+      drawn += 1
+    }
+    assert(i == n, s"generator exhausted after $i/$n samples")
+  }
+  private def forAll[A, B](ga: Gen[A], gb: Gen[B])(f: (A, B) => Unit): Unit =
+    forAll(Gen.zip(ga, gb))(t => f(t._1, t._2))
+  private def whenever(cond: Boolean)(body: => Unit): Unit = if (cond) body
+
+  private val hostGen = Gen.oneOf("example.com", "a.b.example", "host7.example", "x.io")
+  private val pathSeg = Gen.oneOf("a", "b", "docs", "page1", "x-y", "v2", "..", ".")
+  private val urlGen: Gen[String] = for {
+    scheme <- Gen.oneOf("http", "https")
+    host <- hostGen
+    n <- Gen.choose(0, 4)
+    segs <- Gen.listOfN(n, pathSeg)
+    q <- Gen.option(Gen.alphaNumStr.map(s => s.take(8)))
+  } yield s"$scheme://$host/${segs.mkString("/")}" + q.map("?" + _).getOrElse("")
+
+  test("canonicalization is idempotent") {
+    forAll(urlGen) { url =>
+      val once = UrlCanonical.normalize(url)
+      whenever(once != null) {
+        assert(UrlCanonical.normalize(once) == once)
+      }
+    }
+  }
+
+  test("resolve never throws and yields an absolute or opaque url") {
+    val hrefGen = Gen.oneOf(
+      Gen.alphaNumStr.map("/" + _),
+      Gen.alphaNumStr,
+      Gen.const("../up"),
+      Gen.const("#frag"),
+      Gen.const("javascript:void(0)"),
+      urlGen)
+    forAll(urlGen, hrefGen) { (base, href) =>
+      val r = UrlCanonical.resolve(base, href)
+      assert(r != null && r.nonEmpty)
+      assert(UrlCanonical.schemeOf(r) != null)
+    }
+  }
+
+  test("frontier key: seen-set hash is stable across resolve forms") {
+    forAll(urlGen) { url =>
+      val k = graft.frontier.Frontier.canonicalKey(url)
+      whenever(k != null) {
+        // fragment variants collapse to the same key
+        assert(graft.frontier.Frontier.canonicalKey(url + "#section") == k)
+      }
+    }
+  }
+
+  test("html parser never throws on arbitrary input and is deterministic") {
+    forAll(Gen.asciiPrintableStr) { s =>
+      val a = DocRender.toMarkdown(Doc.fromHtml(s, "https://e.com"))
+      val b = DocRender.toMarkdown(Doc.fromHtml(s, "https://e.com"))
+      assert(a == b)
+    }
+  }
+
+  test("entity decoding round-trips plain text") {
+    forAll(Gen.alphaNumStr) { s =>
+      assert(HtmlParser.decodeEntities(s) == s)
+    }
+  }
+
+  private val mdGen: Gen[String] = for {
+    nSections <- Gen.choose(1, 5)
+    parts <- Gen.listOfN(nSections, for {
+      level <- Gen.choose(1, 4)
+      title <- Gen.alphaNumStr.map(t => if (t.isEmpty) "t" else t.take(12))
+      nWords <- Gen.choose(0, 400)
+    } yield ("#" * level) + " " + title + "\n\n" + (0 until nWords).map(i => s"w$i").mkString(" "))
+  } yield parts.mkString("\n\n")
+
+  test("chunker: every chunk nonempty, word counts match content, deterministic ids") {
+    forAll(mdGen) { md =>
+      val chunks = Chunker.chunksFromMarkdown(md, "https://h.example/p", "t")
+      chunks.foreach { c =>
+        assert(c.content.nonEmpty)
+        assert(c.word_count == Chunker.pySplit(c.content).length ||
+          c.chunk_type == "content_chunk") // continuation word_count counts window words, not prefix
+        assert(c.char_count == c.content.length)
+      }
+      val again = Chunker.chunksFromMarkdown(md, "https://h.example/p", "t")
+      assert(chunks == again)
+    }
+  }
+
+  test("chunker: ≥80% word preservation (reference invariant)") {
+    forAll(mdGen) { md =>
+      val chunks = Chunker.chunksFromMarkdown(md, "https://h.example/p", "t")
+      val inWords = Chunker.pySplit(md).toSet
+      whenever(inWords.nonEmpty) {
+        val outWords = chunks.flatMap(c => Chunker.pySplit(c.content)).toSet
+        assert(inWords.intersect(outWords).size.toDouble / inWords.size > 0.8)
+      }
+    }
+  }
+
+  test("rust chunker: bounded when lines are short") {
+    val linesGen = Gen.listOf(Gen.alphaNumStr.map(_.take(40))).map(_.mkString("\n"))
+    forAll(linesGen) { text =>
+      val chunks = Chunker.rustSemanticChunks(text, 200, 50)
+      chunks.foreach(c => assert(c.length <= 200 + 41, s"len ${c.length}"))
+    }
+  }
+
+  test("jsonl lines are valid JSON") {
+    forAll(mdGen) { md =>
+      val chunks = Chunker.chunksFromMarkdown(md, "https://h.example/p", "t")
+      chunks.foreach { c =>
+        val line = graft.sources.Sinks.chunkJsonl(c)
+        val parsed = org.json4s.jackson.JsonMethods.parse(line)
+        assert((parsed \ "id") != org.json4s.JNothing)
+      }
+    }
+  }
+
+  test("robots: no rules allows everything; '/' disallow blocks everything") {
+    forAll(Gen.alphaNumStr.map("/" + _)) { path =>
+      assert(Robots.allows(path, Nil, Nil))
+      assert(!Robots.allows(path, Nil, Seq("/")))
+      assert(Robots.allows(path, Seq("/"), Seq("/"))) // allow wins ties
+    }
+  }
+
+  test("minhash est_jaccard of identical texts is 1.0 conceptually (same signature)") {
+    forAll(Gen.choose(10, 60)) { n =>
+      val text = (0 until n).map(i => s"w${i % 17}").mkString(" ")
+      val a = graft.functions.Sketch.shingleStrings(text, 3).toSet
+      val b = graft.functions.Sketch.shingleStrings(text, 3).toSet
+      assert(a == b)
+    }
+  }
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+
+import graft.checkpoint.SnapshotStore
+
+/** Snapshot-log semantics: atomic visibility, lineage, time travel,
+  * and crash-mid-commit orphan handling. */
+class SnapshotStoreSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder().master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  test("commit → latestVersion → readTable round trip with lineage") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snap").toString
+    val store = new SnapshotStore(root)
+    assert(store.latestVersion.isEmpty)
+    val df0 = Seq((1L, "a", "h1"), (2L, "b", "h2")).toDF("id", "v", "host")
+    store.commit(spark, 0, Map("trace" -> df0), Map("m" -> 1.0), partitionKeyCol = Some("host"))
+    assert(store.latestVersion.contains(0))
+    val m = store.manifest(0)
+    assert(m.tables("trace").rows == 2)
+    assert(m.tables("trace").partitions == Map("h1" -> 1L, "h2" -> 1L))
+    assert(m.metrics("m") == 1.0)
+    assert(m.parent == -1)
+
+    val df1 = Seq((3L, "c", "h1")).toDF("id", "v", "host")
+    store.commit(spark, 1, Map("trace" -> df1), Map("m" -> 2.0))
+    assert(store.latestVersion.contains(1))
+    // time travel: v0 still readable and unchanged
+    assert(store.readTable(spark, 0, "trace").count() == 2)
+    assert(store.readTable(spark, 1, "trace").count() == 1)
+  }
+
+  test("crash mid-commit: orphaned data without a manifest is invisible") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snap2").toString
+    val store = new SnapshotStore(root)
+    store.commit(spark, 0, Map("t" -> Seq(1L).toDF("id")), Map.empty)
+    // simulate a crash AFTER data write but BEFORE manifest rename for v1
+    Seq(2L).toDF("id").write.parquet(s"$root/data/v1/t")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(root, "snapshots", ".v1.json.tmp"), "{ partial")
+    assert(store.latestVersion.contains(0), "orphaned v1 must be invisible")
+    // a resumed writer overwrites the orphan cleanly
+    store.commit(spark, 1, Map("t" -> Seq(3L, 4L).toDF("id")), Map.empty)
+    assert(store.latestVersion.contains(1))
+    assert(store.readTable(spark, 1, "t").count() == 2)
+  }
+
+  test("preWritten tables are registered with caller counts") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snap3").toString
+    val store = new SnapshotStore(root)
+    val path = s"$root/data/v0/results"
+    Seq((1L, "x"), (2L, "y")).toDF("id", "v").write.parquet(path)
+    store.commit(spark, 0, Map.empty, Map.empty,
+      knownCounts = Map("results" -> 2L), preWritten = Map("results" -> path))
+    assert(store.manifest(0).tables("results").rows == 2)
+    assert(store.readTable(spark, 0, "results").count() == 2)
+  }
+}
