@@ -166,6 +166,9 @@ object CrawlJob {
       if (seenPaths.isEmpty) frontier.filter(lit(false)).select("url_hash", "url")
       else spark.read.parquet(seenPaths: _*).select("url_hash", "url")
     var seen: DataFrame = seenDf
+    var seenCount: Long =
+      if (round == 0) 0L
+      else (0 until round).map(v => store.manifest(v).tables("seen_delta").rows).sum
 
     val debugTiming = sys.env.contains("GRAFT_TIMING")
     var tPhase = System.nanoTime()
@@ -181,21 +184,18 @@ object CrawlJob {
       val t0 = System.nanoTime()
       tPhase = t0
       frontier = frontier.dropDuplicates("url_hash").cache()
-      val seenCount = seen.count()
       val bloom = if (seenCount > bloomThreshold)
         Some(Frontier.buildBloom(seen, seenCount)) else None
       val fresh = Frontier.notSeen(frontier, seen, bloom)
       phase("dedup+seen+bloom")
 
-      val (selected0, denied0) = Scheduler.schedule(fresh, robotsDf, limits, cfg)
-      val selected = selected0.cache()
-      val denied = denied0.cache()
+      val (selected, denied, gateCache) = Scheduler.schedule(fresh, robotsDf, limits, cfg)
       val nScheduled = selected.count()
-      val nDenied = denied.count()
+      val nDenied = denied.count() // cheap: filter over the cached gate
       phase("schedule")
       if (nScheduled == 0 && nDenied == 0) {
         done = true
-        selected.unpersist(); denied.unpersist(); frontier.unpersist()
+        gateCache.unpersist(); frontier.unpersist()
       } else {
         // "fetch" = equi join against the pages table (J4). The batch is
         // politeness-budget-bounded, so broadcast IT into the pages scan:
@@ -258,13 +258,16 @@ object CrawlJob {
 
         val trace = selected.select(lit(round).as("round"), col("host"), col("rank"), col("url"))
         val nMissing = nScheduled - nFetched
-        val nNewFrontier = newFrontier.count()
+        // write-then-count: computing the anti-join chain once for a
+        // count and again for the commit write would double the work
+        val frontierPath = s"${store.root}/data/v$round/frontier"
+        newFrontier.write.mode("overwrite").parquet(frontierPath)
+        val nNewFrontier = spark.read.parquet(frontierPath).count() // metadata count
         phase("frontier-merge")
         val elapsed = (System.nanoTime() - t0) / 1e9
 
         store.commit(spark, round,
           Map(
-            "frontier" -> newFrontier,
             "seen_delta" -> seenDelta,
             "chunks" -> chunks,
             "trace" -> trace),
@@ -283,13 +286,14 @@ object CrawlJob {
             "results" -> nFetched,
             "chunks" -> nChunks,
             "trace" -> nScheduled),
-          preWritten = Map("results" -> resultsPath))
+          preWritten = Map("results" -> resultsPath, "frontier" -> frontierPath))
         phase("commit")
 
-        selected.unpersist(); denied.unpersist(); frontier.unpersist()
+        gateCache.unpersist(); frontier.unpersist()
         frontier = store.readTable(spark, round, "frontier")
         seenPaths = seenPaths :+ store.manifest(round).tables("seen_delta").path
         seen = seenDf
+        seenCount += nScheduled + nDenied
         round += 1
         if (nNewFrontier == 0) done = true
       }

@@ -87,6 +87,16 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(900))
   }
 
+  test("driver smoke: entry() returns rows on sf0.001") {
+    val n = SparkEntry.entry(spark).count()
+    assert(n > 0)
+  }
+
+  test("every oracleSql key has a queries entry") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle without query: $missing")
+  }
+
   test("whole-stage codegen present on the relational core") {
     Seq("q1_agg", "w1_priority_topk", "f3_priority_filter").foreach { q =>
       val p = planOf(q, execute = true)
