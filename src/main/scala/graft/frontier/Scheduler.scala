@@ -44,10 +44,12 @@ object Scheduler {
   }
 
   /** One scheduling pass: robots-gate then window-rank within host and
-    * keep rank ≤ budget. Returns (selected, robotsDenied).
+    * keep rank ≤ budget. Returns (selected, robotsDenied, gateCache) where
+    * `gateCache` is the single cached gated DF both sides filter — the
+    * caller unpersists it once the round's counts are materialized.
     * `robots` columns: host, allow (array), disallow (array). */
   def schedule(frontier: DataFrame, robots: DataFrame, limits: DataFrame, cfg: Config)
-      : (DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, DataFrame) = {
     // robots and budgets are per-host tables: tiny here, one row per host
     // at web scale — so NOT force-broadcast; AQE picks broadcast when the
     // side is small, shuffle-hash co-partitioned with the window otherwise.
@@ -58,6 +60,7 @@ object Scheduler {
           GraftFunctions.robots_allows(Frontier.pathUdf(col("url")), col("allow"), col("disallow")),
           lit(true))) // no robots row for host → allowed
       .drop("allow", "disallow")
+      .cache()
     val denied = gated.filter(!col("allowed")).drop("allowed")
     val allowed = gated.filter(col("allowed")).drop("allowed")
 
@@ -69,6 +72,6 @@ object Scheduler {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= coalesce(col("budget"), lit(1L)))
       .drop("budget")
-    (selected, denied)
+    (selected, denied, gated)
   }
 }
