@@ -61,16 +61,25 @@ object Bench {
     val (fetched, chunks, crawlSec) = crawlBench(spark, siteDir, workDir)
     val urlsPerSec = if (crawlSec > 0) fetched / crawlSec else 0.0
 
-    // per-query timings (includes the crawl as "crawl_pipeline")
+    // per-query timings (includes the crawl as "crawl_pipeline");
+    // a failed query records -1, never a fake "fast" time.
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     results("crawl_pipeline") = crawlSec
+    val failures = scala.collection.mutable.ListBuffer[String]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      results(name) = (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] query $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+          failures += name
+          false
+      }
+      results(name) = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
     }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    if (failures.nonEmpty)
+      System.err.println(s"[bench] ${failures.size} queries failed: ${failures.mkString(",")}")
     println(s"""{"metric":"urls_fetched_extracted_per_sec","value":${f"$urlsPerSec%.1f"},"unit":"urls/sec","urls_fetched":$fetched,"chunks":$chunks,"crawl_sec":${f"$crawlSec%.1f"},"cpus":$cpus,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -299,7 +299,7 @@ object SparkEntry {
 
     "v2_ivf_topk" -> ((s, dir) => {
       val emb = pq(s, dir, "embeddings")
-      val cents = Similarity.centroids(emb, "vec_id", "embedding", 16).cache()
+      val cents = Similarity.centroids(emb, "vec_id", "embedding", 16)
       val index = Similarity.ivfIndex(emb, "vec_id", "embedding", cents)
       Similarity.ivfTopK(index, cents, "vec_id", "embedding", QueryVec, 10, nprobe = 4)
     }),

@@ -70,14 +70,11 @@ object Dedup {
       .select(
         least(col("p.a.doc_id"), col("p.b.doc_id")).as("id_a"),
         greatest(col("p.a.doc_id"), col("p.b.doc_id")).as("id_b"),
-        (size(zip_with(col("p.a.sig"), col("p.b.sig"),
-          (x, y) => when(x === y, 1).otherwise(null)).cast("array<int>"))
-          .cast("double") / lit(m)).as("est_jaccard_raw"),
         col("p.a.sig").as("sig_a"), col("p.b.sig").as("sig_b"))
       .withColumn("est_jaccard",
         aggregate(zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1.0).otherwise(0.0)),
           lit(0.0), (acc, v) => acc + v) / lit(m.toDouble))
-      .drop("est_jaccard_raw", "sig_a", "sig_b")
+      .drop("sig_a", "sig_b")
       .dropDuplicates("id_a", "id_b")
       .filter(col("est_jaccard") >= threshold)
     pairs

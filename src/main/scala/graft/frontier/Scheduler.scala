@@ -24,7 +24,11 @@ object Scheduler {
       roundSeconds: Double = 5.0,
       maxDepth: Int = 3,
       chunkSize: Int = 1000,
-      chunkOverlap: Int = 200)
+      chunkOverlap: Int = 200,
+      // W4 global round cap (throttle.py:90-92 global min-interval ≈
+      // at most `globalBudget` requests per round across ALL hosts),
+      // applied deterministically after per-host ranking.
+      globalBudget: Option[Long] = None)
 
   /** Resolve per-host budgets for the hosts present in `frontier`.
     * `limits` is the tiny (pattern, rps) config table → broadcast joins. */
@@ -72,6 +76,16 @@ object Scheduler {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= coalesce(col("budget"), lit(1L)))
       .drop("budget")
-    (selected, denied, gated)
+    // W4: global cap per round — deterministic (priority DESC NULLS
+    // LAST, host, rank); (host, rank) is unique so the order is total.
+    // orderBy+limit → TakeOrderedAndProject (per-partition heap), not a
+    // global sort; g is small by definition (a per-round request cap).
+    val capped = cfg.globalBudget match {
+      case Some(g) => selected
+        .orderBy(desc_nulls_last("priority"), asc("host"), asc("rank"))
+        .limit(g.toInt)
+      case None => selected
+    }
+    (capped, denied, gated)
   }
 }

@@ -34,7 +34,8 @@ object RefCrawl {
       maxDepth: Int = 3,
       maxRounds: Int = 50,
       chunkSize: Int = 1000,
-      chunkOverlap: Int = 200): Result = {
+      chunkOverlap: Int = 200,
+      globalBudget: Option[Long] = None): Result = {
 
     def rpsOf(host: String): Double =
       limits.getOrElse(host,
@@ -102,14 +103,22 @@ object RefCrawl {
 
       // per-host ranking: (priority DESC NULLS LAST, url ASC), take budget
       val byHost = allowed.groupBy { case (url, _) => UrlCanonical.hostOf(url) }
-      val batch = byHost.toSeq.flatMap { case (host, entries) =>
+      val perHost = byHost.toSeq.flatMap { case (host, entries) =>
         val ordered = entries.sortBy { case (url, (_, pr)) =>
           (-pr.getOrElse(Double.NegativeInfinity), url)
         }
-        ordered.take(budgetOf(host)).zipWithIndex.map { case ((url, (depth, _)), i) =>
-          (host, i + 1, url, depth)
+        ordered.take(budgetOf(host)).zipWithIndex.map { case ((url, (depth, pr)), i) =>
+          (host, i + 1, url, depth, pr)
         }
       }
+      // W4 global round cap: keep the g globally-best rows, ordered
+      // (priority DESC NULLS LAST, host, rank) — mirrors Scheduler.
+      val batch = (globalBudget match {
+        case Some(g) => perHost.sortBy { case (host, rank, _, _, pr) =>
+          (-pr.getOrElse(Double.NegativeInfinity), host, rank)
+        }.take(g.toInt)
+        case None => perHost
+      }).map { case (host, rank, url, depth, _) => (host, rank, url, depth) }
       progress = batch.nonEmpty || denied.nonEmpty
       batch.foreach { case (host, rank, url, depth) =>
         trace += TraceRow(round, host, rank, url)

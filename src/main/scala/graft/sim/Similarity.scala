@@ -1,6 +1,6 @@
 package graft.sim
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.dedup.Dedup
@@ -12,12 +12,15 @@ import graft.dedup.Dedup
   *   scan, codegen'd dot product, no shuffle until the final top-k
   *   (TakeOrderedAndProject: per-partition heap + driver merge, NOT a
   *   global sort).
-  * - `ivfIndex`/`ivfTopK`: the scale path — k-means-lite inverted-file
-  *   index: assign every vector to its nearest of C seeded centroids
-  *   (one broadcast join + argmin), store bucketed-by-centroid; a query
-  *   probes only the nprobe nearest centroid buckets, scanning
-  *   ~nprobe/C of the data. At 100 TB the bucketed table is
-  *   partition-pruned by `centroid_id` (partitionBy on write). */
+  * - `centroids`/`ivfIndex`/`ivfTopK`: the scale path — an inverted-file
+  *   index. Centroids live on the DRIVER (C is small by construction:
+  *   16..64k entries of dim floats), seeded deterministically and refined
+  *   by k-means passes over a hash-sampled subset. Assignment is a single
+  *   narrow projection (argmax over C codegen'd cosine expressions — no
+  *   crossJoin row expansion, no window shuffle). A query probes only the
+  *   nprobe nearest centroid buckets; at 100 TB the index table is written
+  *   `partitionBy("centroid_id")` so the probe filter partition-prunes the
+  *   scan to ~nprobe/C of the data. */
 object Similarity {
 
   def vecLit(v: Array[Float]): Column =
@@ -35,30 +38,86 @@ object Similarity {
       .limit(k)
       .withColumnRenamed("vec_id_r", "vec_id")
 
-  /** Deterministic centroids: the embeddings of the C lowest ids
-    * (seeded sample without randomness — resume/replay-stable). */
-  def centroids(df: DataFrame, idCol: String, vecCol: String, c: Int): DataFrame =
-    df.orderBy(col(idCol)).limit(c)
-      .select(monotonically_increasing_id().as("centroid_id"), col(vecCol).as("centroid"))
-
-  /** Assign each vector to its nearest centroid (broadcast argmin). */
-  def ivfIndex(df: DataFrame, idCol: String, vecCol: String, cents: DataFrame): DataFrame = {
-    val joined = df.crossJoin(broadcast(cents))
-      .withColumn("sim", Dedup.cosine(col(vecCol).cast("array<double>"), col("centroid").cast("array<double>")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol)).orderBy(desc("sim"), asc("centroid_id"))
-    joined.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1)
-      .select(col(idCol), col(vecCol), col("centroid_id"))
+  private def cosineScalar(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
-  /** Probe the nprobe closest centroid buckets only. */
-  def ivfTopK(index: DataFrame, cents: DataFrame, idCol: String, vecCol: String,
+  /** Nearest-centroid id as ONE projection: an array of C codegen'd
+    * cosine similarities, argmax via array_position(array_max). Ties
+    * break to the lowest centroid_id (first occurrence). No join, no
+    * row expansion, no shuffle. */
+  def assignToCentroid(vecCol: Column, cents: Array[Array[Float]]): Column = {
+    val v = vecCol.cast("array<double>")
+    val sims = array(cents.map(c => Dedup.cosine(v, vecLit(c))): _*)
+    (array_position(sims, array_max(sims)) - 1).cast("int")
+  }
+
+  /** Deterministic centroids, driver-resident: seeds = the embeddings of
+    * the C lowest ids (replay-stable, no RNG), then `refineIters` k-means
+    * passes over a deterministic hash-sample (`xxhash64(id) % sampleEvery
+    * == 0`; pass sampleEvery > 1 at scale so each pass scans ~1/sampleEvery
+    * of the data). Each pass: assign (narrow projection) → per-cluster
+    * element-wise mean (one partial-agg shuffle of C×dim doubles) →
+    * collect C rows. Empty clusters keep their previous centroid. */
+  def centroids(df: DataFrame, idCol: String, vecCol: String, c: Int,
+                refineIters: Int = 2, sampleEvery: Int = 1): Array[Array[Float]] = {
+    val seeds: Array[Array[Float]] = df
+      .orderBy(col(idCol)).limit(c)
+      .select(col(vecCol).cast("array<float>"))
+      .collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(seeds.nonEmpty, "centroids: empty input")
+    val dim = seeds(0).length
+    val sampled =
+      if (sampleEvery > 1) df.filter(pmod(xxhash64(col(idCol)), lit(sampleEvery)) === 0)
+      else df
+    var cents = seeds
+    var it = 0
+    while (it < refineIters) {
+      val assigned = sampled.select(
+        assignToCentroid(col(vecCol), cents).as("centroid_id"),
+        col(vecCol).cast("array<double>").as("v"))
+      val meanExprs = (0 until dim).map(i => avg(element_at(col("v"), i + 1)).as(s"m$i"))
+      val rows = assigned.groupBy("centroid_id")
+        .agg(meanExprs.head, meanExprs.tail: _*)
+        .collect()
+      val next = cents.map(_.clone())
+      rows.foreach { r =>
+        val cid = r.getInt(0)
+        if (cid >= 0 && cid < next.length)
+          next(cid) = Array.tabulate(dim)(i => r.getDouble(i + 1).toFloat)
+      }
+      cents = next
+      it += 1
+    }
+    cents
+  }
+
+  /** Assign each vector to its nearest centroid — one narrow projection,
+    * zero Exchange. At scale, write the result partitionBy("centroid_id"). */
+  def ivfIndex(df: DataFrame, idCol: String, vecCol: String,
+               cents: Array[Array[Float]]): DataFrame =
+    df.select(col(idCol), col(vecCol),
+      assignToCentroid(col(vecCol), cents).as("centroid_id"))
+
+  /** Probe the nprobe closest centroid buckets only. Probe selection is
+    * driver-side over the in-memory centroids (C is tiny); the bucket
+    * filter is an isin predicate that partition-prunes a
+    * partitionBy("centroid_id") index table. */
+  def ivfTopK(index: DataFrame, cents: Array[Array[Float]], idCol: String, vecCol: String,
               query: Array[Float], k: Int, nprobe: Int): DataFrame = {
-    val probeIds = cents
-      .withColumn("sim", Dedup.cosine(col("centroid").cast("array<double>"), vecLit(query)))
-      .orderBy(desc("sim"), asc("centroid_id")).limit(nprobe)
-      .select("centroid_id")
-    index.join(broadcast(probeIds), Seq("centroid_id")) // partition-pruned at scale
+    val probe: Seq[Int] = cents.zipWithIndex
+      .map { case (cvec, i) => (cosineScalar(cvec, query), i) }
+      .sortBy { case (s, i) => (-s, i) }
+      .take(nprobe)
+      .map(_._2)
+      .toSeq
+    index.filter(col("centroid_id").isin(probe: _*))
       .select(col(idCol).as("vec_id_r"),
         round(cosineToQuery(col(vecCol), query), 6).as("score"))
       .orderBy(desc("score"), asc("vec_id_r"))

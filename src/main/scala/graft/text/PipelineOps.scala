@@ -151,14 +151,26 @@ object PipelineOps {
   def countEmbedding(df: DataFrame, idCol: String, textCol: String, maxFeatures: Int = 512): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // Vocab pass is driver-bounded: collect only an ascending-id PREFIX
+    // (orderBy+limit → TakeOrderedAndProject, K rows on the driver, never
+    // the corpus). Grow K geometrically until the vocab saturates at
+    // maxFeatures or the prefix covers the whole input — first-seen order
+    // is identical across passes because each pass re-reads from id 0.
     val vocab: Map[String, Int] = {
-      val texts = df.select(col(idCol), col(textCol)).orderBy(col(idCol))
-        .as[(Long, String)].collect() // vocab pass is bounded by maxFeatures; corpus scan collects only until full at scale — sandbox corpora are small
       val m = scala.collection.mutable.LinkedHashMap.empty[String, Int]
-      texts.iterator.takeWhile(_ => m.size < maxFeatures).foreach { case (_, t) =>
-        t.toLowerCase.split("\\s+").filter(_.nonEmpty).foreach { tok =>
-          if (!m.contains(tok) && m.size < maxFeatures) m(tok) = m.size
+      var k = math.max(64, maxFeatures / 4)
+      var exhausted = false
+      while (m.size < maxFeatures && !exhausted) {
+        m.clear()
+        val texts = df.select(col(idCol), col(textCol)).orderBy(col(idCol))
+          .limit(k).as[(Long, String)].collect()
+        exhausted = texts.length < k
+        texts.iterator.takeWhile(_ => m.size < maxFeatures).foreach { case (_, t) =>
+          t.toLowerCase.split("\\s+").filter(_.nonEmpty).foreach { tok =>
+            if (!m.contains(tok) && m.size < maxFeatures) m(tok) = m.size
+          }
         }
+        k = k * 8
       }
       m.toMap
     }

@@ -124,6 +124,26 @@ class CrawlParitySpec extends AnyFunSuite {
     assert(denied.forall(_._4.endsWith("page0")), s"fetched disallowed urls: ${denied.take(3)}")
   }
 
+  test("W4 global round cap: binding cap matches reference executor, never exceeded") {
+    val (pages, robots, sitemaps, limits, seeds) = collectSite()
+    val g = 7L
+    val ref = RefCrawl.run(pages, robots, sitemaps, limits, seeds, globalBudget = Some(g))
+    assert(ref.trace.nonEmpty)
+    // the cap must bind for this test to mean anything
+    assert(ref.trace.groupBy(_.round).values.exists(_.size == g.toInt),
+      "global cap never binding — raise site size or lower g")
+
+    val workDir = java.nio.file.Files.createTempDirectory("graft_gcap").toString
+    val cfg = graft.frontier.Scheduler.Config(globalBudget = Some(g))
+    val last = CrawlJob.run(spark, siteDir, workDir, cfg, bloomThreshold = 100L)
+    val got = sparkTrace(workDir, last)
+    val want = ref.trace.map(t => (t.round, t.host, t.rank, t.url)).sortBy(t => (t._1, t._2, t._3))
+    assert(got.size == want.size, s"trace size: spark=${got.size} ref=${want.size}")
+    got.zip(want).foreach { case (gg, w) => assert(gg == w, s"trace differs: spark=$gg ref=$w") }
+    got.groupBy(_._1).values.foreach(rows => assert(rows.size <= g))
+    assert(sparkSeen(workDir, last) == ref.seen)
+  }
+
   test("politeness: per-round per-host batch sizes never exceed budget") {
     val (_, _, _, limits, _) = collectSite()
     val workDir = java.nio.file.Files.createTempDirectory("graft_budget").toString

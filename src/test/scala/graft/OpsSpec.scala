@@ -110,7 +110,7 @@ class OpsSpec extends AnyFunSuite {
     val ivf = Similarity.ivfTopK(index, cents, "vec_id", "embedding", q, 10, nprobe = 4)
       .select("vec_id").collect().map(_.getLong(0)).toSet
     val recall = brute.count(ivf.contains).toDouble / brute.length
-    assert(recall >= 0.5, s"IVF recall too low: $recall")
+    assert(recall >= 0.9, s"IVF recall too low: $recall")
     assert(ivf.contains(7L))
   }
 

@@ -81,6 +81,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p.take(900))
   }
 
+  test("ivf index build: single narrow projection, zero Exchange") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cents = graft.sim.Similarity.centroids(emb, "vec_id", "embedding", 8, refineIters = 0)
+    val index = graft.sim.Similarity.ivfIndex(emb, "vec_id", "embedding", cents)
+    val p = index.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"ivf index build shuffles:\n${p.take(1200)}")
+    assert(!p.contains("Window"), "ivf index build uses a window")
+    assert(!p.contains("Join"), "ivf index build joins")
+  }
+
   test("q1: partial aggregation before the shuffle (map-side combine)") {
     val p = planOf("q1_agg")
     // two HashAggregate nodes around one Exchange
