@@ -297,6 +297,30 @@ object SparkEntry {
       Similarity.bruteTopK(pq(s, dir, "embeddings"), "vec_id", "embedding", QueryVec, 10)
     }),
 
+    // W5 complete: cosine top-k WITH score threshold (search.py:148-243)
+    "v3_search_threshold" -> ((s, dir) => {
+      pq(s, dir, "embeddings")
+        .select(col("vec_id"),
+          round(Similarity.cosineToQuery(col("embedding"), QueryVec), 6).as("score"))
+        .filter(col("score") >= 0.2)
+        .orderBy(desc("score"), asc("vec_id")).limit(25)
+    }),
+
+    // J5/embed-stage: sha256 cache join + batched encode of misses
+    // (counts are SQL-checkable; vectors themselves are golden-tested)
+    "e3_embed_cache_stage" -> ((s, dir) => {
+      val docs = pq(s, dir, "documents").select(col("doc_id"), col("text"), col("lang"))
+      val cache = docs.filter(col("doc_id") % 3 === 0)
+        .select(sha2(col("text"), 256).as("text_sha"),
+          graft.text.PipelineOps.hashEmbedding(col("text"), 32).cast("array<float>").as("embedding"))
+      val out = graft.rag.Embedder.embedWithCache(docs, "text", cache, graft.rag.HashBatchEncoder(32))
+      out.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("from_cache"), 1).otherwise(0)).as("n_cached"),
+          min(size(col("embedding"))).as("dim"))
+        .orderBy("lang")
+    }),
+
     "v2_ivf_topk" -> ((s, dir) => {
       val emb = pq(s, dir, "embeddings")
       val cents = Similarity.centroids(emb, "vec_id", "embedding", 16)
@@ -670,6 +694,247 @@ object SparkEntry {
         |  ON e.user_id = l.user_id
         |  GROUP BY 1)
         |ORDER BY host""".stripMargin,
+
+    "v3_search_threshold" ->
+      s"""SELECT vec_id, score FROM (
+         |  SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), $queryVecSql), 6) AS score
+         |  FROM embeddings)
+         |WHERE score >= 0.2 ORDER BY score DESC, vec_id ASC LIMIT 25""".stripMargin,
+
+    "e3_embed_cache_stage" ->
+      """SELECT lang, count(*) AS n,
+        |  CAST(sum(CASE WHEN sha256(text) IN
+        |    (SELECT sha256(text) FROM documents WHERE doc_id % 3 = 0) THEN 1 ELSE 0 END) AS BIGINT) AS n_cached,
+        |  CAST(32 AS INTEGER) AS dim
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // ---- added r2: SQL-expressible oracles for former rows-only probes ----
+
+    "t2_quality" ->
+      """SELECT doc_id, n_words,
+  round(punct_ratio, 4) AS punct_ratio,
+  round(stopword_ratio, 4) AS stopword_ratio,
+  round(least(1.0, stopword_ratio * 2.5) * 0.4
+    + CASE WHEN n_words > 0 AND (CAST(n_chars AS DOUBLE) / n_words) BETWEEN 3.0 AND 8.0 THEN 0.3 ELSE 0.0 END
+    + CASE WHEN punct_ratio BETWEEN 0.005 AND 0.1 THEN 0.2 ELSE 0.0 END
+    + CASE WHEN digit_ratio < 0.2 THEN 0.1 ELSE 0.0 END, 4) AS quality_score
+FROM (
+  SELECT doc_id, n_words, n_chars,
+    CASE WHEN n_chars > 0 THEN CAST(punct AS DOUBLE) / n_chars ELSE 0.0 END AS punct_ratio,
+    CASE WHEN n_chars > 0 THEN CAST(digits AS DOUBLE) / n_chars ELSE 0.0 END AS digit_ratio,
+    CASE WHEN n_words > 0 THEN CAST(stop AS DOUBLE) / n_words ELSE 0.0 END AS stopword_ratio
+  FROM (
+    SELECT doc_id,
+      CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_words,
+      length(text) AS n_chars,
+      len(regexp_extract_all(text, '[.,;:!?]')) AS punct,
+      len(regexp_extract_all(text, '[0-9]')) AS digits,
+      len(regexp_extract_all(lower(text), '\b(the|a|an|and|or|of|to|in|is|it|that|for|on|with|as|this|be|are)\b')) AS stop
+    FROM documents))
+ORDER BY doc_id""",
+
+    "t3_lang_id" ->
+      """SELECT lang, lang_pred, count(*) AS n FROM (
+  SELECT lang,
+    CASE WHEN m = 0 THEN 'und'
+         WHEN h_fr = m THEN 'fr'
+         WHEN h_es = m THEN 'es'
+         WHEN h_en = m THEN 'en'
+         ELSE 'de' END AS lang_pred
+  FROM (
+    SELECT lang, h_en, h_de, h_fr, h_es, greatest(h_en, h_de, h_fr, h_es) AS m
+    FROM (
+      SELECT lang,
+        len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|that|with|for|are|this)\b')) AS h_en,
+        len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|mit|für|auf|ein)\b')) AS h_de,
+        len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|pas|pour|dans|que|une)\b')) AS h_fr,
+        len(regexp_extract_all(lower(text), '\b(el|la|los|las|es|no|para|con|que|una)\b')) AS h_es
+      FROM documents)))
+GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "d4_ngram_jaccard" ->
+      """WITH sh AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+         ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END AS s
+  FROM (
+    SELECT doc_id,
+      list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> '') AS toks
+    FROM documents))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  round(CASE WHEN len(list_distinct(list_concat(a.s, b.s))) = 0 THEN 0.0
+             ELSE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                  / len(list_distinct(list_concat(a.s, b.s))) END, 4) AS jaccard
+FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+WHERE a.doc_id % 10 = 0
+ORDER BY id_a""",
+
+    // golden oracle: probe input is inline + deterministic (sf-independent),
+    // so the expected rows are pinned as literals
+    "c1_convert" ->
+      """SELECT CAST(url AS VARCHAR) AS url, CAST(md_hash AS VARCHAR) AS md_hash FROM (VALUES
+('https://host0.example/sec0/page0', 'dba86ee1ab43a695636295d3fed4840b'),
+('https://host0.example/sec0/page14', '53d0fd5d19b99ff7266039dd02f0fa2b'),
+('https://host0.example/sec0/page21', '431178306d4b7f048c09bcf44e26fb4c'),
+('https://host0.example/sec0/page28', '9cefda26aee8d6c3a015db140c49e31d'),
+('https://host0.example/sec0/page42', '5fbfc40fec4e5af839d2a3064824c89e'),
+('https://host0.example/sec0/page63', '720ff4e139dcaa1b0895d7a089868e71'),
+('https://host0.example/sec0/page7', '794057fa37246dd20c40adcf4039799e'),
+('https://host0.example/sec1/page1', 'bfe6a324efaab7a08f14918a7c430d43'),
+('https://host0.example/sec1/page15', 'ce806529c813a3e88a321b5c15f65ac5'),
+('https://host0.example/sec1/page22', '7cbafe9e766ad30f1c962bdebb01ac11'),
+('https://host0.example/sec1/page36', '3d9540f385773f147adce56267f4a099'),
+('https://host0.example/sec1/page43', '91d3c6dfdc0bdbd7f4c7c6f2c5ea084b'),
+('https://host0.example/sec1/page50', 'cca2724f82f14854df5f3519d0d8b8bc'),
+('https://host0.example/sec1/page57', 'b959f153a895ee2e71abdffa25582c59'),
+('https://host0.example/sec2/page16', 'd3a3de776e7be6fd07e345b1cb0c3dd6'),
+('https://host0.example/sec3/page10', '97593314c72074415492e9e4e9f1a03b'),
+('https://host0.example/sec3/page17', '82ce526385ac1952bc45ce450496c116'),
+('https://host0.example/sec3/page24', '21d155f29072a15d1d2894d9ef9f4be5'),
+('https://host0.example/sec3/page3', '2422ee968ae13dc67573ff911ac5e3c0'),
+('https://host0.example/sec3/page59', '90c7d5af3ce742c3bb13b98f51a47e5f'),
+('https://host0.example/sec4/page18', '5e4b9fbd67376eecdd1f7b911aac3ce0'),
+('https://host0.example/sec4/page46', 'b1961c7418ceb64d37c149d2c96612d3'),
+('https://host0.example/sec4/page53', '04b6fa49fe4c5c3948c2391d91abb5a2'),
+('https://host0.example/sec5/page33', '4e3b33b245fb322c6f8415fa54a0a502'),
+('https://host0.example/sec5/page47', '50f771a7dedc1631c8a3190cf8f53470'),
+('https://host0.example/sec5/page61', '8f4e3f814acc1dc0d8f7f5fb9f121ce9'),
+('https://host0.example/sec6/page27', '7266d7c158ffa30b03af8c8851c40658'),
+('https://host0.example/sec6/page6', '15aaaa1eaabd1b63397384d9cd18444a'),
+('https://host0.example/sec6/page62', '7568f87f542f17248356d67419274368'),
+('https://host1.example/sec0/page49', 'd01e2263935fd5d8b143f7df2d53ca5e'),
+('https://host1.example/sec1/page29', '2e096f231e45bb1d4d2b5dce32a9b1b3'),
+('https://host1.example/sec3/page31', '297a844695a8bb8a78fab19def5df72d'),
+('https://host1.example/sec4/page11', '11737bfa9fe94dd128487f5e47761aeb'),
+('https://host1.example/sec5/page12', 'abecd0580a06790eb8240cfbaa31cdff'),
+('https://host1.example/sec5/page19', '9841cdbe97a82158246db6dff1e6f45e'),
+('https://host1.example/sec6/page13', '2bca5569677c9ae9b970b39d55311172'),
+('https://host1.example/sec6/page34', 'd5732530fce97b18bd1644a554f2449c'),
+('https://host2.example/sec0/page56', '8f4c666dcae5878d49c5f1bec0690fc5'),
+('https://host2.example/sec1/page8', 'bf265ebaf9b8e9fa0e85e15aa4aba03d'),
+('https://host2.example/sec2/page2', 'b8909778569bd17000a680160e7fa42c'),
+('https://host2.example/sec2/page23', 'b97ef911fb7e249e4e5211d15e2c1131'),
+('https://host2.example/sec2/page37', 'e3b7359998e40091a5f2e73698e3a5f9'),
+('https://host2.example/sec2/page44', '41df0cc49b21d4fd6928e68321862c65'),
+('https://host2.example/sec2/page58', '9c895098de27feb309a3debb5f4736ee'),
+('https://host2.example/sec2/page9', '3b9da892d9125e106f289f2a1d0d2b00'),
+('https://host2.example/sec4/page25', '924f81aaa529757376f6bea8c0cd5450'),
+('https://host2.example/sec4/page39', '80af063b627acc2e6884648d1d519964'),
+('https://host2.example/sec4/page4', 'e2f87c6db08ea00fd44cd452677b62a5'),
+('https://host2.example/sec4/page60', '80b08d4ed9cc60a9b3002234b3218d10'),
+('https://host2.example/sec5/page26', '93370f8edd8ae838f3a6026a077ceed9'),
+('https://host2.example/sec5/page5', 'ae7e55682c8bdc3124af4770248cf6be'),
+('https://host2.example/sec6/page41', '10e8e3e0bfb095410c21dc760bced635'),
+('https://host2.example/sec6/page48', '50c65e4b52793147ca27ba3bd0cccea3'),
+('https://host3.example/sec0/page35', 'eb3029715830011d6f5267fac4923e9d'),
+('https://host3.example/sec2/page30', 'a94a56b4aabac6e31319062dfbf499ce'),
+('https://host3.example/sec2/page51', 'f380d9ac881d0f8f3af89972a09dc0ae'),
+('https://host3.example/sec3/page38', 'b28e61d79ad8520ebcd657cc67bd57c2'),
+('https://host3.example/sec3/page45', 'f5824b8fdc6bed37c9cbdb257313b46e'),
+('https://host3.example/sec3/page52', 'de58abb7ccec1fb56819bd6f78fe1bde'),
+('https://host3.example/sec4/page32', '3fdc63d76aada91a01ef293a60f2b69b'),
+('https://host3.example/sec5/page40', '97b8dcb81eb81fab693c714a7bbfd807'),
+('https://host3.example/sec5/page54', '2d009788b719cc269cddeafd21e5db79'),
+('https://host3.example/sec6/page20', '203c5acca2a65e81118c61eb59c93a08'),
+('https://host3.example/sec6/page55', 'f597667c00f6baaa95fb946eccdfc6ba')
+) AS t(url, md_hash) ORDER BY url""",
+
+    // golden oracle: probe input is inline + deterministic (sf-independent),
+    // so the expected rows are pinned as literals
+    "c2_chunks" ->
+      """SELECT CAST(chunk_type AS VARCHAR) AS chunk_type, CAST(n AS BIGINT) AS n, CAST(total_words AS BIGINT) AS total_words FROM (VALUES
+('content_chunk', 139, 19594),
+('section', 325, 1689)
+) AS t(chunk_type, n, total_words) ORDER BY chunk_type""",
+
+    // golden oracle: probe input is inline + deterministic (sf-independent),
+    // so the expected rows are pinned as literals
+    "c3_outlinks" ->
+      """SELECT CAST(host AS VARCHAR) AS host, CAST(n_links AS BIGINT) AS n_links FROM (VALUES
+('host0.example', 224),
+('host1.example', 69),
+('host2.example', 116),
+('host3.example', 79)
+) AS t(host, n_links) ORDER BY host""",
+
+    // golden oracle: probe input is inline + deterministic (sf-independent),
+    // so the expected rows are pinned as literals
+    "c4_robots_gate" ->
+      """SELECT CAST(host AS VARCHAR) AS host, CAST(allowed AS BOOLEAN) AS allowed, CAST(n AS BIGINT) AS n FROM (VALUES
+('host0.example', false, 3),
+('host0.example', true, 26),
+('host1.example', false, 2),
+('host1.example', true, 6),
+('host2.example', false, 2),
+('host2.example', true, 14),
+('host3.example', false, 2),
+('host3.example', true, 9)
+) AS t(host, allowed, n) ORDER BY host, allowed""",
+
+    // golden oracle: probe input is inline + deterministic (sf-independent),
+    // so the expected rows are pinned as literals
+    "c5_metadata" ->
+      """SELECT CAST(url AS VARCHAR) AS url, CAST(title AS VARCHAR) AS title, CAST(description AS VARCHAR) AS description, CAST(og_title AS VARCHAR) AS og_title FROM (VALUES
+('https://host0.example/sec0/page0', 'Page 0 — host0 sec0', 'Synthetic page 0 about robots', 'OG Page 0'),
+('https://host0.example/sec0/page14', 'Page 14 — host0 sec0', 'Synthetic page 14 about graph', 'OG Page 14'),
+('https://host0.example/sec0/page21', 'Page 21 — host0 sec0', 'Synthetic page 21 about shuffle', 'OG Page 21'),
+('https://host0.example/sec0/page28', 'Page 28 — host0 sec0', 'Synthetic page 28 about system', 'OG Page 28'),
+('https://host0.example/sec0/page42', 'Page 42 — host0 sec0', 'Synthetic page 42 about budget', 'OG Page 42'),
+('https://host0.example/sec0/page7', 'Page 7 — host0 sec0', 'Synthetic page 7 about replica', 'OG Page 7'),
+('https://host0.example/sec1/page1', 'Page 1 — host0 sec1', 'Synthetic page 1 about chunk', 'OG Page 1'),
+('https://host0.example/sec1/page15', 'Page 15 — host0 sec1', 'Synthetic page 15 about vector', 'OG Page 15'),
+('https://host0.example/sec1/page22', 'Page 22 — host0 sec1', 'Synthetic page 22 about vector', 'OG Page 22'),
+('https://host0.example/sec1/page36', 'Page 36 — host0 sec1', 'Synthetic page 36 about replica', 'OG Page 36'),
+('https://host0.example/sec1/page43', 'Page 43 — host0 sec1', 'Synthetic page 43 about politeness', 'OG Page 43'),
+('https://host0.example/sec2/page16', 'Page 16 — host0 sec2', 'Synthetic page 16 about chunk', 'OG Page 16'),
+('https://host0.example/sec3/page10', 'Page 10 — host0 sec3', 'Synthetic page 10 about graph', 'OG Page 10'),
+('https://host0.example/sec3/page17', 'Page 17 — host0 sec3', 'Synthetic page 17 about lineage', 'OG Page 17'),
+('https://host0.example/sec3/page24', 'Page 24 — host0 sec3', 'Synthetic page 24 about index', 'OG Page 24'),
+('https://host0.example/sec3/page3', 'Page 3 — host0 sec3', 'Synthetic page 3 about shuffle', 'OG Page 3'),
+('https://host0.example/sec4/page18', 'Page 18 — host0 sec4', 'Synthetic page 18 about vector', 'OG Page 18'),
+('https://host0.example/sec4/page46', 'Page 46 — host0 sec4', 'Synthetic page 46 about index', 'OG Page 46'),
+('https://host0.example/sec5/page33', 'Page 33 — host0 sec5', 'Synthetic page 33 about latency', 'OG Page 33'),
+('https://host0.example/sec5/page47', 'Page 47 — host0 sec5', 'Synthetic page 47 about data', 'OG Page 47'),
+('https://host0.example/sec6/page27', 'Page 27 — host0 sec6', 'Synthetic page 27 about shuffle', 'OG Page 27'),
+('https://host0.example/sec6/page6', 'Page 6 — host0 sec6', 'Synthetic page 6 about chunk', 'OG Page 6'),
+('https://host1.example/sec1/page29', 'Page 29 — host1 sec1', 'Synthetic page 29 about replica', 'OG Page 29'),
+('https://host1.example/sec3/page31', 'Page 31 — host1 sec3', 'Synthetic page 31 about chunk', 'OG Page 31'),
+('https://host1.example/sec4/page11', 'Page 11 — host1 sec4', 'Synthetic page 11 about politeness', 'OG Page 11'),
+('https://host1.example/sec5/page12', 'Page 12 — host1 sec5', 'Synthetic page 12 about throughput', 'OG Page 12'),
+('https://host1.example/sec5/page19', 'Page 19 — host1 sec5', 'Synthetic page 19 about pipeline', 'OG Page 19'),
+('https://host1.example/sec6/page13', 'Page 13 — host1 sec6', 'Synthetic page 13 about system', 'OG Page 13'),
+('https://host1.example/sec6/page34', 'Page 34 — host1 sec6', 'Synthetic page 34 about data', 'OG Page 34'),
+('https://host2.example/sec1/page8', 'Page 8 — host2 sec1', 'Synthetic page 8 about chunk', 'OG Page 8'),
+('https://host2.example/sec2/page2', 'Page 2 — host2 sec2', 'Synthetic page 2 about replica', 'OG Page 2'),
+('https://host2.example/sec2/page23', 'Page 23 — host2 sec2', 'Synthetic page 23 about index', 'OG Page 23'),
+('https://host2.example/sec2/page37', 'Page 37 — host2 sec2', 'Synthetic page 37 about heading', 'OG Page 37'),
+('https://host2.example/sec2/page44', 'Page 44 — host2 sec2', 'Synthetic page 44 about index', 'OG Page 44'),
+('https://host2.example/sec2/page9', 'Page 9 — host2 sec2', 'Synthetic page 9 about system', 'OG Page 9'),
+('https://host2.example/sec4/page25', 'Page 25 — host2 sec4', 'Synthetic page 25 about politeness', 'OG Page 25'),
+('https://host2.example/sec4/page39', 'Page 39 — host2 sec4', 'Synthetic page 39 about model', 'OG Page 39'),
+('https://host2.example/sec4/page4', 'Page 4 — host2 sec4', 'Synthetic page 4 about model', 'OG Page 4'),
+('https://host2.example/sec5/page26', 'Page 26 — host2 sec5', 'Synthetic page 26 about vector', 'OG Page 26'),
+('https://host2.example/sec5/page5', 'Page 5 — host2 sec5', 'Synthetic page 5 about budget', 'OG Page 5'),
+('https://host2.example/sec6/page41', 'Page 41 — host2 sec6', 'Synthetic page 41 about robots', 'OG Page 41'),
+('https://host3.example/sec0/page35', 'Page 35 — host3 sec0', 'Synthetic page 35 about frontier', 'OG Page 35'),
+('https://host3.example/sec2/page30', 'Page 30 — host3 sec2', 'Synthetic page 30 about budget', 'OG Page 30'),
+('https://host3.example/sec3/page38', 'Page 38 — host3 sec3', 'Synthetic page 38 about heading', 'OG Page 38'),
+('https://host3.example/sec3/page45', 'Page 45 — host3 sec3', 'Synthetic page 45 about pipeline', 'OG Page 45'),
+('https://host3.example/sec4/page32', 'Page 32 — host3 sec4', 'Synthetic page 32 about pipeline', 'OG Page 32'),
+('https://host3.example/sec5/page40', 'Page 40 — host3 sec5', 'Synthetic page 40 about pipeline', 'OG Page 40'),
+('https://host3.example/sec6/page20', 'Page 20 — host3 sec6', 'Synthetic page 20 about politeness', 'OG Page 20')
+) AS t(url, title, description, og_title) ORDER BY url""",
+
+    // golden oracle: probe input is inline + deterministic (sf-independent),
+    // so the expected rows are pinned as literals
+    "m1_media_features" ->
+      """SELECT CAST(modality AS VARCHAR) AS modality, CAST(n AS BIGINT) AS n, CAST(total_bytes AS BIGINT) AS total_bytes, CAST(avg_f0 AS DOUBLE) AS avg_f0 FROM (VALUES
+('audio', 200, 879100, 0.501508),
+('image', 200, 469300, 0.503392),
+('video', 200, 1698500, 0.502042)
+) AS t(modality, n, total_bytes, avg_f0) ORDER BY modality""",
+
 
     "st1_stream_window" ->
       """SELECT time_bucket(INTERVAL '5 minutes', ts) AS win_start, event_type,

@@ -73,10 +73,24 @@ final class SnapshotStore(val root: String) {
       // a groupBy over every committed table per round would double the
       // round's work.
       val committed = spark.read.parquet(path)
+      // lineage is driver-bounded: top maxLineageParts partitions by row
+      // count (TakeOrdered, never a full collect — a web-scale round can
+      // touch millions of hosts) + a rollup bucket for the tail.
+      val maxLineageParts = 10000
       val parts: Map[String, Long] = partitionKeyCol match {
         case Some(k) if lineageTables.contains(name) && committed.columns.contains(k) =>
-          committed.groupBy(k).count().collect()
-            .map(r => (String.valueOf(r.get(0)), r.getLong(1))).toMap
+          val top = committed.groupBy(k).count()
+            .orderBy(org.apache.spark.sql.functions.desc("count"),
+              org.apache.spark.sql.functions.asc(k))
+            .limit(maxLineageParts).collect()
+            .map(r => (String.valueOf(r.get(0)), r.getLong(1)))
+          val m = top.toMap
+          val counted = top.map(_._2).sum
+          val total = knownCounts.get(name)
+          total match {
+            case Some(t) if t > counted => m + ("<other>" -> (t - counted))
+            case _ => m
+          }
         case _ => Map.empty
       }
       val rows = knownCounts.getOrElse(name, committed.count())

@@ -28,7 +28,36 @@ object Scheduler {
       // W4 global round cap (throttle.py:90-92 global min-interval ≈
       // at most `globalBudget` requests per round across ALL hosts),
       // applied deterministically after per-host ranking.
-      globalBudget: Option[Long] = None)
+      globalBudget: Option[Long] = None,
+      // TTL/recrawl semantics (cache.py:211-311): a url seen at round r0
+      // blocks re-crawl only while round - r0 <= ttl; after expiry a
+      // link-rediscovery makes it fetchable again. None = seen forever.
+      seenTtlRounds: Option[Int] = None)
+
+  object Config {
+    /** Layered config (the reference's env/YAML/JSON layering,
+      * config.py:529-631, re-expressed Spark-natively): code defaults
+      * overridden by `spark.graft.*` session conf — settable per cluster
+      * (spark-defaults.conf), per job (spark-submit --conf), or per
+      * session. Unset keys keep the passed-in base values. */
+    def fromSpark(spark: org.apache.spark.sql.SparkSession, base: Config = Config()): Config = {
+      val c = spark.conf
+      def d(key: String, v: Double): Double = c.getOption(s"spark.graft.$key").map(_.toDouble).getOrElse(v)
+      def i(key: String, v: Int): Int = c.getOption(s"spark.graft.$key").map(_.toInt).getOrElse(v)
+      def ol(key: String, v: Option[Long]): Option[Long] =
+        c.getOption(s"spark.graft.$key").map(_.toLong).orElse(v)
+      def oi(key: String, v: Option[Int]): Option[Int] =
+        c.getOption(s"spark.graft.$key").map(_.toInt).orElse(v)
+      Config(
+        defaultRps = d("defaultRps", base.defaultRps),
+        roundSeconds = d("roundSeconds", base.roundSeconds),
+        maxDepth = i("maxDepth", base.maxDepth),
+        chunkSize = i("chunkSize", base.chunkSize),
+        chunkOverlap = i("chunkOverlap", base.chunkOverlap),
+        globalBudget = ol("globalBudget", base.globalBudget),
+        seenTtlRounds = oi("seenTtlRounds", base.seenTtlRounds))
+    }
+  }
 
   /** Resolve per-host budgets for the hosts present in `frontier`.
     * `limits` is the tiny (pattern, rps) config table → broadcast joins. */
@@ -47,17 +76,17 @@ object Scheduler {
       .select("host", "budget")
   }
 
-  /** One scheduling pass: robots-gate then window-rank within host and
-    * keep rank ≤ budget. Returns (selected, robotsDenied, gateCache) where
-    * `gateCache` is the single cached gated DF both sides filter — the
-    * caller unpersists it once the round's counts are materialized.
-    * `robots` columns: host, allow (array), disallow (array). */
-  def schedule(frontier: DataFrame, robots: DataFrame, limits: DataFrame, cfg: Config)
-      : (DataFrame, DataFrame, DataFrame) = {
-    // robots and budgets are per-host tables: tiny here, one row per host
-    // at web scale — so NOT force-broadcast; AQE picks broadcast when the
-    // side is small, shuffle-hash co-partitioned with the window otherwise.
-    val gated = frontier
+  /** Robots gate (F7) over frontier-shaped rows. Returns
+    * (allowed, denied, gateCache); `gateCache` is the single cached
+    * gated DF both sides filter — the caller unpersists it once the
+    * counts are materialized. `robots` columns: host, allow, disallow.
+    * Robots rules are static per crawl, so gating happens ONCE per row —
+    * at insert time (initial frontier / new links), never re-gated. */
+  def robotsGate(rows: DataFrame, robots: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    // robots is a per-host table: tiny here, one row per host at web
+    // scale — so NOT force-broadcast; AQE picks broadcast when the side
+    // is small, shuffle-hash co-partitioned otherwise.
+    val gated = rows
       .join(robots.select("host", "allow", "disallow"), Seq("host"), "left")
       .withColumn("allowed",
         coalesce(
@@ -65,13 +94,19 @@ object Scheduler {
           lit(true))) // no robots row for host → allowed
       .drop("allow", "disallow")
       .cache()
-    val denied = gated.filter(!col("allowed")).drop("allowed")
-    val allowed = gated.filter(col("allowed")).drop("allowed")
+    (gated.filter(col("allowed")).drop("allowed"),
+      gated.filter(!col("allowed")).drop("allowed"),
+      gated)
+  }
 
-    val budgets = hostBudgets(allowed, limits, cfg)
+  /** Rank pre-gated candidates within host and keep rank ≤ budget (W2),
+    * then the W4 global cap. The candidate set is SMALL (one batch
+    * partition + the carry delta), never the whole frontier. */
+  def rankSelect(candidates: DataFrame, limits: DataFrame, cfg: Config): DataFrame = {
+    val budgets = hostBudgets(candidates, limits, cfg)
     val w = Window.partitionBy(col("host"))
       .orderBy(desc_nulls_last("priority"), asc("url"))
-    val selected = allowed
+    val selected = candidates
       .join(budgets, Seq("host"), "left")
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= coalesce(col("budget"), lit(1L)))
@@ -80,12 +115,39 @@ object Scheduler {
     // LAST, host, rank); (host, rank) is unique so the order is total.
     // orderBy+limit → TakeOrderedAndProject (per-partition heap), not a
     // global sort; g is small by definition (a per-round request cap).
-    val capped = cfg.globalBudget match {
+    cfg.globalBudget match {
       case Some(g) => selected
         .orderBy(desc_nulls_last("priority"), asc("host"), asc("rank"))
         .limit(g.toInt)
       case None => selected
     }
-    (capped, denied, gated)
+  }
+
+  /** One scheduling pass over a full frontier: robots-gate then rank.
+    * Returns (selected, robotsDenied, gateCache). Kept as the simple
+    * single-shot API; the crawl loop uses robotsGate at insert +
+    * assignBatches per epoch + rankSelect per round instead. */
+  def schedule(frontier: DataFrame, robots: DataFrame, limits: DataFrame, cfg: Config)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val (allowed, denied, gated) = robotsGate(frontier, robots)
+    (rankSelect(allowed, limits, cfg), denied, gated)
+  }
+
+  /** W2 one-shot batch assignment (SURVEY §2.6): rank the WHOLE frontier
+    * per host once per scheduling epoch and assign
+    * `batch_no = (rank-1) / host_budget`; round k of the epoch consumes
+    * only batch k (a partition-pruned scan of a partitionBy("batch_no")
+    * table). The O(frontier) window runs once per EPOCH, not per round —
+    * per-round scheduling cost is O(batch + carry). */
+  def assignBatches(frontier: DataFrame, limits: DataFrame, cfg: Config): DataFrame = {
+    val budgets = hostBudgets(frontier, limits, cfg)
+    val w = Window.partitionBy(col("host"))
+      .orderBy(desc_nulls_last("priority"), asc("url"))
+    frontier
+      .join(budgets, Seq("host"), "left")
+      .withColumn("rank", row_number().over(w))
+      .withColumn("batch_no",
+        floor((col("rank") - 1) / coalesce(col("budget"), lit(1L))).cast("int"))
+      .drop("rank", "budget")
   }
 }

@@ -1,7 +1,8 @@
 package graft.jobs
 
-import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.BloomFilter
 
 import graft.checkpoint.SnapshotStore
 import graft.chunk.{ChunkRec, Chunker}
@@ -10,16 +11,37 @@ import graft.html.{Doc, DocRender}
 import graft.model._
 import graft.robots.Robots
 import graft.sitemap.Sitemap
-import graft.url.UrlCanonical
 
-/** The crawl round loop (SURVEY.md §3.2):
+/** The crawl round loop (SURVEY.md §3.2), epoch-batched:
   *
-  *   frontier Δ → canonicalize → dropDuplicates(url_hash)   [shuffle: by key]
-  *     → Bloom + left_anti vs seen snapshot (J1)
-  *     → robots gate (F7) → window-rank per host ≤ budget (W2)  [shuffle: by host]
-  *     → inner join pages ("fetch", J4)                         [shuffle, AQE skew]
+  *   EPOCH (once per many rounds): remaining frontier ∪ carry
+  *     → merge (min depth, max priority) → robots gate at INSERT only
+  *     → window-rank per host → batch_no = (rank-1)/budget (W2)
+  *     → write partitionBy(batch_no)                     [O(frontier), amortized]
+  *   ROUND k of the epoch:
+  *     candidates = assigned[batch_no = k] (partition-pruned scan) ∪ carry
+  *     → merge → Bloom + left_anti vs seen (J1)
+  *     → rank ≤ budget within candidates (W2) + W4 cap   [O(batch + carry)]
+  *     → inner join pages ("fetch", J4)
   *     → one-pass parse → markdown/outlinks/chunks (P4/P8/G1)
-  *     → commit snapshot: seen ∪ batch, frontier′, results, chunks, trace
+  *     → new links: canonicalize → seen filter → robots gate (insert-time F7)
+  *     → carry′ = unselected candidates ∪ new allowed links  [∝ delta, NOT frontier]
+  *     → commit snapshot: seen_delta, carry, results, chunks, trace
+  *
+  * Correctness vs the sequential reference (RefCrawl): per-host batches
+  * under a FIXED ranking key (priority DESC NULLS LAST, url ASC) are
+  * stable under epoch re-assignment — consuming batch k of a one-shot
+  * ranking equals re-ranking each round, and any entry inserted later
+  * (carry) either outranks batch-k rows (then it wins the in-candidate
+  * ranking, exactly as the reference's full re-rank would) or waits.
+  * Link-discovered rows never carry priority, so an entry's ranking key
+  * never changes after first insert; duplicate carry copies of an
+  * assigned url always rank at-or-below their assigned copy and thus
+  * are never selected before their batch surfaces (they only ferry the
+  * min-depth merge). Robots rules are static per crawl, so gating at
+  * insert (discovery round) instead of at schedule (discovery+1) yields
+  * the identical trace and final seen set. CrawlParitySpec holds the
+  * trace/seen equivalence against RefCrawl.
   *
   * Every round commits to the SnapshotStore; a killed run resumes from
   * the latest complete snapshot with identical results (order parity is
@@ -69,9 +91,32 @@ object CrawlJob {
     robotsDf.as[(String, String)].map { case (host, body) => Robots.parse(host, body) }
   }
 
+  private def frontierCols = Seq("url", "url_hash", "host", "depth", "priority")
+
+  private def emptyFrontier(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(String, Long, String, Int, Option[Double])]
+      .toDF(frontierCols: _*)
+  }
+
+  /** Deterministic frontier merge on rediscovery: keep min depth, max
+    * priority (max ignores nulls — link-discovered entries carry none).
+    * Mirrors RefCrawl.addFrontier's merge. */
+  private def mergeFrontier(df: DataFrame): DataFrame =
+    df.groupBy("url_hash", "url", "host")
+      .agg(min("depth").as("depth"), max("priority").as("priority"))
+      .select(frontierCols.map(col): _*)
+
   /** Round-0 frontier: seeds file (S1 semantics: skip blank + `#` lines)
     * ∪ sitemap expansion for seed hosts (S2/S3: robots Sitemap: lines →
-    * recursive index-aware parse, domain-substring filter F1). */
+    * recursive index-aware parse, domain-substring filter F1).
+    *
+    * The sitemap-index recursion is a DISTRIBUTED dataset fixpoint
+    * (union + anti-join per level, F5 dedup by sitemap url), not a
+    * driver loop over collected XML: each pass parses every pending
+    * sitemap body in executors; the driver sees only row counts. Depth
+    * of real sitemap-index nesting is tiny (≤ a few levels), so the
+    * fixpoint converges in a handful of distributed passes. */
   def initialFrontier(spark: SparkSession, siteDir: String, rules: Dataset[RobotsRules]): DataFrame = {
     import spark.implicits._
     val seedsRaw = spark.read.text(s"$siteDir/seeds.txt")
@@ -81,44 +126,52 @@ object CrawlJob {
       .select(col("url"), col("url_hash"), col("host"),
         lit(0).as("depth"), lit(null).cast("double").as("priority"))
 
-    // sitemap discovery for seed hosts (tiny per-host tables; collected
-    // recursion mirrors _process_sitemap's seen-set loop)
-    val seedHosts = seeds.select("host").distinct().as[String].collect().toSet
-    val sitemapBodies = spark.read.parquet(s"$siteDir/sitemaps.parquet")
-      .as[(String, String, String)].collect()
-      .map { case (_, url, xml) => url -> xml }.toMap
-    val robotsSitemaps = rules.collect()
-      .filter(r => seedHosts.contains(r.host))
-      .flatMap(r => r.sitemaps.map(s => (r.host, s)))
+    val bodies = spark.read.parquet(s"$siteDir/sitemaps.parquet")
+      .select(col("url").as("sm_url"), col("xml"))
+    val seedHosts = seeds.select("host").distinct()
 
-    val entries = Seq.newBuilder[(String, String, Double)] // (host, loc, priority) priority NaN = null
-    val processed = scala.collection.mutable.Set.empty[String]
-    val queue = scala.collection.mutable.Queue.empty[(String, String)]
-    robotsSitemaps.foreach(queue.enqueue(_))
-    while (queue.nonEmpty) {
-      val (host, smUrl) = queue.dequeue()
-      if (!processed.contains(smUrl)) { // F5 dedup (sitemap_utils.py:313-318)
-        processed += smUrl
-        sitemapBodies.get(smUrl).foreach { xml =>
-          val r = Sitemap.parse(xml, smUrl)
-          r.childSitemaps.foreach(c => queue.enqueue((host, c)))
-          r.entries.foreach { e =>
-            // F1: substring domain filter (sitemap_utils.py:400-407)
-            if (e.loc.contains(host)) entries += ((host, e.loc, e.priority.getOrElse(Double.NaN)))
-          }
-        }
-      }
+    // S2: sitemap urls declared by seed hosts' robots — join, no collect
+    var pending = rules.toDF()
+      .select(col("host").as("sm_host"), explode(col("sitemaps")).as("sm_url"))
+      .join(seedHosts.withColumnRenamed("host", "sm_host"), Seq("sm_host"))
+      .groupBy("sm_url").agg(min("sm_host").as("sm_host")) // F5: one parse per sitemap url
+      .localCheckpoint()
+    var processed = pending.select("sm_url").limit(0)
+    val entryParts = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    var level = 0
+    while (level < 16 && !pending.isEmpty) {
+      val parsed = pending.join(bodies, Seq("sm_url"))
+        .select("sm_host", "sm_url", "xml").as[(String, String, String)]
+        .map { case (h, u, xml) =>
+          val r = Sitemap.parse(xml, u)
+          (h, r.entries.map(e => (e.loc, e.priority)), r.childSitemaps)
+        }.toDF("sm_host", "locs", "children")
+        .localCheckpoint() // materialize: one parse pass, lineage cut per level
+      entryParts += parsed.select(col("sm_host"), explode(col("locs")).as("e"))
+        .select(col("sm_host"), col("e._1").as("loc"), col("e._2").as("pr"))
+      processed = processed.unionByName(pending.select("sm_url")).distinct().localCheckpoint()
+      pending = parsed.select(col("sm_host"), explode(col("children")).as("sm_url"))
+        .join(processed, Seq("sm_url"), "left_anti")
+        .groupBy("sm_url").agg(min("sm_host").as("sm_host"))
+        .localCheckpoint()
+      level += 1
     }
-    val sitemapSeeds = entries.result().toDF("seed_host", "raw_url", "pr")
-    val sitemapFrontier = Frontier.withFrontierKeys(sitemapSeeds, "raw_url")
-      .select(col("url"), col("url_hash"), col("host"), lit(0).as("depth"),
-        when(isnan(col("pr")), lit(null).cast("double")).otherwise(col("pr")).as("priority"))
+
+    val sitemapFrontier = if (entryParts.isEmpty) emptyFrontier(spark) else {
+      val entries = entryParts.reduce(_ unionByName _)
+        // F1: substring domain filter (sitemap_utils.py:400-407)
+        .filter(col("loc").contains(col("sm_host")))
+      Frontier.withFrontierKeys(entries, "loc")
+        .select(col("url"), col("url_hash"), col("host"), lit(0).as("depth"),
+          col("pr").as("priority"))
+    }
 
     seeds.unionByName(sitemapFrontier)
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("url_hash")
           .orderBy(desc_nulls_last("priority"), asc("url"))))
       .filter(col("rn") === 1).drop("rn")
+      .select(frontierCols.map(col): _*)
   }
 
   /** One-pass extract: html → Doc → (markdown, outlinks, chunks). */
@@ -143,7 +196,6 @@ object CrawlJob {
           cfg: Scheduler.Config = Scheduler.Config(),
           maxRounds: Int = 50,
           bloomThreshold: Long = 100000L): Int = {
-    import spark.implicits._
     val store = new SnapshotStore(workDir)
     val pages = spark.read.parquet(s"$siteDir/pages.parquet")
     val rules = robotsRules(spark, spark.read.parquet(s"$siteDir/robots.parquet")).cache()
@@ -151,24 +203,70 @@ object CrawlJob {
     val limits = spark.read.parquet(s"$siteDir/host_limits.parquet")
 
     var round = store.latestVersion.map(_ + 1).getOrElse(0)
-    var frontier: DataFrame =
-      if (round == 0) initialFrontier(spark, siteDir, rules)
-      else store.readTable(spark, round - 1, "frontier")
+
+    // ---- epoch + carry state (resumable from the last manifest) ----
+    var assignedPath: String = null
+    var epochStart = 0
+    var assignedTotal = 0L // rows assigned at the epoch boundary
+    var consumed = 0L // assigned rows whose batch has been consumed
+    var maxBatch = -1
+    var carryDf: DataFrame = emptyFrontier(spark)
+    var carryCount = 0L
+    if (round > 0) {
+      val m = store.manifest(round - 1)
+      epochStart = m.metrics("epoch_start").toInt
+      assignedTotal = m.metrics("assigned_total").toLong
+      consumed = m.metrics("assigned_consumed").toLong
+      maxBatch = m.metrics("assigned_max_batch").toInt
+      assignedPath = m.tables("assigned").path
+      carryDf = store.readTable(spark, round - 1, "carry")
+      carryCount = m.tables("carry").rows
+    }
+
     // seen is committed as per-round DELTAS (append semantics, like a
     // real Iceberg append — a full rewrite per round would be quadratic
     // in total crawl size); the live set is a FLAT multi-path read over
-    // all deltas (not an incremental union DAG, which would deepen the
-    // plan every round).
-    var seenPaths: Seq[String] =
-      if (round == 0) Nil
-      else (0 until round).map(v => store.manifest(v).tables("seen_delta").path)
-    def seenDf: DataFrame =
-      if (seenPaths.isEmpty) frontier.filter(lit(false)).select("url_hash", "url")
-      else spark.read.parquet(seenPaths: _*).select("url_hash", "url")
-    var seen: DataFrame = seenDf
-    var seenCount: Long =
-      if (round == 0) 0L
-      else (0 until round).map(v => store.manifest(v).tables("seen_delta").rows).sum
+    // the ACTIVE deltas (not an incremental union DAG, which would deepen
+    // the plan every round). With a TTL (cache.py:211-311 recrawl
+    // semantics) the active window excludes deltas older than
+    // ttl rounds — an expired url blocks nothing and a link-rediscovery
+    // re-fetches it. The cumulative Bloom may still contain expired urls:
+    // that is only a false "maybe-seen", corrected by the exact anti-join
+    // over the active window.
+    var seenMeta: Vector[(Int, String, Long)] =
+      if (round == 0) Vector.empty
+      else (0 until round).map { v =>
+        val t = store.manifest(v).tables("seen_delta"); (v, t.path, t.rows)
+      }.toVector
+    def activeSeenMeta(r: Int): Vector[(Int, String, Long)] = cfg.seenTtlRounds match {
+      case Some(ttl) => seenMeta.filter { case (v, _, _) => r - v <= ttl }
+      case None => seenMeta
+    }
+    def seenDfAt(r: Int): DataFrame = {
+      val paths = activeSeenMeta(r).map(_._2)
+      if (paths.isEmpty) emptyFrontier(spark).select("url_hash", "url")
+      else spark.read.parquet(paths: _*).select("url_hash", "url")
+    }
+    var seen: DataFrame = seenDfAt(round)
+    var seenCount: Long = activeSeenMeta(round).map(_._3).sum
+
+    // Bloom sketch maintained INCREMENTALLY: built once (resume) over the
+    // full seen set, then per-round delta sketches (same capacity/fpp →
+    // compatible bit arrays) merged in — no O(seen) aggregation per round.
+    // Rebuilt (amortized, geometric) when the capacity is outgrown.
+    var bloomCap = math.max(bloomThreshold * 8, seenCount * 4).max(1024L)
+    var bloom: Option[BloomFilter] =
+      if (seenCount > bloomThreshold) Some(Frontier.buildBloom(seen, bloomCap)) else None
+    def bloomAdd(delta: DataFrame): Unit = {
+      if (seenCount > bloomThreshold) {
+        if (bloom.isEmpty || seenCount > bloomCap / 2) {
+          bloomCap = math.max(seenCount * 4, bloomCap)
+          bloom = Some(Frontier.buildBloom(seen, bloomCap))
+        } else {
+          bloom.get.mergeInPlace(Frontier.buildBloom(delta, bloomCap))
+        }
+      }
+    }
 
     val debugTiming = sys.env.contains("GRAFT_TIMING")
     var tPhase = System.nanoTime()
@@ -179,123 +277,194 @@ object CrawlJob {
         tPhase = now
       }
     }
+
     var done = false
     while (!done && round < maxRounds) {
       val t0 = System.nanoTime()
       tPhase = t0
-      frontier = frontier.dropDuplicates("url_hash").cache()
-      val bloom = if (seenCount > bloomThreshold)
-        Some(Frontier.buildBloom(seen, seenCount)) else None
-      val fresh = Frontier.notSeen(frontier, seen, bloom)
-      phase("dedup+seen+bloom")
+      var batchIdx = round - epochStart
+      // refresh the seen window (it shifts per round under a TTL)
+      if (cfg.seenTtlRounds.isDefined) {
+        seen = seenDfAt(round)
+        seenCount = activeSeenMeta(round).map(_._3).sum
+      }
 
-      val (selected, denied, gateCache) = Scheduler.schedule(fresh, robotsDf, limits, cfg)
-      val nScheduled = selected.count()
-      val nDenied = denied.count() // cheap: filter over the cached gate
-      phase("schedule")
-      if (nScheduled == 0 && nDenied == 0) {
+      // ---- epoch boundary: one-shot W2 batch assignment ----
+      // Triggered when the epoch's batches are exhausted or the carry
+      // outgrows what remains assigned (amortized-geometric: total
+      // re-assignment work over the crawl is O(frontier · log), never
+      // O(rounds · frontier)). Assignment is a pure re-ordering under a
+      // fixed ranking key, so WHEN it happens cannot change the trace.
+      var epochDenied: DataFrame = null
+      var epochGate: DataFrame = null
+      var nEpochDenied = 0L
+      if (assignedPath == null || batchIdx > maxBatch || carryCount > (assignedTotal - consumed)) {
+        val input =
+          if (round == 0) initialFrontier(spark, siteDir, rules)
+          else spark.read.parquet(assignedPath)
+            .filter(col("batch_no") >= batchIdx).drop("batch_no")
+            .unionByName(carryDf)
+        val fresh = Frontier.notSeen(mergeFrontier(input), seen, bloom)
+        // F7 at insert: only the round-0 input is un-gated (later epochs
+        // re-rank rows that were gated when they were first inserted)
+        val allowed = if (round == 0) {
+          val (alw, den, gate) = Scheduler.robotsGate(fresh, robotsDf)
+          epochDenied = den; epochGate = gate
+          nEpochDenied = den.count()
+          alw
+        } else fresh
+        val path = s"${store.root}/data/v$round/assigned"
+        Scheduler.assignBatches(allowed, limits, cfg)
+          .write.partitionBy("batch_no").mode("overwrite").parquet(path)
+        val assigned = spark.read.parquet(path)
+        assignedTotal = assigned.count()
+        maxBatch =
+          if (assignedTotal == 0) -1
+          else assigned.agg(max("batch_no")).head.getInt(0)
+        assignedPath = path
+        epochStart = round
+        batchIdx = 0
+        consumed = 0
+        carryDf = emptyFrontier(spark)
+        carryCount = 0
+        phase("epoch-assign")
+      }
+
+      if (assignedTotal == 0 && nEpochDenied == 0) {
         done = true
-        gateCache.unpersist(); frontier.unpersist()
+        if (epochGate != null) epochGate.unpersist()
       } else {
-        // "fetch" = equi join against the pages table (J4). The batch is
-        // politeness-budget-bounded, so broadcast IT into the pages scan:
-        // pages stream through a hash probe with no shuffle/sort of the
-        // (html-payload-heavy) big side. An SMJ here re-sorts the whole
-        // pages table every round. At the 10^10 design point with 10^8
-        // batches, the equivalent is a bucketed/storage-partitioned pages
-        // table joined on url_hash (no big-side shuffle either); AQE
-        // skew-join covers the fallback path.
-        val fetched =
-          if (nScheduled <= 2000000L)
-            pages.join(broadcast(selected.select("url", "url_hash", "host", "depth", "rank")), Seq("url"), "inner")
-          else selected.join(pages, Seq("url"), "inner")
-        // one typed parse pass written STRAIGHT to the snapshot's results
-        // table (markdown + outlinks + chunk structs inline) — parquet IS
-        // the round's materialization; persist()/cache() of this wide DF
-        // costs more than the parquet write (in-memory columnar builders
-        // on big string columns) and a second consumer would re-parse.
-        // All derived tables read back columnar + pruned.
-        val resultsPath = s"${store.root}/data/v$round/results"
-        extract(spark, fetched, cfg).toDF()
-          .withColumn("round", lit(round))
-          .write.mode("overwrite").parquet(resultsPath)
-        val extracted = spark.read.parquet(resultsPath)
-        val nFetched = extracted.count() // parquet metadata count
-        phase("fetch+extract")
+        // ---- round: consume ONE batch partition + the carry ----
+        val batchDf =
+          if (assignedTotal == 0) emptyFrontier(spark)
+          else spark.read.parquet(assignedPath)
+            .filter(col("batch_no") === batchIdx).drop("batch_no")
+            .select(frontierCols.map(col): _*)
+        val nBatchRows = batchDf.count() // partition-pruned metadata count
+        val fresh = Frontier.notSeen(
+          mergeFrontier(batchDf.unionByName(carryDf)), seen, bloom).cache()
+        val selected = Scheduler.rankSelect(fresh, limits, cfg).cache()
+        val nScheduled = selected.count()
+        phase("schedule")
 
-        val chunks = extracted
-          .select(explode(col("chunks")).as("c")).select(col("c.*"))
-          .withColumn("round", lit(round))
-        val nChunks = extracted.agg(coalesce(sum(size(col("chunks"))), lit(0L)))
-          .head.getLong(0)
-        phase("chunk-count")
+        if (nScheduled == 0 && nEpochDenied == 0) {
+          // candidates exhausted (batches and carry both dry) → crawl done
+          done = true
+          fresh.unpersist(); selected.unpersist()
+          if (epochGate != null) epochGate.unpersist()
+        } else {
+          // "fetch" = equi join against the pages table (J4). The batch is
+          // politeness-budget-bounded, so broadcast IT into the pages scan:
+          // pages stream through a hash probe with no shuffle/sort of the
+          // (html-payload-heavy) big side. An SMJ here re-sorts the whole
+          // pages table every round. At the 10^10 design point with 10^8
+          // batches, the equivalent is a bucketed/storage-partitioned pages
+          // table joined on url_hash (no big-side shuffle either); AQE
+          // skew-join covers the fallback path.
+          val fetched =
+            if (nScheduled <= 2000000L)
+              pages.join(broadcast(selected.select("url", "url_hash", "host", "depth", "rank")), Seq("url"), "inner")
+            else selected.join(pages, Seq("url"), "inner")
+          // one typed parse pass written STRAIGHT to the snapshot's results
+          // table (markdown + outlinks + chunk structs inline) — parquet IS
+          // the round's materialization; persist()/cache() of this wide DF
+          // costs more than the parquet write (in-memory columnar builders
+          // on big string columns) and a second consumer would re-parse.
+          // All derived tables read back columnar + pruned.
+          val resultsPath = s"${store.root}/data/v$round/results"
+          extract(spark, fetched, cfg).toDF()
+            .withColumn("round", lit(round))
+            .write.mode("overwrite").parquet(resultsPath)
+          val extracted = spark.read.parquet(resultsPath)
+          val nFetched = extracted.count() // parquet metadata count
+          phase("fetch+extract")
 
-        // frontier growth: outlinks → canonical keys → depth+1 (G6)
-        val newLinks0 = extracted
-          .select(explode(col("outlinks")).as("raw_url"), (col("depth") + 1).as("depth"))
-          .filter(col("depth") <= cfg.maxDepth)
-        val newLinks = Frontier.withFrontierKeys(newLinks0, "raw_url")
-          .groupBy("url", "url_hash", "host")
-          .agg(min("depth").as("depth"))
-          .withColumn("priority", lit(null).cast("double"))
-          .select("url", "url_hash", "host", "depth", "priority")
+          val chunks = extracted
+            .select(explode(col("chunks")).as("c")).select(col("c.*"))
+            .withColumn("round", lit(round))
+          val nChunks = extracted.agg(coalesce(sum(size(col("chunks"))), lit(0L)))
+            .head.getLong(0)
+          phase("chunk-count")
 
-        // seen ∪= everything scheduled this round (fetched or missing) +
-        // robots-denied (never retried — reference treats denied as done)
-        val seenDelta = selected.select("url_hash", "url")
-          .unionByName(denied.select("url_hash", "url"))
+          // seen ∪= selected this round; denied are folded in below
+          val seenSel = selected.select("url_hash", "url")
 
-        // frontier′ = (frontier − scheduled − denied) ∪ new links, minus seen
-        val remaining = frontier.join(seenDelta.select("url_hash"), Seq("url_hash"), "left_anti")
-        // deterministic merge on rediscovery: keep min depth, max priority
-        // (max ignores nulls — link-discovered entries carry none)
-        val newFrontier = remaining
-          .unionByName(Frontier.notSeen(newLinks, seen, bloom)
-            .join(seenDelta.select("url_hash"), Seq("url_hash"), "left_anti"))
-          .groupBy("url_hash", "url", "host")
-          .agg(min("depth").as("depth"), max("priority").as("priority"))
-          .select("url", "url_hash", "host", "depth", "priority")
+          // frontier growth: outlinks → canonical keys → depth+1 (G6),
+          // seen-filtered, then robots-gated AT INSERT (F7)
+          val newLinks0 = extracted
+            .select(explode(col("outlinks")).as("raw_url"), (col("depth") + 1).as("depth"))
+            .filter(col("depth") <= cfg.maxDepth)
+          val newLinks = Frontier.withFrontierKeys(newLinks0, "raw_url")
+            .groupBy("url", "url_hash", "host")
+            .agg(min("depth").as("depth"))
+            .withColumn("priority", lit(null).cast("double"))
+            .select(frontierCols.map(col): _*)
+          val newFresh = Frontier.notSeen(newLinks, seen, bloom)
+            .join(seenSel.select("url_hash"), Seq("url_hash"), "left_anti")
+          val (newAllowed, newDenied, newGate) = Scheduler.robotsGate(newFresh, robotsDf)
+          val nNewDenied = newDenied.count()
 
-        val trace = selected.select(lit(round).as("round"), col("host"), col("rank"), col("url"))
-        val nMissing = nScheduled - nFetched
-        // write-then-count: computing the anti-join chain once for a
-        // count and again for the commit write would double the work
-        val frontierPath = s"${store.root}/data/v$round/frontier"
-        newFrontier.write.mode("overwrite").parquet(frontierPath)
-        val nNewFrontier = spark.read.parquet(frontierPath).count() // metadata count
-        phase("frontier-merge")
-        val elapsed = (System.nanoTime() - t0) / 1e9
+          val seenDelta = {
+            val d = seenSel.unionByName(newDenied.select("url_hash", "url"))
+            if (epochDenied != null) d.unionByName(epochDenied.select("url_hash", "url")) else d
+          }
+          val nDenied = nNewDenied + nEpochDenied
 
-        store.commit(spark, round,
-          Map(
-            "seen_delta" -> seenDelta,
-            "chunks" -> chunks,
-            "trace" -> trace),
-          Map(
-            "scheduled" -> nScheduled.toDouble,
-            "fetched" -> nFetched.toDouble,
-            "missing" -> nMissing.toDouble,
-            "robots_denied" -> nDenied.toDouble,
-            "new_frontier" -> nNewFrontier.toDouble,
-            "chunks" -> nChunks.toDouble,
-            "elapsed_sec" -> elapsed),
-          partitionKeyCol = Some("host"),
-          knownCounts = Map(
-            "frontier" -> nNewFrontier,
-            "seen_delta" -> (nScheduled + nDenied),
-            "results" -> nFetched,
-            "chunks" -> nChunks,
-            "trace" -> nScheduled),
-          preWritten = Map("results" -> resultsPath, "frontier" -> frontierPath))
-        phase("commit")
+          // carry′ = unselected candidates ∪ new allowed links — size is
+          // ∝ the round's delta + displaced rows, NOT the total frontier
+          val carryNext = mergeFrontier(
+            fresh.join(selected.select("url_hash"), Seq("url_hash"), "left_anti")
+              .unionByName(newAllowed))
 
-        gateCache.unpersist(); frontier.unpersist()
-        frontier = store.readTable(spark, round, "frontier")
-        seenPaths = seenPaths :+ store.manifest(round).tables("seen_delta").path
-        seen = seenDf
-        seenCount += nScheduled + nDenied
-        round += 1
-        if (nNewFrontier == 0) done = true
+          val trace = selected.select(lit(round).as("round"), col("host"), col("rank"), col("url"))
+          val nMissing = nScheduled - nFetched
+          val elapsed = (System.nanoTime() - t0) / 1e9
+
+          store.commit(spark, round,
+            Map(
+              "seen_delta" -> seenDelta,
+              "chunks" -> chunks,
+              "trace" -> trace,
+              "carry" -> carryNext),
+            Map(
+              "scheduled" -> nScheduled.toDouble,
+              "fetched" -> nFetched.toDouble,
+              "missing" -> nMissing.toDouble,
+              "robots_denied" -> nDenied.toDouble,
+              "chunks" -> nChunks.toDouble,
+              "elapsed_sec" -> elapsed,
+              "epoch_start" -> epochStart.toDouble,
+              "assigned_total" -> assignedTotal.toDouble,
+              "assigned_consumed" -> (consumed + nBatchRows).toDouble,
+              "assigned_max_batch" -> maxBatch.toDouble),
+            partitionKeyCol = Some("host"),
+            knownCounts = Map(
+              "seen_delta" -> (nScheduled + nDenied),
+              "results" -> nFetched,
+              "chunks" -> nChunks,
+              "trace" -> nScheduled,
+              "assigned" -> assignedTotal),
+            preWritten = Map("results" -> resultsPath, "assigned" -> assignedPath))
+          phase("commit")
+
+          // advance state from the committed manifest
+          val m = store.manifest(round)
+          carryCount = m.tables("carry").rows
+          carryDf = store.readTable(spark, round, "carry")
+          consumed += nBatchRows
+          val sdPath = m.tables("seen_delta").path
+          seenMeta = seenMeta :+ ((round, sdPath, nScheduled + nDenied))
+          seen = seenDfAt(round)
+          seenCount += nScheduled + nDenied
+          bloomAdd(spark.read.parquet(sdPath))
+          phase("bloom")
+
+          fresh.unpersist(); selected.unpersist(); newGate.unpersist()
+          if (epochGate != null) epochGate.unpersist()
+          round += 1
+          // all batches consumed and nothing carried → finished
+          if (carryCount == 0 && round - epochStart > maxBatch) done = true
+        }
       }
     }
     round - 1
@@ -307,7 +476,8 @@ object CrawlJob {
     val workDir = args(1)
     val cpus = if (args.length > 2) args(2).toInt else 8
     val spark = session(cpus)
-    val last = run(spark, siteDir, workDir)
+    // layered config: defaults ← spark.graft.* conf (spark-submit --conf)
+    val last = run(spark, siteDir, workDir, Scheduler.Config.fromSpark(spark))
     val store = new SnapshotStore(workDir)
     val seenTotal = (0 to last).map(v => store.manifest(v).tables("seen_delta").rows).sum
     val resTotal = (0 to last).map(v => store.manifest(v).tables("results").rows).sum

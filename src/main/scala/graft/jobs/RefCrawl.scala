@@ -35,7 +35,11 @@ object RefCrawl {
       maxRounds: Int = 50,
       chunkSize: Int = 1000,
       chunkOverlap: Int = 200,
-      globalBudget: Option[Long] = None): Result = {
+      globalBudget: Option[Long] = None,
+      // TTL/recrawl semantics (cache.py:211-311): a url seen at round r0
+      // blocks re-entry only while round - r0 <= ttl; after expiry a
+      // link-rediscovery re-fetches it.
+      seenTtlRounds: Option[Int] = None): Result = {
 
     def rpsOf(host: String): Double =
       limits.getOrElse(host,
@@ -44,15 +48,20 @@ object RefCrawl {
         }.getOrElse(defaultRps))
     def budgetOf(host: String): Int = math.max(1, math.floor(rpsOf(host) * roundSeconds).toInt)
 
-    // frontier entry: url -> (depth, priority)
+    // frontier entry: url -> (depth, priority); seen: url -> last-seen round
     val frontier = mutable.Map.empty[String, (Int, Option[Double])]
-    val seen = mutable.Set.empty[String]
+    val seen = mutable.Map.empty[String, Int]
+    var curRound = 0
+    def isSeen(key: String): Boolean = seen.get(key) match {
+      case Some(r0) => seenTtlRounds.forall(ttl => curRound - r0 <= ttl)
+      case None => false
+    }
     val trace = Seq.newBuilder[TraceRow]
     var chunkCount = 0L
 
     def addFrontier(url: String, depth: Int, priority: Option[Double]): Unit = {
       val key = Frontier.canonicalKey(url)
-      if (key != null && !seen.contains(key)) {
+      if (key != null && !isSeen(key)) {
         frontier.get(key) match {
           case Some((d, p)) =>
             val bestP = (p, priority) match {
@@ -99,7 +108,7 @@ object RefCrawl {
           case None => true
         }
       }
-      denied.foreach { case (url, _) => seen += url; frontier.remove(url) }
+      denied.foreach { case (url, _) => seen(url) = round; frontier.remove(url) }
 
       // per-host ranking: (priority DESC NULLS LAST, url ASC), take budget
       val byHost = allowed.groupBy { case (url, _) => UrlCanonical.hostOf(url) }
@@ -122,7 +131,7 @@ object RefCrawl {
       progress = batch.nonEmpty || denied.nonEmpty
       batch.foreach { case (host, rank, url, depth) =>
         trace += TraceRow(round, host, rank, url)
-        seen += url
+        seen(url) = round
         frontier.remove(url)
         pages.get(url).foreach { html =>
           val md = graft.html.DocRender.toMarkdown(Doc.fromHtml(html, url))
@@ -132,7 +141,8 @@ object RefCrawl {
         }
       }
       if (batch.nonEmpty || denied.nonEmpty) round += 1
+      curRound = round
     }
-    Result(trace.result(), seen.toSet, chunkCount)
+    Result(trace.result(), seen.keySet.toSet, chunkCount)
   }
 }

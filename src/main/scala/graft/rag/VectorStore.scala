@@ -1,0 +1,81 @@
+package graft.rag
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.checkpoint.SnapshotStore
+
+/** Versioned vector table with idempotent merge-by-id upserts — the
+  * reference's qdrant-backed store re-expressed over the snapshot log
+  * (/root/reference/RAGnificent/rag/vector_store.py:240-324:
+  * batched upserts keyed by id, dimension-mismatch recreate, payload
+  * carry).
+  *
+  * Semantics per upsert version:
+  *   - merge-by-id: incoming rows REPLACE same-id rows, others carried
+  *   - dim mismatch vs the live table → recreate (drop existing), like
+  *     vector_store.py:272-284's collection recreate
+  *   - payload columns (everything but the vector) carried through;
+  *     schema widens by name on merge
+  *
+  * The merge here is copy-on-write (read latest + anti-join + union →
+  * write next version), which is the Iceberg MERGE INTO COW strategy; at
+  * 100 TB you'd flip to merge-on-read (commit the upsert batch as a delta
+  * keyed by id, compact periodically) — the SnapshotStore layout already
+  * supports that (per-version delta tables + a compaction version), the
+  * read path just gains a latest-wins window. Upserts are idempotent:
+  * re-applying the same batch yields an identical table. */
+final class VectorStore(val root: String, val table: String = "vectors") {
+  private val store = new SnapshotStore(root)
+
+  def latestVersion: Option[Int] = store.latestVersion
+
+  def read(spark: SparkSession): Option[DataFrame] =
+    store.latestVersion.map(v => store.readTable(spark, v, table))
+
+  private def dimOf(df: DataFrame, vecCol: String): Option[Int] =
+    df.select(size(col(vecCol))).limit(1).collect().headOption.map(_.getInt(0))
+
+  /** Merge-by-id upsert. Returns the committed version. */
+  def upsert(spark: SparkSession, docs: DataFrame,
+             idCol: String = "id", vecCol: String = "embedding"): Int = {
+    // vector_store.py:262-265: only rows that actually carry a vector
+    val valid = docs.filter(col(vecCol).isNotNull)
+    val newDim = dimOf(valid, vecCol)
+    val current = read(spark)
+    val merged = current match {
+      case Some(old) if newDim.nonEmpty && dimOf(old, vecCol) == newDim =>
+        old.join(valid.select(idCol).distinct(), Seq(idCol), "left_anti")
+          .unionByName(valid, allowMissingColumns = true)
+      case Some(_) => valid // dim mismatch (or empty live table) → recreate
+      case None => valid
+    }
+    val v = store.latestVersion.map(_ + 1).getOrElse(0)
+    val rows = merged.count()
+    // count once, write once: commit recounts from footers otherwise
+    store.commit(spark, v, Map(table -> merged),
+      metrics = Map("upserted" -> valid.count().toDouble, "dim" -> newDim.getOrElse(0).toDouble),
+      knownCounts = Map(table -> rows))
+    v
+  }
+
+  /** W5 search: cosine top-k with score threshold (search.py:148-243).
+    * threshold filters BEFORE the top-k heap; rerank=true fetches 2·k
+    * then applies the reference rerank formula (W6) over `contentCol`. */
+  def search(spark: SparkSession, query: Array[Float], k: Int,
+             threshold: Double = 0.0,
+             idCol: String = "id", vecCol: String = "embedding",
+             rerank: Boolean = false, rerankQuery: String = "",
+             contentCol: String = "content"): DataFrame = {
+    val base = read(spark).getOrElse(return spark.emptyDataFrame) // no collection yet → [] (search.py:238-243)
+    val scored = base
+      .withColumn("score", round(graft.sim.Similarity.cosineToQuery(col(vecCol), query), 6))
+      .filter(col("score") >= threshold)
+    if (rerank) {
+      val fetched = scored.orderBy(desc("score"), asc(idCol)).limit(k * 2)
+      graft.text.PipelineOps.rerank(fetched, "score", contentCol, rerankQuery, k)
+    } else {
+      scored.orderBy(desc("score"), asc(idCol)).limit(k)
+    }
+  }
+}

@@ -1,0 +1,73 @@
+package graft.search
+
+import scala.collection.mutable
+
+/** TTL'd query-result cache fronting a search function — the reference's
+  * `_check_cache`/`_cache_results` pair
+  * (/root/reference/RAGnificent/rag/search.py:113-146): key =
+  * "query:limit", entries expire after `ttlSeconds`, and once the map
+  * exceeds `maxEntries` a put sweeps out every expired entry.
+  *
+  * This is DRIVER-side state by design: search results are top-k lists
+  * (tiny), query traffic is driver-mediated, and the reference keeps the
+  * same in-process dict. Nothing here touches executors. The clock is
+  * injected so expiry is unit-testable without sleeping. */
+final class QueryCache[R](ttlSeconds: Long, maxEntries: Int = 100,
+                          now: () => Long = () => System.currentTimeMillis() / 1000) {
+  private val cache = mutable.Map.empty[String, (R, Long)]
+
+  private def key(query: String, limit: Int): String = s"$query:$limit"
+
+  def get(query: String, limit: Int): Option[R] =
+    cache.get(key(query, limit)) match {
+      case Some((r, ts)) if now() - ts < ttlSeconds => Some(r)
+      case Some(_) => cache.remove(key(query, limit)); None // expired (search.py:126-127)
+      case None => None
+    }
+
+  def put(query: String, limit: Int, results: R): Unit = {
+    cache(key(query, limit)) = (results, now())
+    if (cache.size > maxEntries) { // sweep (search.py:139-146)
+      val t = now()
+      cache.filterInPlace { case (_, (_, ts)) => t - ts < ttlSeconds }
+    }
+  }
+
+  def clear(): Unit = cache.clear() // clear_cache (search.py:110-112)
+  def size: Int = cache.size
+}
+
+/** Search front-end: embed the query (batched encoder seam), search the
+  * vector store with threshold + optional rerank, memoize through the
+  * TTL cache (search.py:148-243 flow). */
+final class SearchService(
+    store: graft.rag.VectorStore,
+    encoder: graft.rag.BatchEncoder,
+    ttlSeconds: Long = 3600,
+    now: () => Long = () => System.currentTimeMillis() / 1000) {
+
+  final case class Hit(id: String, score: Double, content: String)
+
+  private val cache = new QueryCache[Seq[Hit]](ttlSeconds, now = now)
+
+  def clearCache(): Unit = cache.clear()
+
+  def search(spark: org.apache.spark.sql.SparkSession, query: String,
+             limit: Int = 5, threshold: Double = 0.7,
+             rerank: Boolean = false): Seq[Hit] = {
+    cache.get(query, limit) match {
+      case Some(hits) => hits
+      case None =>
+        val qVec = encoder.encodeBatch(Array(query)).head
+        val df = store.search(spark, qVec, limit, threshold,
+          rerank = rerank, rerankQuery = query)
+        val scoreCol = if (rerank) "adjusted_score" else "score"
+        val hits =
+          if (df.columns.isEmpty) Seq.empty
+          else df.select("id", scoreCol, "content").collect().toSeq
+            .map(r => Hit(String.valueOf(r.get(0)), r.getDouble(1), String.valueOf(r.get(2))))
+        cache.put(query, limit, hits)
+        hits
+    }
+  }
+}

@@ -13,9 +13,21 @@ object BucketedPages {
 
   /** One-time layout job: rewrite the pages table bucketed+sorted by
     * url. At 100 TB this is the ingest job's write format, not a
-    * rewrite. */
+    * rewrite. Idempotent: drops a stale table AND its managed location
+    * (an in-memory catalog forgets tables on JVM exit but the warehouse
+    * directory survives — LOCATION_ALREADY_EXISTS otherwise). */
   def createBucketedTable(spark: SparkSession, pagesPath: String,
                           table: String, buckets: Int): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val loc = new java.io.File(wh, table)
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(): Unit
+      }
+      rm(loc)
+    }
     spark.read.parquet(pagesPath)
       .write.mode("overwrite")
       .bucketBy(buckets, "url")

@@ -144,6 +144,27 @@ class CrawlParitySpec extends AnyFunSuite {
     assert(sparkSeen(workDir, last) == ref.seen)
   }
 
+  test("TTL recrawl: expired urls are re-fetched on rediscovery, parity with reference") {
+    val (pages, robots, sitemaps, limits, seeds) = collectSite()
+    val ttl = 3
+    val rounds = 14 // bounded: TTL crawls can re-fetch forever
+    val ref = RefCrawl.run(pages, robots, sitemaps, limits, seeds,
+      maxRounds = rounds, seenTtlRounds = Some(ttl))
+    assert(ref.trace.nonEmpty)
+    // the semantics must actually engage: some url fetched more than once
+    val refRefetched = ref.trace.groupBy(_.url).values.count(_.size > 1)
+    assert(refRefetched > 0, "TTL never triggered a re-fetch — adjust ttl/rounds")
+
+    val workDir = java.nio.file.Files.createTempDirectory("graft_ttl").toString
+    val cfg = graft.frontier.Scheduler.Config(seenTtlRounds = Some(ttl))
+    val last = CrawlJob.run(spark, siteDir, workDir, cfg, maxRounds = rounds, bloomThreshold = 100L)
+    val got = sparkTrace(workDir, last)
+    val want = ref.trace.map(t => (t.round, t.host, t.rank, t.url)).sortBy(t => (t._1, t._2, t._3))
+    assert(got.size == want.size, s"trace size: spark=${got.size} ref=${want.size}")
+    got.zip(want).foreach { case (g, w) => assert(g == w, s"trace differs: spark=$g ref=$w") }
+    assert(sparkSeen(workDir, last) == ref.seen)
+  }
+
   test("politeness: per-round per-host batch sizes never exceed budget") {
     val (_, _, _, limits, _) = collectSite()
     val workDir = java.nio.file.Files.createTempDirectory("graft_budget").toString

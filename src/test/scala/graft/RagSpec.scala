@@ -1,0 +1,163 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.rag.{Embedder, HashBatchEncoder, RagPipeline, VectorStore}
+import graft.search.QueryCache
+
+/** The embed→store→search stack: sha256 cache-join embed stage,
+  * merge-by-id vector upserts with dim-mismatch recreate, threshold
+  * search, TTL'd query cache, end-to-end pipeline resume. */
+class RagSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  test("embedWithCache: hits come from cache, misses batch-encode, each unique text once") {
+    import spark.implicits._
+    val enc = HashBatchEncoder(16)
+    val docs = Seq((1L, "alpha beta"), (2L, "gamma delta"), (3L, "alpha beta"), (4L, "epsilon"))
+      .toDF("id", "text")
+    // pre-cache "gamma delta" with a SENTINEL vector: cache must win over encoding
+    val sentinel = Array.fill(16)(9.9f)
+    val cache = Seq(("gamma delta", sentinel)).toDF("t", "embedding")
+      .select(sha2(col("t"), 256).as("text_sha"), col("embedding"))
+    val out = Embedder.embedWithCache(docs, "text", cache, enc, batchSize = 2).cache()
+    assert(out.count() == 4)
+    assert(out.filter(col("from_cache")).count() == 1)
+    val got = out.select("id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    assert(got(2L).sameElements(sentinel), "cache hit must return the cached vector")
+    assert(got(1L).sameElements(got(3L)), "identical texts must embed identically")
+    assert(got(1L).sameElements(enc.encodeBatch(Array("alpha beta")).head))
+    // new cache entries = unique misses only ("alpha beta" once + "epsilon")
+    assert(Embedder.newEntries(out).count() == 2)
+    out.unpersist()
+  }
+
+  test("vector store upsert: merge-by-id, idempotent, dim mismatch recreates") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_vs").toString
+    val vs = new VectorStore(root)
+    def vec(seed: Int, dim: Int = 8) = Array.tabulate(dim)(i => (seed * 10 + i).toFloat)
+    val v0 = vs.upsert(spark, Seq(("a", vec(1), "pa"), ("b", vec(2), "pb"))
+      .toDF("id", "embedding", "content"))
+    assert(vs.read(spark).get.count() == 2)
+    // update b, insert c: b's payload must be REPLACED, a carried
+    val v1 = vs.upsert(spark, Seq(("b", vec(9), "pb2"), ("c", vec(3), "pc"))
+      .toDF("id", "embedding", "content"))
+    assert(v1 == v0 + 1)
+    val t = vs.read(spark).get.collect().map(r => r.getString(0) ->
+      (r.getSeq[Float](1).head, r.getString(2))).toMap
+    assert(t.keySet == Set("a", "b", "c"))
+    assert(t("b") == (90.0f, "pb2"))
+    assert(t("a") == (10.0f, "pa"))
+    // idempotent: re-applying the same batch yields the identical table
+    vs.upsert(spark, Seq(("b", vec(9), "pb2"), ("c", vec(3), "pc")).toDF("id", "embedding", "content"))
+    val again = vs.read(spark).get.collect().map(r => r.getString(0) ->
+      (r.getSeq[Float](1).head, r.getString(2))).toMap
+    assert(again == t)
+    // dim mismatch → recreate (vector_store.py:272-284)
+    vs.upsert(spark, Seq(("z", vec(1, 4), "pz")).toDF("id", "embedding", "content"))
+    val rec = vs.read(spark).get
+    assert(rec.count() == 1 && rec.select("id").head.getString(0) == "z")
+  }
+
+  test("vector store search: threshold filters, rerank path fetches 2k then reranks") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_vs2").toString
+    val vs = new VectorStore(root)
+    val docs = (0 until 50).map { i =>
+      val v = Array.tabulate(8)(j => math.cos(i + j).toFloat)
+      (s"d$i", v, s"content $i spark pipeline " + ("pad " * (i % 7)))
+    }.toDF("id", "embedding", "content")
+    vs.upsert(spark, docs)
+    val q = Array.tabulate(8)(j => math.cos(7 + j).toFloat) // == d7
+    val top = vs.search(spark, q, 5, threshold = 0.0).collect()
+    assert(top.length == 5 && top.head.getString(0) == "d7")
+    assert(top.forall(_.getDouble(top.head.fieldIndex("score")) >= 0.0))
+    val strict = vs.search(spark, q, 5, threshold = 0.999).collect()
+    assert(strict.length < 5 && strict.nonEmpty, s"threshold did not bind: ${strict.length}")
+    val rr = vs.search(spark, q, 5, threshold = 0.0, rerank = true, rerankQuery = "spark pipeline")
+    assert(rr.columns.contains("adjusted_score") && rr.count() == 5)
+  }
+
+  test("query cache: TTL expiry, sweep at capacity, injected clock") {
+    var t = 1000L
+    val qc = new QueryCache[String](ttlSeconds = 10, maxEntries = 3, now = () => t)
+    qc.put("q1", 5, "r1")
+    assert(qc.get("q1", 5).contains("r1"))
+    assert(qc.get("q1", 6).isEmpty, "limit is part of the key")
+    t += 9
+    assert(qc.get("q1", 5).contains("r1"))
+    t += 2 // now 11s old → expired
+    assert(qc.get("q1", 5).isEmpty)
+    // sweep: exceed maxEntries with mixed ages
+    t = 2000L
+    qc.put("a", 1, "ra"); qc.put("b", 1, "rb")
+    t += 20 // a, b expired
+    qc.put("c", 1, "rc"); qc.put("d", 1, "rd") // 4 > 3 → sweep drops a, b
+    assert(qc.size == 2)
+    assert(qc.get("c", 1).contains("rc") && qc.get("a", 1).isEmpty)
+  }
+
+  test("config layering: spark.graft.* conf overrides defaults, unset keys keep base") {
+    spark.conf.set("spark.graft.defaultRps", "7.5")
+    spark.conf.set("spark.graft.globalBudget", "99")
+    spark.conf.set("spark.graft.seenTtlRounds", "4")
+    try {
+      val cfg = graft.frontier.Scheduler.Config.fromSpark(spark)
+      assert(cfg.defaultRps == 7.5)
+      assert(cfg.globalBudget.contains(99L))
+      assert(cfg.seenTtlRounds.contains(4))
+      assert(cfg.maxDepth == 3 && cfg.chunkSize == 1000) // untouched defaults
+      val base = graft.frontier.Scheduler.Config(maxDepth = 9)
+      assert(graft.frontier.Scheduler.Config.fromSpark(spark, base).maxDepth == 9)
+    } finally {
+      spark.conf.unset("spark.graft.defaultRps")
+      spark.conf.unset("spark.graft.globalBudget")
+      spark.conf.unset("spark.graft.seenTtlRounds")
+    }
+  }
+
+  test("rag pipeline: end-to-end extract→chunk→embed→store→search, resume after kill") {
+    import spark.implicits._
+    val pages = (0 until 12).map { i =>
+      (s"https://h${i % 2}.example/p$i",
+        graft.synth.SyntheticWeb.htmlOf(i, 12L, 2, 7L),
+        new java.sql.Timestamp(86400000L * (i + 1)))
+    }.toDF("url", "html", "warc_ts")
+    val full = java.nio.file.Files.createTempDirectory("graft_rag_full").toString
+    val r1 = RagPipeline.run(spark, pages, full)
+    assert(r1.chunks > 0 && r1.embedded == r1.chunks && r1.fromCache == 0)
+
+    // "kill" after stage v0 by running against a store that only has v0:
+    // run once fully, delete the v1 manifest, re-run → resumes embed+store
+    val killed = java.nio.file.Files.createTempDirectory("graft_rag_kill").toString
+    RagPipeline.run(spark, pages, killed)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$killed/stages/snapshots/v1.json"))
+    val r2 = RagPipeline.run(spark, pages, killed)
+    assert(r2.chunks == r1.chunks && r2.embedded == r1.embedded)
+    // store stage re-ran → one more version, but merge-by-id keeps the table identical
+    val vs = new VectorStore(s"$killed/vectors")
+    val vsFull = new VectorStore(s"$full/vectors")
+    val a = vs.read(spark).get.select("id").as[String].collect().sorted
+    val b = vsFull.read(spark).get.select("id").as[String].collect().sorted
+    assert(a.sameElements(b))
+
+    // search returns the planted content
+    val svc = new graft.search.SearchService(vsFull, HashBatchEncoder(64))
+    val hits = svc.search(spark, "synthetic page about", limit = 3, threshold = -1.0)
+    assert(hits.size == 3)
+    val cachedAgain = svc.search(spark, "synthetic page about", limit = 3, threshold = -1.0)
+    assert(cachedAgain == hits)
+  }
+}
