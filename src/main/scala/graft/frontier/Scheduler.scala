@@ -32,7 +32,11 @@ object Scheduler {
       // TTL/recrawl semantics (cache.py:211-311): a url seen at round r0
       // blocks re-crawl only while round - r0 <= ttl; after expiry a
       // link-rediscovery makes it fetchable again. None = seen forever.
-      seenTtlRounds: Option[Int] = None)
+      seenTtlRounds: Option[Int] = None,
+      // 10^10 scale path: shard the seen-set Bloom sketch across S
+      // hash-range files instead of one broadcast (ShardedBloom). None =
+      // single broadcast sketch (fine until ~10^9 keys).
+      bloomShards: Option[Int] = None)
 
   object Config {
     /** Layered config (the reference's env/YAML/JSON layering,
@@ -55,7 +59,8 @@ object Scheduler {
         chunkSize = i("chunkSize", base.chunkSize),
         chunkOverlap = i("chunkOverlap", base.chunkOverlap),
         globalBudget = ol("globalBudget", base.globalBudget),
-        seenTtlRounds = oi("seenTtlRounds", base.seenTtlRounds))
+        seenTtlRounds = oi("seenTtlRounds", base.seenTtlRounds),
+        bloomShards = oi("bloomShards", base.bloomShards))
     }
   }
 

@@ -1,0 +1,107 @@
+package graft.frontier
+
+import java.io.{BufferedInputStream, BufferedOutputStream, File, FileInputStream, FileOutputStream}
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.BloomFilter
+
+/** Hash-range-sharded URL-seen Bloom sketch — the 10^10 design point for
+  * J1/A8 (SURVEY §2.4): at 9 bits/key and 10^10 seen urls a single Bloom
+  * is ~11 GB, too big to broadcast to every executor. Shard the key space
+  * by `pmod(url_hash, S)` instead: each shard's sketch lives as a file in
+  * shared storage (DFS on a cluster; local FS here), and the membership
+  * pass repartitions the probe side by shard so each TASK loads only the
+  * shards present in its partition (≈ S/P of the total bits, lazily,
+  * cached per task). No driver or single-executor materialization of the
+  * full sketch ever happens.
+  *
+  * Correctness contract is identical to the single-sketch path
+  * ([[Frontier.notSeen]]): the sketch only PREFILTERS — "definitely new"
+  * rows skip the exact anti-join, "maybe seen" rows are confirmed by the
+  * exact left_anti backstop, so a false positive costs a join probe,
+  * never a wrong result, and false negatives cannot occur because every
+  * committed url_hash is added to its shard before the next round reads
+  * it (CrawlParitySpec runs the crawl with sharding forced on and proves
+  * the trace unchanged). */
+object ShardedBloom {
+
+  final case class Shards(dir: String, nShards: Int, itemsPerShard: Long, fpp: Double)
+
+  def shardOf(n: Int): Column = pmod(col("url_hash"), lit(n.toLong)).cast("int")
+
+  private def shardFile(dir: String, i: Int) = new File(dir, f"shard_$i%05d.bloom")
+
+  private def readShard(f: File): BloomFilter = {
+    val in = new BufferedInputStream(new FileInputStream(f))
+    try BloomFilter.readFrom(in) finally in.close()
+  }
+
+  private def writeShard(f: File, bf: BloomFilter): Unit = {
+    val tmp = new File(f.getParentFile, f.getName + ".tmp")
+    val out = new BufferedOutputStream(new FileOutputStream(tmp))
+    try bf.writeTo(out) finally out.close()
+    if (!tmp.renameTo(f)) { // atomic publish; fall back to replace
+      f.delete(); tmp.renameTo(f)
+    }
+  }
+
+  /** Add `delta` (url_hash) into the shard files, creating them on first
+    * use. Distributed: rows are repartitioned by shard, each task builds
+    * the delta sketch for the shards it holds and merges into the
+    * existing file (same capacity/fpp → compatible bit arrays). Shard
+    * ownership is disjoint across tasks (hash partitioning sends ALL
+    * rows of a shard to one partition), so no two tasks touch one file. */
+  def add(delta: DataFrame, shards: Shards): Unit = {
+    new File(shards.dir).mkdirs()
+    val Shards(dir, n, cap, fpp) = shards
+    delta.select(col("url_hash"), shardOf(n).as("shard"))
+      .repartition(n, col("shard"))
+      .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+        val perShard = scala.collection.mutable.Map.empty[Int, BloomFilter]
+        rows.foreach { r =>
+          val bf = perShard.getOrElseUpdate(r.getInt(1), BloomFilter.create(cap, fpp))
+          bf.putLong(r.getLong(0))
+        }
+        perShard.foreach { case (i, bf) =>
+          val f = shardFile(dir, i)
+          if (f.exists()) { val cur = readShard(f); cur.mergeInPlace(bf); writeShard(f, cur) }
+          else writeShard(f, bf)
+        }
+      }
+  }
+
+  /** Split-path seen filter against the shard files (the sharded analogue
+    * of [[Frontier.notSeen]]). The probe side is repartitioned by shard;
+    * each task lazily loads + caches only its shards' sketches. Rows of
+    * hashes with no shard file yet are definitely new. */
+  def notSeen(frontier: DataFrame, seenExact: DataFrame, shards: Shards): DataFrame = {
+    val Shards(dir, n, _, _) = shards
+    val cols = frontier.columns
+    val spark = frontier.sparkSession
+    val flagged = frontier
+      .withColumn("__shard", shardOf(n))
+      .repartition(n, col("__shard"))
+      .mapPartitions { rows =>
+        val cache = scala.collection.mutable.Map.empty[Int, Option[BloomFilter]]
+        rows.map { r =>
+          val bf = cache.getOrElseUpdate(r.getAs[Int]("__shard"), {
+            val f = shardFile(dir, r.getAs[Int]("__shard"))
+            if (f.exists()) Some(readShard(f)) else None
+          })
+          val maybe = bf.exists(_.mightContainLong(r.getAs[Long]("url_hash")))
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ maybe)
+        }
+      }(org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(
+        org.apache.spark.sql.types.StructType(
+          frontier.schema.fields :+
+            org.apache.spark.sql.types.StructField("__shard", org.apache.spark.sql.types.IntegerType, false) :+
+            org.apache.spark.sql.types.StructField("__maybe", org.apache.spark.sql.types.BooleanType, false))))
+      .drop("__shard")
+    val definitelyNew = flagged.filter(!col("__maybe")).drop("__maybe")
+    val maybeSeen = flagged.filter(col("__maybe")).drop("__maybe")
+    definitelyNew.unionByName(
+      maybeSeen.join(seenExact.select("url_hash"), Seq("url_hash"), "left_anti"))
+      .select(cols.map(col): _*)
+  }
+}

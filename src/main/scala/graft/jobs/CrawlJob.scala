@@ -6,7 +6,7 @@ import org.apache.spark.util.sketch.BloomFilter
 
 import graft.checkpoint.SnapshotStore
 import graft.chunk.{ChunkRec, Chunker}
-import graft.frontier.{Frontier, Scheduler}
+import graft.frontier.{Frontier, ShardedBloom, Scheduler}
 import graft.html.{Doc, DocRender}
 import graft.model._
 import graft.robots.Robots
@@ -255,17 +255,38 @@ object CrawlJob {
     // compatible bit arrays) merged in — no O(seen) aggregation per round.
     // Rebuilt (amortized, geometric) when the capacity is outgrown.
     var bloomCap = math.max(bloomThreshold * 8, seenCount * 4).max(1024L)
+    // Sharded sketch (cfg.bloomShards): the 10^10 path — per-hash-range
+    // Bloom FILES in the work dir instead of one broadcast sketch; every
+    // delta is added from round 0 (a shard gap would be a false negative
+    // = a re-crawl, so shards must always cover the full active seen
+    // set). On resume the shards are rebuilt from the seen set once —
+    // a kill between commit and shard-add can otherwise lose a delta.
+    val shardCfg: Option[ShardedBloom.Shards] = cfg.bloomShards.map { s =>
+      ShardedBloom.Shards(s"$workDir/bloom_shards", s,
+        itemsPerShard = math.max(1024L, bloomCap / s), fpp = 0.03)
+    }
+    shardCfg.foreach { sh =>
+      val d = new java.io.File(sh.dir)
+      if (d.exists()) d.listFiles().foreach(_.delete())
+      if (seenCount > 0) ShardedBloom.add(seen, sh)
+    }
     var bloom: Option[BloomFilter] =
-      if (seenCount > bloomThreshold) Some(Frontier.buildBloom(seen, bloomCap)) else None
-    def bloomAdd(delta: DataFrame): Unit = {
-      if (seenCount > bloomThreshold) {
+      if (shardCfg.isEmpty && seenCount > bloomThreshold)
+        Some(Frontier.buildBloom(seen, bloomCap)) else None
+    def bloomAdd(delta: DataFrame): Unit = shardCfg match {
+      case Some(sh) => ShardedBloom.add(delta, sh)
+      case None if seenCount > bloomThreshold =>
         if (bloom.isEmpty || seenCount > bloomCap / 2) {
           bloomCap = math.max(seenCount * 4, bloomCap)
           bloom = Some(Frontier.buildBloom(seen, bloomCap))
         } else {
           bloom.get.mergeInPlace(Frontier.buildBloom(delta, bloomCap))
         }
-      }
+      case None => ()
+    }
+    def notSeenDf(df: DataFrame, seenDf: DataFrame): DataFrame = shardCfg match {
+      case Some(sh) => ShardedBloom.notSeen(df, seenDf, sh)
+      case None => Frontier.notSeen(df, seenDf, bloom)
     }
 
     val debugTiming = sys.env.contains("GRAFT_TIMING")
@@ -304,7 +325,7 @@ object CrawlJob {
           else spark.read.parquet(assignedPath)
             .filter(col("batch_no") >= batchIdx).drop("batch_no")
             .unionByName(carryDf)
-        val fresh = Frontier.notSeen(mergeFrontier(input), seen, bloom)
+        val fresh = notSeenDf(mergeFrontier(input), seen)
         // F7 at insert: only the round-0 input is un-gated (later epochs
         // re-rank rows that were gated when they were first inserted)
         val allowed = if (round == 0) {
@@ -341,8 +362,8 @@ object CrawlJob {
             .filter(col("batch_no") === batchIdx).drop("batch_no")
             .select(frontierCols.map(col): _*)
         val nBatchRows = batchDf.count() // partition-pruned metadata count
-        val fresh = Frontier.notSeen(
-          mergeFrontier(batchDf.unionByName(carryDf)), seen, bloom).cache()
+        val fresh = notSeenDf(
+          mergeFrontier(batchDf.unionByName(carryDf)), seen).cache()
         val selected = Scheduler.rankSelect(fresh, limits, cfg).cache()
         val nScheduled = selected.count()
         phase("schedule")
@@ -399,7 +420,7 @@ object CrawlJob {
             .agg(min("depth").as("depth"))
             .withColumn("priority", lit(null).cast("double"))
             .select(frontierCols.map(col): _*)
-          val newFresh = Frontier.notSeen(newLinks, seen, bloom)
+          val newFresh = notSeenDf(newLinks, seen)
             .join(seenSel.select("url_hash"), Seq("url_hash"), "left_anti")
           val (newAllowed, newDenied, newGate) = Scheduler.robotsGate(newFresh, robotsDf)
           val nNewDenied = newDenied.count()

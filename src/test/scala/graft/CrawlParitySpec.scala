@@ -165,6 +165,25 @@ class CrawlParitySpec extends AnyFunSuite {
     assert(sparkSeen(workDir, last) == ref.seen)
   }
 
+  test("sharded-Bloom seen set: trace and seen parity, incl. resume") {
+    val (pages, robots, sitemaps, limits, seeds) = collectSite()
+    val ref = RefCrawl.run(pages, robots, sitemaps, limits, seeds)
+    val cfg = graft.frontier.Scheduler.Config(bloomShards = Some(4))
+    val workDir = java.nio.file.Files.createTempDirectory("graft_shardb").toString
+    val last = CrawlJob.run(spark, siteDir, workDir, cfg, bloomThreshold = 100L)
+    val got = sparkTrace(workDir, last)
+    val want = ref.trace.map(t => (t.round, t.host, t.rank, t.url)).sortBy(t => (t._1, t._2, t._3))
+    assert(got.size == want.size, s"trace size: spark=${got.size} ref=${want.size}")
+    got.zip(want).foreach { case (g, w) => assert(g == w, s"trace differs: spark=$g ref=$w") }
+    assert(sparkSeen(workDir, last) == ref.seen)
+    // resume rebuilds the shard files from the committed seen set
+    val workKill = java.nio.file.Files.createTempDirectory("graft_shardb_kill").toString
+    CrawlJob.run(spark, siteDir, workKill, cfg, maxRounds = 2, bloomThreshold = 100L)
+    val lastResumed = CrawlJob.run(spark, siteDir, workKill, cfg, bloomThreshold = 100L)
+    assert(lastResumed == last)
+    assert(sparkTrace(workKill, lastResumed) == got)
+  }
+
   test("politeness: per-round per-host batch sizes never exceed budget") {
     val (_, _, _, limits, _) = collectSite()
     val workDir = java.nio.file.Files.createTempDirectory("graft_budget").toString

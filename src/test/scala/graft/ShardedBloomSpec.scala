@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.frontier.ShardedBloom
+
+/** ShardedBloom: the hash-range-sharded seen sketch must be exactly as
+  * correct as the single-sketch split path — no false negatives ever
+  * (every added hash is "maybe seen"), and notSeen must return exactly
+  * the anti-join ground truth regardless of shard layout. */
+class ShardedBloomSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  private def freshShards(n: Int): ShardedBloom.Shards = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    ShardedBloom.Shards(dir, n, itemsPerShard = 4096, fpp = 0.03)
+  }
+
+  test("notSeen equals exact anti-join ground truth across incremental deltas") {
+    import spark.implicits._
+    val sh = freshShards(8)
+    // two deltas with overlapping hash ranges, including negative hashes
+    val d1 = (0L until 500L).map(i => (i * 2654435761L - 250L * 2654435761L, s"u$i"))
+      .toDF("url_hash", "url")
+    val d2 = (300L until 900L).map(i => (i * 2654435761L - 250L * 2654435761L, s"u$i"))
+      .toDF("url_hash", "url")
+    ShardedBloom.add(d1, sh)
+    ShardedBloom.add(d2, sh)
+    val seen = d1.unionByName(d2)
+
+    val probe = (0L until 1200L).map(i => (i * 2654435761L - 250L * 2654435761L, s"u$i", i))
+      .toDF("url_hash", "url", "depth")
+    val got = ShardedBloom.notSeen(probe, seen, sh)
+      .select("url").as[String].collect().toSet
+    val want = probe.join(seen.select("url_hash"), Seq("url_hash"), "left_anti")
+      .select("url").as[String].collect().toSet
+    assert(got == want)
+    assert(want == (900L until 1200L).map(i => s"u$i").toSet)
+    // column set/order preserved
+    assert(ShardedBloom.notSeen(probe, seen, sh).columns.toSeq == Seq("url_hash", "url", "depth"))
+  }
+
+  test("no false negatives: every added hash is maybe-seen in its shard") {
+    import spark.implicits._
+    val sh = freshShards(5)
+    val delta = (0L until 2000L).map(i => (i * -7046029254386353131L, s"x$i")).toDF("url_hash", "url")
+    ShardedBloom.add(delta, sh)
+    // a false-negative row would be flagged definitely-new, SKIP the exact
+    // anti-join backstop, and survive notSeen even though it is in `seen`
+    val survivors = ShardedBloom.notSeen(delta, delta, sh).count()
+    assert(survivors == 0, s"$survivors seen rows skipped their shard sketch (false negatives)")
+  }
+
+  test("missing shard files mean definitely-new (empty state passes everything)") {
+    import spark.implicits._
+    val sh = freshShards(4)
+    val probe = (0L until 50L).map(i => (i, s"p$i")).toDF("url_hash", "url")
+    val empty = Seq.empty[(Long, String)].toDF("url_hash", "url")
+    assert(ShardedBloom.notSeen(probe, empty, sh).count() == 50L)
+  }
+}
