@@ -27,7 +27,21 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-  // batch-throughput workload: G1's 0.5s+ young pauses on a 40g heap cost
-  // ~20% of crawl wall time (measured); the parallel collector wins here
-  "-XX:+UseParallelGC",
-)
+  // pre-size the heap: an un-sized ParallelGC heap grows 2g → max through
+  // a storm of "Ergonomics" full GCs (measured 11 full GCs, 25 s max
+  // pause, on a 1.9M-page crawl) — exactly what spark-submit's
+  // -Xms=executor-memory avoids on a real cluster
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // G1, re-measured after the round-2 allocation diet (persist removal,
+  // dictionary-encoding off, one-parse-per-page, cached DOM walks):
+  // 1.92M-page extract ParallelGC 178-351 s (0.5-15 s STW pauses, wild
+  // adaptive-sizing variance, 90 s total pause) vs G1 113 s with 12-28 ms
+  // pauses. Round 1 measured the opposite on the pre-diet workload — the
+  // RSet/evacuation overhead G1 charges only pays off once the promoted-
+  // garbage storm (in-memory columnar persist) is gone.
+  "-XX:+UseG1GC", "-XX:MaxGCPauseMillis=200",
+  // headroom against evacuation failure: the extract stage's allocation
+  // bursts (32 tasks × parquet writer buffers) hit "To-space exhausted"
+  // (measured 7 s pause) with the default 10% reserve / 45% IHOP
+  "-XX:G1ReservePercent=15", "-XX:InitiatingHeapOccupancyPercent=35",
+) ++ sys.env.get("GRAFT_JAVA_OPTS").toSeq.flatMap(_.trim.split("\\s+").toSeq)

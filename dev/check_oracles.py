@@ -1,0 +1,79 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB oracle gate.
+
+Usage: python3 dev/check_oracles.py <verifyOutDir> [sfDir]
+
+For every <name>.parquet in verifyOutDir with an entry in
+oracle_sql.json, runs the SQL in DuckDB over the sf tables and compares
+rows/schema/values with columns sorted by name (the driver's rule).
+"""
+import duckdb, json, glob, os, sys, math
+
+out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/verify_r2"
+sf = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+
+con = duckdb.connect()
+for p in glob.glob(f"{sf}/*.parquet"):
+    t = os.path.basename(p).replace(".parquet", "")
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+oracles = json.load(open(f"{out}/oracle_sql.json"))
+
+def norm(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 6)
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, list):
+        return tuple(norm(x) for x in v)
+    return v
+
+def table_key(df):
+    cols = sorted(df.columns)
+    rows = [tuple(norm(r[df.columns.get_loc(c)]) for c in cols) for r in df.itertuples(index=False)]
+    return cols, sorted(rows, key=lambda r: tuple(str(x) for x in r))
+
+fails, passes, skips = [], [], []
+for name in sorted(oracles):
+    res_path = f"{out}/{name}"
+    if not os.path.isdir(res_path) and not os.path.exists(res_path):
+        fails.append((name, "no result parquet"))
+        continue
+    try:
+        got = con.execute(f"SELECT * FROM read_parquet('{res_path}/*.parquet')").df()
+        want = con.execute(oracles[name]).df()
+        gc, gr = table_key(got)
+        wc, wr = table_key(want)
+        if gc != wc:
+            fails.append((name, f"schema {gc} vs {wc}"))
+        elif len(gr) != len(wr):
+            fails.append((name, f"rows {len(gr)} vs {len(wr)}"))
+        elif gr != wr:
+            bad = next(i for i, (a, b) in enumerate(zip(gr, wr)) if a != b)
+            fails.append((name, f"value mismatch at sorted row {bad}: {gr[bad]} vs {wr[bad]}"))
+        else:
+            passes.append(name)
+    except Exception as e:
+        fails.append((name, f"error: {e}"))
+
+# results with no oracle: rows-only check
+for res in sorted(d for d in glob.glob(f"{out}/*") if not d.endswith(".json")):
+    name = os.path.basename(res)
+    if name in oracles:
+        continue
+    try:
+        n = con.execute(f"SELECT count(*) FROM read_parquet('{res}/*.parquet')").fetchone()[0]
+        skips.append((name, n))
+    except Exception as e:
+        fails.append((name, f"rows-only error: {e}"))
+
+print(f"PASS {len(passes)}/{len(oracles)} oracle queries")
+for name, n in skips:
+    print(f"  rows-only {name}: {n} rows")
+for name, why in fails:
+    print(f"FAIL {name}: {why}")
+sys.exit(1 if fails else 0)

@@ -1,0 +1,60 @@
+#!/bin/bash
+# Pinned-core scaling evidence for the north_rule's N→4N criterion.
+#
+# local[N] bounds only TASK slots — GC threads, JIT, kernel I/O spill
+# onto the other cores of the box, so an unpinned local[2] borrows the
+# machine and inflates the low-parallelism throughput. `taskset` pins
+# the whole JVM to N cores: the honest analogue of an N-core executor
+# node. N=2→4N=8 is used (instead of 8→32) because this VM's memory
+# bus saturates at ~22 GB/s (~13 GB/s already at 8 threads — measured
+# with a multithreaded read microbench): at 32 cores the engine is
+# memory-bandwidth-bound, which measures the box, not the engine. On a
+# real cluster each executor brings its own memory bus, so the
+# bandwidth wall does not accumulate across executors the way it does
+# inside one VM.
+#
+# Usage: dev/scaling_pinned.sh [pages] [lowCpus] [highCpus]
+set -e
+cd "$(dirname "$0")/.."
+PAGES=${1:-1920000}
+LOW=${2:-2}
+HIGH=${3:-8}
+RPS=8000
+SITE=/dev/shm/graft_bench_site_${PAGES}_${RPS}
+
+if [ ! -f "$SITE/pages.parquet/_SUCCESS" ]; then
+  sbt -batch "runMain graft.tools.SiteGenCli $SITE $PAGES 64 32 $RPS"
+fi
+
+run_at() {
+  local cpus=$1
+  local mask="0-$((cpus - 1))"
+  local work
+  work=$(mktemp -d /dev/shm/graft_pinned_${cpus}_XXXX)
+  SPARK_DRIVER_MEM=${SPARK_DRIVER_MEM:-24g} \
+  GRAFT_JAVA_OPTS="-Dspark.graft.defaultRps=$RPS -Dspark.graft.maxDepth=99 -Dspark.graft.roundSeconds=5" \
+    taskset -c "$mask" sbt -batch "runMain graft.jobs.CrawlJob $SITE $work $cpus" \
+    | grep "crawl complete" | tee /dev/stderr
+  rm -rf "$work"
+}
+
+echo "== pinned $LOW cores =="
+OUT_LOW=$(run_at "$LOW")
+echo "== pinned $HIGH cores =="
+OUT_HIGH=$(run_at "$HIGH")
+
+python3 - "$OUT_LOW" "$OUT_HIGH" "$LOW" "$HIGH" <<'EOF'
+import re, sys
+def parse(s):
+    return (float(re.search(r'urls_per_sec=([0-9.]+)', s).group(1)),
+            float(re.search(r'sec=([0-9.]+)', s).group(1)),
+            int(re.search(r'results=(\d+)', s).group(1)))
+tl, sl, rl = parse(sys.argv[1])
+th, sh, rh = parse(sys.argv[2])
+low, high = int(sys.argv[3]), int(sys.argv[4])
+assert rl == rh, f"runs diverged: {rl} vs {rh} urls"
+eff = (th / tl) / (high / low)
+print(f'{{"scaling_pinned":{{"low_cpus":{low},"high_cpus":{high},"urls":{rl},'
+      f'"sec_low":{sl:.1f},"sec_high":{sh:.1f},"thr_low":{tl:.1f},"thr_high":{th:.1f},'
+      f'"speedup":{th/tl:.2f},"efficiency":{eff:.3f}}}}}')
+EOF

@@ -7,6 +7,14 @@ import graft.jobs.CrawlJob
   * input at local[8] and local[32], reporting throughput at both and
   * efficiency = (T8/T32)/4 — written up in BENCH.md/BASELINE.md.
   *
+  * The politeness budget is set so rounds are LARGE (the whole corpus
+  * crawls in ~depth+1 rounds). That is the sandbox analogue of the
+  * design point: at a real 10^10 crawl a round is 10^7-10^8 urls and
+  * per-round fixed costs (driver planning, commit barriers) amortize
+  * away; with small budget-bound rounds the 120k-page corpus finishes
+  * in ~60 s of mostly fixed cost at ANY core count and the measurement
+  * shows scheduler latency, not engine scaling.
+  *
   * Usage: runMain graft.ScalingBench [sfDirHint] [lowCpus] [highCpus]
   */
 object ScalingBench {
@@ -14,16 +22,30 @@ object ScalingBench {
     val sfDir = if (args.length > 0) args(0) else sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val low = if (args.length > 1) args(1).toInt else 8
     val high = if (args.length > 2) args(2).toInt else 32
+    val rps = 8000.0 // 40k/host/round ⇒ budget never binds on 64 hosts
+    // 16× the headline corpus: rounds of ~500k urls whose extract CPU
+    // (~1 ms/page/core) dwarfs the ~2-4 s/round of action latency — the
+    // regime every real round at the design point lives in. At the
+    // headline 120k corpus the whole crawl is ~35 s of mostly per-round
+    // fixed cost at ANY core count, and "scaling" measures the Spark
+    // scheduler, not the engine. Depth is UNCAPPED here: the synthetic
+    // link graph is a ~6-degree random graph, so depth-3 BFS saturates
+    // at ~11% of a 1.9M corpus and the crawl degenerates to a handful of
+    // small fixed-cost rounds (measured: 212k urls, efficiency 0.38);
+    // with depth free the BFS reaches the giant component in ~8 rounds
+    // whose extract work dominates.
+    val pages = Bench.benchPagesFor(sfDir) * 16
+    val maxDepth = 99
 
     // generate the shared input once (bytes identical for both runs)
     val genSpark = CrawlJob.session(high, "graft-scaling-gen")
-    val siteDir = Bench.ensureBenchSite(genSpark, sfDir, high)
+    val siteDir = Bench.ensureBenchSite(genSpark, sfDir, high, rps, Some(pages))
     genSpark.stop()
 
     def runAt(cpus: Int): (Long, Double) = {
       val spark = CrawlJob.session(cpus, s"graft-scaling-$cpus")
       val workDir = java.nio.file.Files.createTempDirectory(java.nio.file.Paths.get("/dev/shm"), s"graft_scale_$cpus").toString
-      val (fetched, _, sec) = Bench.crawlBench(spark, siteDir, workDir)
+      val (fetched, _, sec) = Bench.crawlBench(spark, siteDir, workDir, rps, maxDepth)
       spark.stop()
       (fetched, sec)
     }

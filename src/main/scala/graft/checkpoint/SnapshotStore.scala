@@ -28,7 +28,16 @@ import org.json4s.jackson.Serialization
   * table-native analogue. The API (`commit`, `readTable`,
   * `latestVersion`) keeps a drop-in path to real Iceberg later. */
 object SnapshotStore {
-  final case class TableMeta(rows: Long, path: String, partitions: Map[String, Long])
+  /** `view = Some("explode_chunks")` marks a MERGE-ON-READ table: the
+    * rows live nested inside the parquet at `path` (the results table)
+    * and are exploded at read time. Writing the chunk rows flat per
+    * round would double the round's largest write (measured: the chunks
+    * rewrite cost ~as much as the whole extract at 32 cores) — the
+    * Iceberg analogue is a MOR table whose data files are shared with
+    * results and compacted only when a flat layout is actually needed
+    * (the jsonl/export sinks). */
+  final case class TableMeta(rows: Long, path: String, partitions: Map[String, Long],
+                             view: Option[String] = None)
   final case class Manifest(version: Int, parent: Int, tables: Map[String, TableMeta],
                             metrics: Map[String, Double])
 }
@@ -62,7 +71,9 @@ final class SnapshotStore(val root: String) {
              partitionKeyCol: Option[String] = None,
              lineageTables: Set[String] = Set("trace", "seen_delta"),
              knownCounts: Map[String, Long] = Map.empty,
-             preWritten: Map[String, String] = Map.empty): Unit = {
+             preWritten: Map[String, String] = Map.empty,
+             viewTables: Map[String, (String, String)] = Map.empty,
+             knownLineage: Map[String, Map[String, Long]] = Map.empty): Unit = {
     Files.createDirectories(snapshotsDir)
     val metas = (tables.map { case (name, df) =>
       val path = s"$root/data/v$version/$name"
@@ -77,7 +88,10 @@ final class SnapshotStore(val root: String) {
       // count (TakeOrdered, never a full collect — a web-scale round can
       // touch millions of hosts) + a rollup bucket for the tail.
       val maxLineageParts = 10000
-      val parts: Map[String, Long] = partitionKeyCol match {
+      // caller-supplied lineage (fused with a count the round already
+      // ran) skips a per-round groupBy shuffle here
+      val parts: Map[String, Long] = if (knownLineage.contains(name)) knownLineage(name)
+      else partitionKeyCol match {
         case Some(k) if lineageTables.contains(name) && committed.columns.contains(k) =>
           val top = committed.groupBy(k).count()
             .orderBy(org.apache.spark.sql.functions.desc("count"),
@@ -98,6 +112,9 @@ final class SnapshotStore(val root: String) {
     }) ++ preWritten.map { case (name, path) =>
       val rows = knownCounts.getOrElse(name, spark.read.parquet(path).count())
       name -> TableMeta(rows, path, Map.empty[String, Long])
+    } ++ viewTables.map { case (name, (srcPath, kind)) =>
+      val rows = knownCounts.getOrElse(name, readView(spark, srcPath, kind).count())
+      name -> TableMeta(rows, srcPath, Map.empty[String, Long], Some(kind))
     }
     val manifest = Manifest(version, version - 1, metas, metrics)
     val tmp = snapshotsDir.resolve(s".v$version.json.tmp")
@@ -109,9 +126,26 @@ final class SnapshotStore(val root: String) {
   def manifest(version: Int): Manifest =
     JsonMethods.parse(Files.readString(manifestPath(version))).extract[Manifest]
 
-  /** Time-travel read of a table at a given snapshot. */
-  def readTable(spark: SparkSession, version: Int, name: String): DataFrame =
-    spark.read.parquet(manifest(version).tables(name).path)
+  /** Time-travel read of a table at a given snapshot (merge-on-read for
+    * view tables). */
+  def readTable(spark: SparkSession, version: Int, name: String): DataFrame = {
+    val meta = manifest(version).tables(name)
+    meta.view match {
+      case Some(kind) => readView(spark, meta.path, kind)
+      case None       => spark.read.parquet(meta.path)
+    }
+  }
+
+  private def readView(spark: SparkSession, srcPath: String, kind: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, explode}
+    kind match {
+      case "explode_chunks" =>
+        spark.read.parquet(srcPath)
+          .select(explode(col("chunks")).as("c"), col("round"))
+          .select("c.*", "round")
+      case other => throw new IllegalArgumentException(s"unknown view kind: $other")
+    }
+  }
 
   def hasTable(version: Int, name: String): Boolean =
     manifest(version).tables.contains(name)

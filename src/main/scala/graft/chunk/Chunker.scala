@@ -72,12 +72,37 @@ object Chunker {
     out.toArray
   }
 
+  private val md5Digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  private val hexChars = "0123456789abcdef".toCharArray
+
   def md5Hex(s: String): String = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val sb = new StringBuilder(32)
-    d.foreach(b => sb.append(f"${b & 0xff}%02x"))
-    sb.toString
+    val md = md5Digest.get()
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = hexChars((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = hexChars(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** `pySplit(s).length` without materializing the tokens — word_count
+    * is a hot per-chunk field and the substrings were pure garbage. */
+  def countWords(s: String): Int = {
+    var count = 0
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      while (i < n && isUniWs(s.charAt(i))) i += 1
+      if (i < n) { count += 1; while (i < n && !isUniWs(s.charAt(i))) i += 1 }
+    }
+    count
   }
 
   /** `_parse_markdown_sections` (chunk_utils.py:134-220). */
@@ -168,7 +193,7 @@ object Chunker {
           path_elements = section.pathElements,
           parent_headers = section.parentHeaders,
           domain = domain,
-          word_count = pySplit(content).length,
+          word_count = countWords(content),
           char_count = content.length,
           nested_level = Some(section.parentHeaders.size),
           position = None,

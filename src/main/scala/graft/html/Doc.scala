@@ -48,9 +48,13 @@ object Doc {
     * empty-after-trim texts are dropped (Q4); `pre, code` double-extracts
     * nested code (Q2); missing img alt → "image"; missing title →
     * "No Title" with inner whitespace preserved (Q10). */
-  def fromHtml(html: String, baseUrl: String): Doc = {
-    val root = HtmlParser.parse(html)
+  def fromHtml(html: String, baseUrl: String): Doc =
+    fromRoot(HtmlParser.parse(html), baseUrl)
 
+  /** Same extraction over an already-parsed tree — the crawl's one-pass
+    * extract parses each page ONCE and feeds the root to both fromRoot
+    * and extractLinksFromRoot (parsing is ~40% of per-page allocation). */
+  def fromRoot(root: HtmlParser.Elem, baseUrl: String): Doc = {
     val title = HtmlParser.selectTag(root, "title").nextOption() match {
       case Some(t) => rustTrim(t.text)
       case None    => "No Title"
@@ -105,8 +109,10 @@ object Doc {
   /** `extract_links` (html_parser.rs:80-111) — outlinks for frontier
     * expansion: skip javascript:/#, keep absolute hrefs VERBATIM, resolve
     * relative ones, then lexicographic sort + dedup (quirk Q9). */
-  def extractLinks(html: String, baseUrl: String): Seq[String] = {
-    val root = HtmlParser.parse(html)
+  def extractLinks(html: String, baseUrl: String): Seq[String] =
+    extractLinksFromRoot(HtmlParser.parse(html), baseUrl)
+
+  def extractLinksFromRoot(root: HtmlParser.Elem, baseUrl: String): Seq[String] = {
     val out = Seq.newBuilder[String]
     HtmlParser.selectWithAttr(root, "a", "href").foreach { e =>
       val href = e.attr("href").get

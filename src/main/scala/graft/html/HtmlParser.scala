@@ -38,16 +38,36 @@ object HtmlParser {
     def id: Option[String] = attr("id")
 
     /** All descendant text, concatenated without separator (scraper's
-      * `element.text().collect::<String>()`). */
+      * `element.text().collect::<String>()`). Index-based walk: this is
+      * called per selected element per page — `foreach` over ArrayBuffer
+      * allocates a view + iterator per node visited. */
     def text: String = {
-      val sb = new StringBuilder
-      def walk(n: Node): Unit = n match {
-        case t: TextNode => sb.append(t.s)
-        case e: Elem     => e.children.foreach(walk)
+      // fast path: a single text child (most p/h*/li/a elements) — no
+      // builder, no copy
+      if (children.length == 1) children(0) match {
+        case t: TextNode => return t.s
+        case _           => ()
       }
-      children.foreach(walk)
+      val sb = new java.lang.StringBuilder
+      def walk(e: Elem): Unit = {
+        val ch = e.children
+        var i = 0
+        while (i < ch.length) {
+          ch(i) match {
+            case t: TextNode => sb.append(t.s)
+            case el: Elem    => walk(el)
+          }
+          i += 1
+        }
+      }
+      walk(this)
       sb.toString
     }
+
+    /** Cached pre-order descendant elements. Safe because the tree is
+      * immutable once `parse` returns and selection only happens after
+      * parsing (the cache is populated lazily on first selector use). */
+    private[HtmlParser] var descCache: Array[Elem] = null
   }
   final class TextNode(val s: String) extends Node
 
@@ -70,10 +90,10 @@ object HtmlParser {
     stack += root
     val n = html.length
     var i = 0
-    val text = new StringBuilder
+    val text = new java.lang.StringBuilder
 
     def flushText(): Unit = {
-      if (text.nonEmpty) {
+      if (text.length > 0) {
         stack.last.children += new TextNode(decodeEntities(text.toString))
         text.setLength(0)
       }
@@ -108,7 +128,15 @@ object HtmlParser {
           flushText()
           i = parseTag(html, i, stack)
         } else { text.append(c); i += 1 }
-      } else { text.append(c); i += 1 }
+      } else {
+        // bulk-copy the whole text run to the next '<' (single
+        // arraycopy instead of a char-at-a-time loop — text runs are
+        // most of the document)
+        val lt = html.indexOf('<', i)
+        val end = if (lt < 0) n else lt
+        if (end > i) { text.append(html, i, end); i = end }
+        else { text.append(c); i += 1 }
+      }
     }
     flushText()
     root
@@ -252,17 +280,29 @@ object HtmlParser {
 
   // --- selection (document order, pre-order DFS) ---
 
-  /** All elements in document order. */
+  /** All elements in document order. `Doc.fromRoot` + link extraction
+    * run 14+ selectors over the same tree per page: the pre-order walk
+    * is computed ONCE per element and cached (allocation in the extract
+    * hot path is the scalability budget — GC pause time doesn't shrink
+    * with mutator threads). */
   def allElements(root: Elem): Iterator[Elem] = {
-    val buf = new ArrayBuffer[Elem](32)
-    def walk(e: Elem): Unit = {
-      e.children.foreach {
-        case el: Elem => buf += el; walk(el)
-        case _        =>
+    if (root.descCache == null) {
+      val buf = new ArrayBuffer[Elem](32)
+      def walk(e: Elem): Unit = {
+        val ch = e.children
+        var i = 0
+        while (i < ch.length) {
+          ch(i) match {
+            case el: Elem => buf += el; walk(el)
+            case _        =>
+          }
+          i += 1
+        }
       }
+      walk(root)
+      root.descCache = buf.toArray
     }
-    walk(root)
-    buf.iterator
+    root.descCache.iterator
   }
 
   def selectTag(root: Elem, tag: String): Iterator[Elem] =

@@ -50,10 +50,12 @@ import graft.sitemap.Sitemap
 object CrawlJob {
 
   /** One-pass extraction product for a fetched page. */
+  /** `n_chunks` is denormalized so per-round accounting reads a plain
+    * int column instead of materializing the chunk array column. */
   final case class Extracted(
       url: String, url_hash: Long, host: String, depth: Int,
       title: String, markdown: String, outlinks: Seq[String],
-      chunks: Seq[ChunkRec], fetch_status: Int)
+      chunks: Seq[ChunkRec], fetch_status: Int, n_chunks: Int)
 
   final case class RoundMetrics(
       round: Int, scheduled: Long, fetched: Long, missing: Long,
@@ -72,6 +74,20 @@ object CrawlJob {
       // extraction parallelizes across all cores
       .config("spark.sql.files.maxPartitionBytes", (8 * 1024 * 1024).toString)
       .config("spark.sql.files.openCostInBytes", (512 * 1024).toString)
+      // results rows are WIDE (markdown + chunk structs, 10s of KB/row):
+      // at the default 128 MB parquet row group, N concurrent writers
+      // buffer N×128 MB of column builders on-heap — at 32 tasks that is
+      // ~4 GB of old-gen pressure and measured FULL GC storms (16 s max
+      // pause). 32 MB row groups cap writer memory at 1/4 for pennies of
+      // file-size overhead; scan parallelism is unaffected (splits come
+      // from maxPartitionBytes).
+      .config("spark.hadoop.parquet.block.size", (32 * 1024 * 1024).toString)
+      // the hot columns (url, markdown, chunk text/ids) are all-distinct:
+      // parquet's dictionary encoding buffers every distinct Binary value
+      // per writer until the page flushes — measured 1.56M live Binary
+      // objects / 2.2 GB of byte[] mid-write with ZERO compression win
+      // (nothing repeats). Plain encoding streams values through.
+      .config("spark.hadoop.parquet.enable.dictionary", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // the sandbox's /tmp disk writes at ~125 MB/s fully synchronously;
@@ -182,12 +198,13 @@ object CrawlJob {
       .as[(String, Long, String, Int, Array[Byte], java.sql.Timestamp)]
       .map { case (url, hash, host, depth, html, warcTs) =>
         val h = new String(html, java.nio.charset.StandardCharsets.UTF_8)
-        val doc = Doc.fromHtml(h, url)
+        val root = graft.html.HtmlParser.parse(h) // parse ONCE for doc + links
+        val doc = Doc.fromRoot(root, url)
         val md = DocRender.toMarkdown(doc)
-        val links = Doc.extractLinks(h, url)
+        val links = Doc.extractLinksFromRoot(root, url)
         val chunks = Chunker.semanticChunks(md, url, warcTs.toInstant.toString,
           cfg.chunkSize, cfg.chunkOverlap)
-        Extracted(url, hash, host, depth, doc.title, md, links, chunks, 200)
+        Extracted(url, hash, host, depth, doc.title, md, links, chunks, 200, chunks.length)
       }
   }
 
@@ -337,11 +354,10 @@ object CrawlJob {
         val path = s"${store.root}/data/v$round/assigned"
         Scheduler.assignBatches(allowed, limits, cfg)
           .write.partitionBy("batch_no").mode("overwrite").parquet(path)
-        val assigned = spark.read.parquet(path)
-        assignedTotal = assigned.count()
-        maxBatch =
-          if (assignedTotal == 0) -1
-          else assigned.agg(max("batch_no")).head.getInt(0)
+        val assignedStats = spark.read.parquet(path)
+          .agg(count(lit(1)), max("batch_no")).head
+        assignedTotal = assignedStats.getLong(0)
+        maxBatch = if (assignedTotal == 0) -1 else assignedStats.getInt(1)
         assignedPath = path
         epochStart = round
         batchIdx = 0
@@ -365,7 +381,21 @@ object CrawlJob {
         val fresh = notSeenDf(
           mergeFrontier(batchDf.unionByName(carryDf)), seen).cache()
         val selected = Scheduler.rankSelect(fresh, limits, cfg).cache()
-        val nScheduled = selected.count()
+        // one pass gives the scheduled count AND the trace's per-host
+        // lineage (the manifest requirement) — a separate groupBy in
+        // commit would re-shuffle the selection every round
+        val hostCounts = selected.groupBy("host").count().cache()
+        val nScheduled = hostCounts.agg(coalesce(sum("count"), lit(0L))).head.getLong(0)
+        val maxLineageParts = 10000
+        val topHosts = hostCounts
+          .orderBy(desc("count"), asc("host")).limit(maxLineageParts).collect()
+          .map(r => (r.getString(0), r.getLong(1)))
+        hostCounts.unpersist()
+        val traceLineage: Map[String, Long] = {
+          val m = topHosts.toMap
+          val counted = topHosts.map(_._2).sum
+          if (nScheduled > counted) m + ("<other>" -> (nScheduled - counted)) else m
+        }
         phase("schedule")
 
         if (nScheduled == 0 && nEpochDenied == 0) {
@@ -400,10 +430,7 @@ object CrawlJob {
           val nFetched = extracted.count() // parquet metadata count
           phase("fetch+extract")
 
-          val chunks = extracted
-            .select(explode(col("chunks")).as("c")).select(col("c.*"))
-            .withColumn("round", lit(round))
-          val nChunks = extracted.agg(coalesce(sum(size(col("chunks"))), lit(0L)))
+          val nChunks = extracted.agg(coalesce(sum(col("n_chunks").cast("long")), lit(0L)))
             .head.getLong(0)
           phase("chunk-count")
 
@@ -444,7 +471,6 @@ object CrawlJob {
           store.commit(spark, round,
             Map(
               "seen_delta" -> seenDelta,
-              "chunks" -> chunks,
               "trace" -> trace,
               "carry" -> carryNext),
             Map(
@@ -465,7 +491,12 @@ object CrawlJob {
               "chunks" -> nChunks,
               "trace" -> nScheduled,
               "assigned" -> assignedTotal),
-            preWritten = Map("results" -> resultsPath, "assigned" -> assignedPath))
+            preWritten = Map("results" -> resultsPath, "assigned" -> assignedPath),
+            knownLineage = Map("trace" -> traceLineage),
+            // chunks = merge-on-read view over results: the chunk rows
+            // are already materialized (nested) in the results parquet —
+            // a second flat write would double the round's largest write
+            viewTables = Map("chunks" -> (resultsPath, "explode_chunks")))
           phase("commit")
 
           // advance state from the committed manifest
@@ -498,12 +529,14 @@ object CrawlJob {
     val cpus = if (args.length > 2) args(2).toInt else 8
     val spark = session(cpus)
     // layered config: defaults ← spark.graft.* conf (spark-submit --conf)
+    val t0 = System.nanoTime()
     val last = run(spark, siteDir, workDir, Scheduler.Config.fromSpark(spark))
+    val crawlSec = (System.nanoTime() - t0) / 1e9
     val store = new SnapshotStore(workDir)
     val seenTotal = (0 to last).map(v => store.manifest(v).tables("seen_delta").rows).sum
     val resTotal = (0 to last).map(v => store.manifest(v).tables("results").rows).sum
     val chunksTotal = (0 to last).map(v => store.manifest(v).tables("chunks").rows).sum
-    println(s"crawl complete: rounds=${last + 1} seen=$seenTotal results=$resTotal chunks=$chunksTotal")
+    println(f"crawl complete: rounds=${last + 1} seen=$seenTotal results=$resTotal chunks=$chunksTotal sec=$crawlSec%.1f urls_per_sec=${resTotal / crawlSec}%.1f")
     spark.stop()
   }
 }

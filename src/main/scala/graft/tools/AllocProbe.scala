@@ -1,0 +1,46 @@
+package graft.tools
+
+import graft.chunk.Chunker
+import graft.html.{Doc, DocRender}
+import graft.synth.SyntheticWeb
+
+/** Per-stage allocation profile of the single-page convert pipeline
+  * (ThreadMXBean allocated-bytes counters). The crawl's extract stage is
+  * allocation-bound at high core counts — stop-the-world GC pause time
+  * does not shrink with mutator threads, so bytes-per-page IS the
+  * scalability budget. Run: runMain graft.tools.AllocProbe [n]. */
+object AllocProbe {
+  def main(args: Array[String]): Unit = {
+    val n = if (args.length > 0) args(0).toInt else 5000
+    val pages = (0 until n).map { i =>
+      val url = SyntheticWeb.urlOf(i.toLong, 64, 42L)
+      (url, SyntheticWeb.htmlOf(i.toLong, 120000L, 64, 42L))
+    }
+    val htmlBytes = pages.map(_._2.length.toLong).sum
+    val tmx = java.lang.management.ManagementFactory.getThreadMXBean
+      .asInstanceOf[com.sun.management.ThreadMXBean]
+    val tid = Thread.currentThread().getId
+    // warmup + JIT
+    pages.take(500).foreach { case (u, h) =>
+      val d = Doc.fromHtml(h, u); DocRender.toMarkdown(d); Doc.extractLinks(h, u)
+      Chunker.semanticChunks(DocRender.toMarkdown(d), u, "t", 1000, 200)
+    }
+    def probe(label: String)(f: => Unit): Unit = {
+      val a0 = tmx.getThreadAllocatedBytes(tid)
+      val t0 = System.nanoTime()
+      f
+      val sec = (System.nanoTime() - t0) / 1e9
+      val mb = (tmx.getThreadAllocatedBytes(tid) - a0) / 1e6
+      println(f"$label: ${mb / n}%8.3f MB/page  ${mb / (htmlBytes / 1e6)}%6.1fx html  ${n / sec}%6.0f pages/s")
+    }
+    println(f"html avg ${htmlBytes.toDouble / n / 1024}%.1f KB/page")
+    probe("parse-only        ") { pages.foreach { case (u, h) => Doc.fromHtml(h, u) } }
+    probe("render-only       ") { val ds = pages.map { case (u, h) => Doc.fromHtml(h, u) }
+      probe("  (parse for render)") { () }
+      ds.foreach(DocRender.toMarkdown) }
+    probe("links-only        ") { pages.foreach { case (u, h) => Doc.extractLinks(h, u) } }
+    probe("chunk-only        ") { val mds = pages.map { case (u, h) => DocRender.toMarkdown(Doc.fromHtml(h, u)) }
+      probe("  (parse+render for chunk)") { () }
+      mds.foreach(md => Chunker.semanticChunks(md, "https://x.example/a", "t", 1000, 200)) }
+  }
+}

@@ -29,10 +29,11 @@ object MicroBench {
     time("parse-only       ") { pages.foreach { case (u, h) => Doc.fromHtml(h, u) } }
     time("parse+render     ") { pages.foreach { case (u, h) => DocRender.toMarkdown(Doc.fromHtml(h, u)) } }
     time("parse+links      ") { pages.foreach { case (u, h) => Doc.extractLinks(h, u) } }
-    time("full extract+chunk") {
+    time("full extract+chunk") { // one-pass shape, same as CrawlJob.extract
       pages.foreach { case (u, h) =>
-        val md = DocRender.toMarkdown(Doc.fromHtml(h, u))
-        Doc.extractLinks(h, u)
+        val root = graft.html.HtmlParser.parse(h)
+        val md = DocRender.toMarkdown(Doc.fromRoot(root, u))
+        Doc.extractLinksFromRoot(root, u)
         Chunker.semanticChunks(md, u, "t", 1000, 200)
       }
     }

@@ -11,9 +11,13 @@ object SiteGenCli {
     val nPages = args(1).toLong
     val nHosts = args(2).toInt
     val cpus = if (args.length > 3) args(3).toInt else 8
+    // optional bench mode: high per-host rps limits, no expected-text
+    // column (matches Bench.ensureBenchSite's corpus shape)
+    val benchRps = if (args.length > 4) Some(args(4).toDouble) else None
     val spark = CrawlJob.session(cpus, "graft-sitegen")
     val t0 = System.nanoTime()
-    SyntheticWeb.generate(spark, dir, nPages, nHosts, partitions = cpus)
+    SyntheticWeb.generate(spark, dir, nPages, nHosts, partitions = cpus,
+      withExpectedText = benchRps.isEmpty, benchRps = benchRps)
     println(f"generated $nPages pages / $nHosts hosts in ${(System.nanoTime() - t0) / 1e9}%.1fs at $dir")
     spark.stop()
   }

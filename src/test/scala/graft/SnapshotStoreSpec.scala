@@ -66,4 +66,40 @@ class SnapshotStoreSpec extends AnyFunSuite {
     assert(store.manifest(0).tables("results").rows == 2)
     assert(store.readTable(spark, 0, "results").count() == 2)
   }
+
+  test("merge-on-read view table: chunks explode from results at read time") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("snap4").toString
+    val store = new SnapshotStore(root)
+    val path = s"$root/data/v0/results"
+    // results rows with nested chunk structs (as the crawl writes them)
+    Seq(
+      ("u1", Seq(("c1", "alpha"), ("c2", "beta")), 0),
+      ("u2", Seq(("c3", "gamma")), 0))
+      .toDF("url", "chunks_raw", "round")
+      .withColumn("chunks", expr("transform(chunks_raw, c -> named_struct('id', c._1, 'content', c._2))"))
+      .drop("chunks_raw")
+      .write.parquet(path)
+    store.commit(spark, 0, Map.empty, Map.empty,
+      knownCounts = Map("results" -> 2L, "chunks" -> 3L),
+      preWritten = Map("results" -> path),
+      viewTables = Map("chunks" -> (path, "explode_chunks")))
+    val m = store.manifest(0)
+    assert(m.tables("chunks").rows == 3)
+    assert(m.tables("chunks").view.contains("explode_chunks"))
+    val chunks = store.readTable(spark, 0, "chunks")
+    assert(chunks.columns.toSeq == Seq("id", "content", "round"))
+    assert(chunks.count() == 3)
+    assert(chunks.select("id").as[String].collect().sorted.toSeq == Seq("c1", "c2", "c3"))
+    // manifest survives JSON round-trip (view field serialized)
+    val reread = new SnapshotStore(root).readTable(spark, 0, "chunks")
+    assert(reread.count() == 3)
+
+    // caller-supplied lineage is recorded verbatim, no groupBy run
+    store.commit(spark, 1, Map("trace" -> Seq(("u1", "h1")).toDF("url", "host")),
+      Map.empty, partitionKeyCol = Some("host"),
+      knownLineage = Map("trace" -> Map("h1" -> 1L)))
+    assert(store.manifest(1).tables("trace").partitions == Map("h1" -> 1L))
+  }
 }
