@@ -114,7 +114,7 @@ final class SnapshotStore(val root: String) {
       name -> TableMeta(rows, path, Map.empty[String, Long])
     } ++ viewTables.map { case (name, (srcPath, kind)) =>
       val rows = knownCounts.getOrElse(name, readView(spark, srcPath, kind).count())
-      name -> TableMeta(rows, srcPath, Map.empty[String, Long], Some(kind))
+      name -> TableMeta(rows, srcPath, knownLineage.getOrElse(name, Map.empty[String, Long]), Some(kind))
     }
     val manifest = Manifest(version, version - 1, metas, metrics)
     val tmp = snapshotsDir.resolve(s".v$version.json.tmp")
@@ -143,6 +143,22 @@ final class SnapshotStore(val root: String) {
         spark.read.parquet(srcPath)
           .select(explode(col("chunks")).as("c"), col("round"))
           .select("c.*", "round")
+      // the per-round `visited` table (scheduled ∪ robots-denied rows)
+      // serves both bookkeeping projections — writing them as separate
+      // tables would be two extra write jobs per round of pure latency
+      case "seen_from_visited" =>
+        spark.read.parquet(srcPath).select("url_hash", "url")
+      case "trace_from_visited" =>
+        spark.read.parquet(srcPath).filter(col("rank").isNotNull)
+          .select("round", "host", "rank", "url")
+      // a round that assigned the next epoch at commit time has no carry
+      // rows; the schema is the crawl frontier's (kept readable for
+      // resume without writing an empty parquet table per round)
+      case "empty_frontier" =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "url STRING, url_hash BIGINT, host STRING, depth INT, priority DOUBLE"))
       case other => throw new IllegalArgumentException(s"unknown view kind: $other")
     }
   }

@@ -62,13 +62,23 @@ object CrawlJob {
       robots_denied: Long, new_frontier: Long, chunks: Long, elapsedSec: Double)
 
   def session(cpus: Int, appName: String = "graft-crawl"): SparkSession = {
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .appName(appName)
-      .config("spark.sql.shuffle.partitions", cpus.toString)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    // defaults are overridable via -Dspark.* system properties (the
+    // local-mode analogue of spark-submit --conf)
+    def dflt(key: String, v: String): (String, String) =
+      (key, sys.props.getOrElse(key, v))
+    val spark = Seq(
+      dflt("spark.sql.shuffle.partitions", cpus.toString),
+      dflt("spark.sql.adaptive.enabled", "true"),
+      dflt("spark.sql.adaptive.skewJoin.enabled", "true"),
+      dflt("spark.sql.adaptive.coalescePartitions.enabled", "true"),
+      // v1's two sequential driver-side rename passes cost ~1.5 s of
+      // pure latency per dynamic-partition write (measured: the
+      // next-epoch partitionBy write dropped 24.6 s → 10.4 s over a
+      // 10-round crawl); v2 renames task outputs at task commit
+      dflt("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2"))
+      .foldLeft(SparkSession.builder()
+        .master(s"local[$cpus]")
+        .appName(appName)) { case (b, (k, v)) => b.config(k, v) }
       // html-payload pages files are a few hundred MB but each row costs
       // ~1ms of extract CPU — split scans finer than the 128MB default so
       // extraction parallelizes across all cores
@@ -381,21 +391,28 @@ object CrawlJob {
         val fresh = notSeenDf(
           mergeFrontier(batchDf.unionByName(carryDf)), seen).cache()
         val selected = Scheduler.rankSelect(fresh, limits, cfg).cache()
-        // one pass gives the scheduled count AND the trace's per-host
-        // lineage (the manifest requirement) — a separate groupBy in
-        // commit would re-shuffle the selection every round
-        val hostCounts = selected.groupBy("host").count().cache()
-        val nScheduled = hostCounts.agg(coalesce(sum("count"), lit(0L))).head.getLong(0)
+        // one action gives the scheduled count AND the trace's per-host
+        // lineage (the manifest requirement): when the round touches
+        // ≤10k hosts (the common case — politeness bounds hosts/round)
+        // the groupBy result IS the complete lineage; only a >10k-host
+        // round pays a second pass for the bounded top-N + rollup
         val maxLineageParts = 10000
-        val topHosts = hostCounts
-          .orderBy(desc("count"), asc("host")).limit(maxLineageParts).collect()
+        val hostRows = selected.groupBy("host").count()
+          .limit(maxLineageParts + 1).collect()
           .map(r => (r.getString(0), r.getLong(1)))
-        hostCounts.unpersist()
-        val traceLineage: Map[String, Long] = {
-          val m = topHosts.toMap
-          val counted = topHosts.map(_._2).sum
-          if (nScheduled > counted) m + ("<other>" -> (nScheduled - counted)) else m
-        }
+        val (nScheduled, traceLineage) =
+          if (hostRows.length <= maxLineageParts)
+            (hostRows.map(_._2).sum, hostRows.toMap)
+          else {
+            val hc = selected.groupBy("host").count().cache()
+            val n = hc.agg(coalesce(sum("count"), lit(0L))).head.getLong(0)
+            val top = hc.orderBy(desc("count"), asc("host")).limit(maxLineageParts)
+              .collect().map(r => (r.getString(0), r.getLong(1)))
+            hc.unpersist()
+            val m = top.toMap
+            val counted = top.map(_._2).sum
+            (n, if (n > counted) m + ("<other>" -> (n - counted)) else m)
+          }
         phase("schedule")
 
         if (nScheduled == 0 && nEpochDenied == 0) {
@@ -434,9 +451,6 @@ object CrawlJob {
             .head.getLong(0)
           phase("chunk-count")
 
-          // seen ∪= selected this round; denied are folded in below
-          val seenSel = selected.select("url_hash", "url")
-
           // frontier growth: outlinks → canonical keys → depth+1 (G6),
           // seen-filtered, then robots-gated AT INSERT (F7)
           val newLinks0 = extracted
@@ -447,32 +461,82 @@ object CrawlJob {
             .agg(min("depth").as("depth"))
             .withColumn("priority", lit(null).cast("double"))
             .select(frontierCols.map(col): _*)
+          // second anti-join excludes THIS round's selections (not yet in
+          // the committed seen set / Bloom). The right side is just the
+          // round's url_hash column (≤ budget × 8 bytes) — broadcast it
+          // so the 10M-row outlink set is not shuffled for it.
           val newFresh = notSeenDf(newLinks, seen)
-            .join(seenSel.select("url_hash"), Seq("url_hash"), "left_anti")
+            .join(broadcast(selected.select("url_hash")), Seq("url_hash"), "left_anti")
           val (newAllowed, newDenied, newGate) = Scheduler.robotsGate(newFresh, robotsDf)
           val nNewDenied = newDenied.count()
+          phase("links")
 
-          val seenDelta = {
-            val d = seenSel.unionByName(newDenied.select("url_hash", "url"))
-            if (epochDenied != null) d.unionByName(epochDenied.select("url_hash", "url")) else d
-          }
+          // ONE `visited` table = scheduled rows (rank set) ∪ denied rows
+          // (rank null); seen_delta and trace are merge-on-read views of
+          // it — one write job per round instead of three
+          val deniedAll =
+            if (epochDenied != null) newDenied.unionByName(epochDenied) else newDenied
+          val visited = selected
+            .select(lit(round).as("round"), col("host"), col("rank").cast("int").as("rank"),
+              col("url"), col("url_hash"))
+            .unionByName(deniedAll.select(lit(round).as("round"), col("host"),
+              lit(null).cast("int").as("rank"), col("url"), col("url_hash")))
           val nDenied = nNewDenied + nEpochDenied
 
           // carry′ = unselected candidates ∪ new allowed links — size is
           // ∝ the round's delta + displaced rows, NOT the total frontier
           val carryNext = mergeFrontier(
-            fresh.join(selected.select("url_hash"), Seq("url_hash"), "left_anti")
+            fresh.join(broadcast(selected.select("url_hash")), Seq("url_hash"), "left_anti")
               .unionByName(newAllowed))
 
-          val trace = selected.select(lit(round).as("round"), col("host"), col("rank"), col("url"))
           val nMissing = nScheduled - nFetched
-          val elapsed = (System.nanoTime() - t0) / 1e9
 
+          // The round's two bookkeeping writes — `visited` and
+          // carry/next-epoch — are independent: run them CONCURRENTLY so
+          // one write's task waves fill the other's scheduling gaps
+          // (a wall-clock win exactly when idle task slots exist, i.e.
+          // at higher core counts; a 1-core run serializes them anyway).
+          val visitedPath = s"${store.root}/data/v$round/visited"
+          val visitedF = scala.concurrent.Future {
+            visited.write.mode("overwrite").parquet(visitedPath)
+          }(scala.concurrent.ExecutionContext.global)
+
+          // Epoch fast-path: this round consumed the LAST assigned batch,
+          // so next round would re-epoch from (∅ remaining ∪ carry).
+          // Assign the next epoch NOW and commit it directly — the
+          // carry-table write + read-back + re-write as `assigned` was a
+          // full extra round-trip of the frontier delta every round in a
+          // budget-unbound crawl. (Budget-BOUND crawls keep the carry
+          // path: their epoch amortizes over many rounds.)
+          val epochExhausted = batchIdx >= maxBatch
+          var nextAssignedPath: String = null
+          var nextTotal = 0L
+          var nextMax = -1
+          val carryPath = s"${store.root}/data/v$round/carry"
+          if (epochExhausted) {
+            nextAssignedPath = s"${store.root}/data/v$round/assigned_next"
+            Scheduler.assignBatches(carryNext, limits, cfg)
+              .write.partitionBy("batch_no").mode("overwrite").parquet(nextAssignedPath)
+            try {
+              val s = spark.read.parquet(nextAssignedPath)
+                .agg(count(lit(1)), max("batch_no")).head
+              nextTotal = s.getLong(0)
+              nextMax = if (nextTotal == 0) -1 else s.getInt(1)
+            } catch { // zero rows → no part files → schema not inferable
+              case _: org.apache.spark.sql.AnalysisException => ()
+            }
+            phase("epoch-next")
+          } else {
+            carryNext.write.mode("overwrite").parquet(carryPath)
+          }
+          scala.concurrent.Await.result(visitedF, scala.concurrent.duration.Duration.Inf)
+
+          val elapsed = (System.nanoTime() - t0) / 1e9
+          val (committedEpochStart, committedTotal, committedConsumed, committedMax) =
+            if (epochExhausted) (round + 1, nextTotal, 0L, nextMax)
+            else (epochStart, assignedTotal, consumed + nBatchRows, maxBatch)
           store.commit(spark, round,
-            Map(
-              "seen_delta" -> seenDelta,
-              "trace" -> trace,
-              "carry" -> carryNext),
+            Map.empty,
             Map(
               "scheduled" -> nScheduled.toDouble,
               "fetched" -> nFetched.toDouble,
@@ -480,30 +544,50 @@ object CrawlJob {
               "robots_denied" -> nDenied.toDouble,
               "chunks" -> nChunks.toDouble,
               "elapsed_sec" -> elapsed,
-              "epoch_start" -> epochStart.toDouble,
-              "assigned_total" -> assignedTotal.toDouble,
-              "assigned_consumed" -> (consumed + nBatchRows).toDouble,
-              "assigned_max_batch" -> maxBatch.toDouble),
+              "epoch_start" -> committedEpochStart.toDouble,
+              "assigned_total" -> committedTotal.toDouble,
+              "assigned_consumed" -> committedConsumed.toDouble,
+              "assigned_max_batch" -> committedMax.toDouble),
             partitionKeyCol = Some("host"),
             knownCounts = Map(
+              "visited" -> (nScheduled + nDenied),
               "seen_delta" -> (nScheduled + nDenied),
               "results" -> nFetched,
               "chunks" -> nChunks,
               "trace" -> nScheduled,
-              "assigned" -> assignedTotal),
-            preWritten = Map("results" -> resultsPath, "assigned" -> assignedPath),
+              "assigned" -> committedTotal) ++
+              (if (epochExhausted) Map("carry" -> 0L) else Map.empty),
+            preWritten = Map("results" -> resultsPath,
+              "visited" -> visitedPath,
+              "assigned" -> (if (epochExhausted) nextAssignedPath else assignedPath)) ++
+              (if (epochExhausted) Map.empty else Map("carry" -> carryPath)),
             knownLineage = Map("trace" -> traceLineage),
             // chunks = merge-on-read view over results: the chunk rows
             // are already materialized (nested) in the results parquet —
             // a second flat write would double the round's largest write
-            viewTables = Map("chunks" -> (resultsPath, "explode_chunks")))
+            viewTables = Map(
+              "chunks" -> (resultsPath, "explode_chunks"),
+              "seen_delta" -> (visitedPath, "seen_from_visited"),
+              "trace" -> (visitedPath, "trace_from_visited")) ++
+              (if (epochExhausted) Map("carry" -> (visitedPath, "empty_frontier"))
+               else Map.empty))
           phase("commit")
 
           // advance state from the committed manifest
           val m = store.manifest(round)
-          carryCount = m.tables("carry").rows
-          carryDf = store.readTable(spark, round, "carry")
-          consumed += nBatchRows
+          if (epochExhausted) {
+            assignedPath = nextAssignedPath
+            epochStart = round + 1
+            assignedTotal = nextTotal
+            maxBatch = nextMax
+            consumed = 0
+            carryDf = emptyFrontier(spark)
+            carryCount = 0
+          } else {
+            carryCount = m.tables("carry").rows
+            carryDf = store.readTable(spark, round, "carry")
+            consumed += nBatchRows
+          }
           val sdPath = m.tables("seen_delta").path
           seenMeta = seenMeta :+ ((round, sdPath, nScheduled + nDenied))
           seen = seenDfAt(round)
