@@ -2,6 +2,7 @@ package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 import graft.text.TextOps
 
@@ -10,7 +11,10 @@ import graft.text.TextOps
   * embedding-cosine near-dup. Designed around shuffles that stay
   * key-bounded: every candidate-generation step buckets FIRST (band
   * hash / simhash chunk / hyperplane sign) so the pairwise work is
-  * per-bucket, never a global cross join. */
+  * per-bucket, never a global cross join; buckets hotter than
+  * `maxBucket` (mass-duplicate clusters — the highest-value dedup
+  * targets) are chain-split with connected coverage, never silently
+  * dropped (see [[Dedup.bucketPairs]]). */
 object Dedup {
 
   // --- exact dedup (hash-groupBy; map-side partial agg for free) ---
@@ -29,6 +33,63 @@ object Dedup {
     df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
   }
 
+  // --- bucket → candidate pairs (shared by all three LSH variants) ---
+
+  private val pairTagSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** All-pairs within buckets, hot-bucket-safe. Input: one row per
+    * bucket member with grouping columns `keyCols` and a struct column
+    * `m` whose FIRST field is the member id (pair order/tie-breaks sort
+    * by it).
+    *
+    * Buckets larger than `maxBucket` are NOT silently dropped (the r1/r2
+    * flaw: a 65-member mass-duplicate cluster — the most important dedup
+    * target — yielded zero pairs and zero telemetry). Members are
+    * row-numbered within their bucket (window; the groupBy below reuses
+    * the same hash partitioning, so no extra shuffle) and cut into
+    * CHAINS of `maxBucket`: chain c covers ranks [c·(maxBucket−1),
+    * c·(maxBucket−1)+maxBucket−1], so consecutive chains share exactly
+    * one member. A k-member bucket therefore yields O(k·maxBucket) pairs
+    * instead of O(k²), and every member stays transitively connected to
+    * the whole cluster — exactly what the connected-components consumer
+    * of near-dup pairs needs. Because collect_list is now bounded by
+    * maxBucket+1 it can never build a multi-GB array row for a hot
+    * bucket (the other failure mode of the old shape at 100 TB); the
+    * residual hot-key cost is the window sort of the bucket, which
+    * spills instead of OOMing.
+    *
+    * Telemetry: `observe`d metrics (visible to any QueryExecutionListener,
+    * e.g. Spark UI / metrics pipelines) report max bucket size and how
+    * many overflow chains were created — nothing is discarded, and the
+    * oversize incidence is reported, per run. */
+  private[graft] def bucketPairs(members: DataFrame, keyCols: Seq[String],
+                                 maxBucket: Int): DataFrame = {
+    require(maxBucket >= 2, s"maxBucket must be >= 2, got $maxBucket")
+    val stride = maxBucket - 1
+    val tag = pairTagSeq.getAndIncrement() // observation names must be unique per plan
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col("m"))
+    val withRn = members
+      .withColumn("_rn", row_number().over(w).cast("long") - 1)
+      .observe(s"lsh_buckets_$tag",
+        max(col("_rn") + 1).as("max_bucket_size"),
+        sum(when(col("_rn") === lit(maxBucket.toLong), 1L).otherwise(0L)).as("n_oversized_buckets"))
+    // boundary members (rank ≡ 0 mod stride, rank > 0) close the previous
+    // chain AND open the next — the one-element overlap that keeps a split
+    // cluster connected
+    val withChain = withRn.select(
+      keyCols.map(col) ++ Seq(col("m"), explode(
+        when(col("_rn") > 0 && pmod(col("_rn"), lit(stride.toLong)) === 0,
+          array(floor(col("_rn") / stride).cast("int") - 1, floor(col("_rn") / stride).cast("int")))
+          .otherwise(array(floor(col("_rn") / stride).cast("int")))).as("_chain")): _*)
+    val groups = withChain.groupBy((keyCols.map(col) :+ col("_chain")): _*)
+      .agg(sort_array(collect_list(col("m"))).as("members"))
+      .filter(size(col("members")) >= 2)
+    groups.select(explode(expr(
+      """flatten(transform(sequence(0, size(members)-2), i ->
+        |  transform(sequence(i+1, size(members)-1), j ->
+        |    struct(members[i] as a, members[j] as b))))""".stripMargin)).as("p"))
+  }
+
   // --- MinHash + LSH ---
 
   /** m minhash values over word w-shingles — single-pass native
@@ -42,9 +103,11 @@ object Dedup {
     * by (band_id, hash(band)), pair up within buckets, then verify with
     * the estimated Jaccard (signature agreement ratio) ≥ threshold.
     *
-    * Scale shape: explode → groupBy bucket (shuffle keyed by band hash,
-    * uniform by construction) → pairs only within buckets. A bucket with
-    * k docs yields k(k-1)/2 pairs — hot buckets are capped. */
+    * Scale shape: explode → window+groupBy per bucket (shuffle keyed by
+    * band hash, uniform by construction) → pairs only within buckets. A
+    * bucket with k ≤ maxBucket docs yields all k(k-1)/2 pairs; hotter
+    * buckets are chain-split (see [[bucketPairs]]) — connected coverage,
+    * never a silent drop. */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       w: Int = 3, m: Int = 32, bands: Int = 8,
                       threshold: Double = 0.7, maxBucket: Int = 64): DataFrame = {
@@ -56,17 +119,10 @@ object Dedup {
       struct(lit(b).as("band"), xxhash64(bandCols :+ lit(b): _*).as("bucket"))
     }
     val banded = withSig.select(
-      col("doc_id"), col("sig"),
+      struct(col("doc_id"), col("sig")).as("m"),
       explode(array(bandStructs: _*)).as("bb"))
-      .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bucket"))
-    val buckets = banded.groupBy("band", "bucket")
-      .agg(collect_list(struct(col("doc_id"), col("sig"))).as("members"))
-      .filter(size(col("members")).between(2, maxBucket))
-    // pairwise within bucket (driver-free: explode index pairs)
-    val pairs = buckets.select(explode(expr(
-      """flatten(transform(sequence(0, size(members)-2), i ->
-        |  transform(sequence(i+1, size(members)-1), j ->
-        |    struct(members[i] as a, members[j] as b))))""".stripMargin)).as("p"))
+      .select(col("m"), col("bb.band"), col("bb.bucket"))
+    val pairs = bucketPairs(banded, Seq("band", "bucket"), maxBucket)
       .select(
         least(col("p.a.doc_id"), col("p.b.doc_id")).as("id_a"),
         greatest(col("p.a.doc_id"), col("p.b.doc_id")).as("id_b"),
@@ -110,18 +166,12 @@ object Dedup {
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxDistance: Int = 3, maxBucket: Int = 64): DataFrame = {
     val withSim = df.select(col(idCol).as("doc_id"), simhash64(col(textCol)).as("sim"))
-    val chunked = withSim.select(col("doc_id"), col("sim"),
+    val chunked = withSim.select(struct(col("doc_id"), col("sim")).as("m"),
       explode(array((0 until 4).map(c =>
         struct(lit(c).as("chunk"),
           shiftright(col("sim"), c * 16).bitwiseAND(lit(0xffffL)).as("key"))): _*)).as("cb"))
-      .select(col("doc_id"), col("sim"), col("cb.chunk"), col("cb.key"))
-    val buckets = chunked.groupBy("chunk", "key")
-      .agg(collect_list(struct(col("doc_id"), col("sim"))).as("members"))
-      .filter(size(col("members")).between(2, maxBucket))
-    buckets.select(explode(expr(
-      """flatten(transform(sequence(0, size(members)-2), i ->
-        |  transform(sequence(i+1, size(members)-1), j ->
-        |    struct(members[i] as a, members[j] as b))))""".stripMargin)).as("p"))
+      .select(col("m"), col("cb.chunk"), col("cb.key"))
+    bucketPairs(chunked, Seq("chunk", "key"), maxBucket)
       .select(
         least(col("p.a.doc_id"), col("p.b.doc_id")).as("id_a"),
         greatest(col("p.a.doc_id"), col("p.b.doc_id")).as("id_b"),
@@ -142,15 +192,10 @@ object Dedup {
     * are deterministic pseudo-gaussians from xxhash64(dim_index, plane). */
   def cosinePairs(df: DataFrame, idCol: String, vecCol: String, dim: Int,
                   planes: Int = 12, threshold: Double = 0.95, maxBucket: Int = 256): DataFrame = {
-    val bucketed = df.select(col(idCol).as("doc_id"), col(vecCol).as("vec"),
+    val bucketed = df.select(
+      struct(col(idCol).as("doc_id"), col(vecCol).as("vec")).as("m"),
       graft.functions.GraftFunctions.hyperplane_bucket(col(vecCol), planes, 1L).as("bucket"))
-    val buckets = bucketed.groupBy("bucket")
-      .agg(collect_list(struct(col("doc_id"), col("vec"))).as("members"))
-      .filter(size(col("members")).between(2, maxBucket))
-    buckets.select(explode(expr(
-      """flatten(transform(sequence(0, size(members)-2), i ->
-        |  transform(sequence(i+1, size(members)-1), j ->
-        |    struct(members[i] as a, members[j] as b))))""".stripMargin)).as("p"))
+    bucketPairs(bucketed, Seq("bucket"), maxBucket)
       .select(
         least(col("p.a.doc_id"), col("p.b.doc_id")).as("id_a"),
         greatest(col("p.a.doc_id"), col("p.b.doc_id")).as("id_b"),

@@ -48,13 +48,22 @@ object Similarity {
   }
 
   /** Nearest-centroid id as ONE projection: an array of C codegen'd
-    * cosine similarities, argmax via array_position(array_max). Ties
-    * break to the lowest centroid_id (first occurrence). No join, no
+    * cosine similarities, argmax via a single fold over (sim, idx)
+    * pairs — the sims array is EVALUATED ONCE (the r2 shape
+    * `array_position(sims, array_max(sims))` evaluated the C cosine
+    * expressions twice, doubling the dominant index-build cost at large
+    * C). Ties break to the lowest centroid_id (strict `>` keeps the
+    * first occurrence, matching array_position semantics). No join, no
     * row expansion, no shuffle. */
   def assignToCentroid(vecCol: Column, cents: Array[Array[Float]]): Column = {
     val v = vecCol.cast("array<double>")
     val sims = array(cents.map(c => Dedup.cosine(v, vecLit(c))): _*)
-    (array_position(sims, array_max(sims)) - 1).cast("int")
+    val zipped = zip_with(sims, sequence(lit(0), lit(cents.length - 1)),
+      (s, i) => struct(s.as("s"), i.as("i")))
+    aggregate(zipped,
+      struct(lit(-2.0).as("s"), lit(-1).as("i")), // cosine ∈ [-1,1] > -2 always
+      (acc, x) => when(x.getField("s") > acc.getField("s"), x).otherwise(acc))
+      .getField("i").cast("int")
   }
 
   /** Deterministic centroids, driver-resident: seeds = the embeddings of
@@ -104,6 +113,13 @@ object Similarity {
                cents: Array[Array[Float]]): DataFrame =
     df.select(col(idCol), col(vecCol),
       assignToCentroid(col(vecCol), cents).as("centroid_id"))
+
+  /** The 100 TB index layout: materialize the IVF assignment
+    * partitionBy("centroid_id"), so [[ivfTopK]]'s nprobe isin filter
+    * partition-prunes the scan to ~nprobe/C of the data files
+    * (PlanSpec asserts the PartitionFilters actually land). */
+  def writeIvfIndex(index: DataFrame, path: String): Unit =
+    index.write.partitionBy("centroid_id").mode("overwrite").parquet(path)
 
   /** Probe the nprobe closest centroid buckets only. Probe selection is
     * driver-side over the in-memory centroids (C is tiny); the bucket

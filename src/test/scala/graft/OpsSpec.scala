@@ -114,6 +114,66 @@ class OpsSpec extends AnyFunSuite {
     assert(ivf.contains(7L))
   }
 
+  test("LSH hot buckets are chain-split, not dropped: 200-member cluster stays connected in d2/d3/d5") {
+    import spark.implicits._
+    // a mass-duplicate cluster 3× larger than maxBucket — the r2 code
+    // silently produced ZERO pairs for this shape
+    val clusterSize = 200
+    val maxBucket = 64
+    val dupText = (0 until 60).map(j => s"common${j % 17} token${j % 29}").mkString(" ")
+    val cluster = (0 until clusterSize).map(i => (i.toLong, dupText))
+    val others = (1000 until 1040).map { i =>
+      (i.toLong, (0 until 60).map(j => s"w${(i * 13 + j * 7) % 97} t${(i + j) % 31}").mkString(" "))
+    }
+    val df = (cluster ++ others).toDF("doc_id", "text")
+
+    // oversize must be REPORTED: capture the observe()d bucket metrics
+    @volatile var maxBucketSeen = 0L
+    @volatile var overflowSeen = 0L
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        qe.observedMetrics.foreach { case (name, row) =>
+          if (name.startsWith("lsh_buckets_")) {
+            maxBucketSeen = math.max(maxBucketSeen, row.getAs[Long]("max_bucket_size"))
+            overflowSeen += row.getAs[Long]("n_oversized_buckets")
+          }
+        }
+      override def onFailure(funcName: String, qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      def assertConnected(pairs: Array[(Long, Long)], tag: String): Unit = {
+        val parent = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        pairs.foreach { case (a, b) => parent(find(a)) = find(b) }
+        val roots = (0 until clusterSize).map(i => find(i.toLong)).toSet
+        assert(roots.size == 1, s"$tag: cluster split into ${roots.size} components (${pairs.length} pairs)")
+      }
+      val d2 = Dedup.minhashLshPairs(df, "doc_id", "text", w = 2, m = 32, bands = 16,
+        threshold = 0.9, maxBucket = maxBucket)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assertConnected(d2, "minhash")
+      val d3 = Dedup.simhashPairs(df, "doc_id", "text", maxDistance = 0, maxBucket = maxBucket)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assertConnected(d3, "simhash")
+      val vecs = df.select(col("doc_id"),
+        graft.text.PipelineOps.hashEmbedding(col("text"), 16).cast("array<float>").as("embedding"))
+      val d5 = Dedup.cosinePairs(vecs, "doc_id", "embedding", dim = 16, planes = 6,
+        threshold = 0.999, maxBucket = maxBucket)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assertConnected(d5, "cosine")
+      // QueryExecutionListener delivery is async — poll for the metrics
+      val deadline = System.currentTimeMillis() + 15000
+      while ((maxBucketSeen < clusterSize || overflowSeen == 0) && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(maxBucketSeen >= clusterSize, s"telemetry missed the hot bucket: max=$maxBucketSeen")
+      assert(overflowSeen > 0, "telemetry reported zero oversized buckets")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("token counts match Scala-side splits") {
     import spark.implicits._
     val samples = Seq("a b  c", "  leading and trailing  ", "", "one", "x,y.z!")

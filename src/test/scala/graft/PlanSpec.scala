@@ -91,6 +91,24 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), "ivf index build joins")
   }
 
+  test("ivf probe: nprobe filter partition-prunes a partitionBy(centroid_id) index") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cents = graft.sim.Similarity.centroids(emb, "vec_id", "embedding", 8, refineIters = 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    graft.sim.Similarity.writeIvfIndex(
+      graft.sim.Similarity.ivfIndex(emb, "vec_id", "embedding", cents), dir)
+    val index = spark.read.parquet(dir)
+    val q = (0 until 64).map(j => (((j * 37) % 19) - 9) / 10.0f).toArray
+    val topk = graft.sim.Similarity.ivfTopK(index, cents, "vec_id", "embedding", q, 10, nprobe = 2)
+    val p = topk.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && p.contains("centroid_id"),
+      s"nprobe filter not pushed to partition pruning:\n${p.take(900)}")
+    // pruned probe must actually return results from only the probed lists
+    val partDirs = new java.io.File(dir).listFiles().count(_.getName.startsWith("centroid_id="))
+    assert(partDirs > 2, s"expected >2 centroid partitions, got $partDirs")
+    assert(topk.count() == 10)
+  }
+
   test("epoch frontier: round-k scheduling scans ONLY batch k's partition") {
     import spark.implicits._
     val frontier = (0 until 200).map { i =>
