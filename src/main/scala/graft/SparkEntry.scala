@@ -55,6 +55,32 @@ object SparkEntry {
   private def queryVecSql: String =
     QueryVec.map(v => f"$v%.1f").mkString("[", ", ", "]")
 
+  /** Constructed dedup-completeness corpus (d6/d7/d8): docs with id<200
+    * form one mass-duplicate cluster (identical text, 3× the probes'
+    * maxBucket=64 — the hot-bucket split path), the rest are id-salted
+    * noise that must NOT pair. Derived only from doc_id, so DuckDB can
+    * compute the expected answer from first principles. */
+  private def lshCompletenessCorpus(s: SparkSession, dir: String): DataFrame =
+    pq(s, dir, "documents").select(col("doc_id"))
+      .withColumn("text",
+        when(col("doc_id") < 200,
+          lit("alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"))
+          // every noise token carries the doc id: two noise docs share NO
+          // token, so no sketch (shingle/simhash/hash-embedding bucket)
+          // can make them near-identical by partial collision
+          .otherwise(concat(
+            lit("u"), col("doc_id"), lit("a u"), col("doc_id"), lit("b u"),
+            col("doc_id"), lit("c u"), col("doc_id"), lit("d u"), col("doc_id"), lit("e"))))
+
+  /** (docs-from-the-cluster that appear in ≥1 pair, noise docs that
+    * leaked into any pair). Completeness = every planted duplicate
+    * caught; precision = zero noise. */
+  private def lshCompletenessSummary(pairs: DataFrame): DataFrame =
+    pairs.select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+      .agg(
+        count_distinct(when(col("doc_id") < 200, col("doc_id"))).as("n_cluster_docs_paired"),
+        count_distinct(when(col("doc_id") >= 200, col("doc_id"))).as("n_noise_docs_paired"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- relational core (baseline Spark ops, DuckDB-verified) ----
@@ -252,6 +278,73 @@ object SparkEntry {
       val all = emb.unionByName(nearDup)
       Dedup.cosinePairs(all, "vec_id", "embedding", dim = 64, planes = 10, threshold = 0.999)
         .agg(count(lit(1)).as("n_pairs"), round(min(col("cos")), 4).as("min_cos"))
+    }),
+
+    // ---- LSH completeness oracles (constructed corpus, so DuckDB can
+    // derive the expected answer INDEPENDENTLY: every planted duplicate
+    // must be caught, no noise doc may pair — unlike the d2/d3/d5 pinned
+    // goldens these are semantic, not regression, checks; they also run
+    // the hot-bucket chain-split path for real (cluster 200 ≫ maxBucket
+    // 64) ----
+
+    "d6_lsh_complete" -> ((s, dir) => {
+      val all = lshCompletenessCorpus(s, dir)
+      val pairs = Dedup.minhashLshPairs(all, "doc_id", "text",
+        w = 3, m = 32, bands = 8, threshold = 0.9, maxBucket = 64)
+      lshCompletenessSummary(pairs)
+    }),
+
+    "d7_simhash_complete" -> ((s, dir) => {
+      val all = lshCompletenessCorpus(s, dir)
+      val pairs = Dedup.simhashPairs(all, "doc_id", "text", maxDistance = 0, maxBucket = 64)
+      lshCompletenessSummary(pairs)
+    }),
+
+    "d8_cosine_complete" -> ((s, dir) => {
+      val all = lshCompletenessCorpus(s, dir)
+        .select(col("doc_id"),
+          graft.text.PipelineOps.hashEmbedding(col("text"), 256).cast("array<float>").as("embedding"))
+      val pairs = Dedup.cosinePairs(all, "doc_id", "embedding", dim = 256,
+        planes = 10, threshold = 0.999, maxBucket = 64)
+      lshCompletenessSummary(pairs)
+    }),
+
+    // ---- A4 cache stats (cache.py:598-649: hit rate + top-5 url
+    // patterns via Counter.most_common(5); tie-break count DESC,
+    // pattern ASC — deterministic where Counter insertion order is not).
+    // The live crawl analogue (per-round Bloom/anti-join hit metrics +
+    // manifest-lineage top hosts) is CrawlJob.cacheStats, asserted in
+    // CrawlParitySpec; this probe pins the aggregation semantics against
+    // DuckDB. ----
+
+    "a4_cache_stats" -> ((s, dir) => {
+      val req = pq(s, dir, "events")
+        .select(concat(lit("h"), col("user_id"), lit(".example")).as("pattern"),
+          (col("event_id") % 3 === 0).as("hit"))
+      val per = req.groupBy("pattern")
+        .agg(count(lit(1)).as("n_requests"),
+          sum(when(col("hit"), 1).otherwise(0)).as("n_hits"))
+      val top5 = per.orderBy(desc("n_requests"), asc("pattern")).limit(5)
+      val total = req.agg(count(lit(1)).as("n_requests"),
+          sum(when(col("hit"), 1).otherwise(0)).as("n_hits"))
+        .withColumn("pattern", lit("<total>"))
+      top5.unionByName(total.select("pattern", "n_requests", "n_hits"))
+        .withColumn("hit_rate", round(col("n_hits").cast("double") / col("n_requests"), 4))
+        .orderBy(desc("n_requests"), asc("pattern"))
+    }),
+
+    // ---- W5 payload filtering (vector_store.py:326-368): metadata
+    // conditions restrict candidates before the vector top-k; exercised
+    // through the real MOR VectorStore (upsert → filtered search) ----
+
+    "v4_search_payload" -> ((s, dir) => {
+      val emb = pq(s, dir, "embeddings")
+      val root = java.nio.file.Files.createTempDirectory("graft_v4_store").toString
+      val vs = new graft.rag.VectorStore(root, idCol = "vec_id")
+      vs.upsert(s, emb)
+      vs.search(s, QueryVec, 10, threshold = 0.0,
+          payloadFilter = Some(col("label") === 3))
+        .select(col("vec_id"), col("label"), col("score"))
     }),
 
     // ---- text analysis (documents table) ----
@@ -621,6 +714,44 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT md5(text) AS text_hash FROM documents WHERE (doc_id + 1000000) % 3 = 0)
         |GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""".stripMargin,
+
+    // d6/d7/d8: INDEPENDENT completeness oracle — the expected answer is
+    // derived from the constructed corpus (docs with doc_id<200 are the
+    // planted duplicate cluster; every one must appear in a pair, and no
+    // noise doc may), not pinned from implementation output.
+    "d6_lsh_complete" ->
+      """SELECT count(*) AS n_cluster_docs_paired, CAST(0 AS BIGINT) AS n_noise_docs_paired
+        |FROM documents WHERE doc_id < 200""".stripMargin,
+
+    "d7_simhash_complete" ->
+      """SELECT count(*) AS n_cluster_docs_paired, CAST(0 AS BIGINT) AS n_noise_docs_paired
+        |FROM documents WHERE doc_id < 200""".stripMargin,
+
+    "d8_cosine_complete" ->
+      """SELECT count(*) AS n_cluster_docs_paired, CAST(0 AS BIGINT) AS n_noise_docs_paired
+        |FROM documents WHERE doc_id < 200""".stripMargin,
+
+    "a4_cache_stats" ->
+      """WITH per AS (
+        |  SELECT 'h' || user_id || '.example' AS pattern, count(*) AS n_requests,
+        |    CAST(sum(CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+        |  FROM events GROUP BY 1),
+        |top5 AS (SELECT * FROM per ORDER BY n_requests DESC, pattern ASC LIMIT 5),
+        |tot AS (
+        |  SELECT '<total>' AS pattern, count(*) AS n_requests,
+        |    CAST(sum(CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+        |  FROM events)
+        |SELECT pattern, n_requests, n_hits,
+        |  round(CAST(n_hits AS DOUBLE) / n_requests, 4) AS hit_rate
+        |FROM (SELECT * FROM top5 UNION ALL SELECT * FROM tot)
+        |ORDER BY n_requests DESC, pattern ASC""".stripMargin,
+
+    "v4_search_payload" ->
+      s"""SELECT vec_id, label, score FROM (
+         |  SELECT vec_id, label,
+         |    round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), $queryVecSql), 6) AS score
+         |  FROM embeddings WHERE label = 3)
+         |WHERE score >= 0.0 ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
 
     "t1_token_count" ->
       """SELECT doc_id,

@@ -23,7 +23,16 @@ import org.apache.spark.util.sketch.BloomFilter
   * never a wrong result, and false negatives cannot occur because every
   * committed url_hash is added to its shard before the next round reads
   * it (CrawlParitySpec runs the crawl with sharding forced on and proves
-  * the trace unchanged). */
+  * the trace unchanged).
+  *
+  * Durability notes for the cluster deployment: shard IO here uses
+  * java.io (the sandbox runs one machine with a shared local FS); on a
+  * real cluster `shardFile` resolution routes through the Hadoop
+  * FileSystem API against the DFS work dir — the rename-based publish
+  * maps 1:1 onto FileSystem.rename. Concurrent task ATTEMPTS (retry /
+  * speculation) are safe: tmp files are attempt-unique and both attempts
+  * of a partition carry the identical delta, so whichever rename wins
+  * publishes complete, equivalent bytes (see writeShard). */
 object ShardedBloom {
 
   final case class Shards(dir: String, nShards: Int, itemsPerShard: Long, fpp: Double)
@@ -37,12 +46,24 @@ object ShardedBloom {
     try BloomFilter.readFrom(in) finally in.close()
   }
 
+  /** Publish via an ATTEMPT-UNIQUE tmp file: under Spark task retry or
+    * speculative execution two attempts of the same partition may run
+    * concurrently — a shared "<shard>.bloom.tmp" path (the r2 shape)
+    * would let them interleave writes and publish a truncated sketch.
+    * Each attempt writes its own tmp (task attempt id + a random nonce
+    * for non-task callers) and the rename is atomic, so the survivor is
+    * always one attempt's complete bytes; both attempts carry the same
+    * delta, so either winner is correct. */
   private def writeShard(f: File, bf: BloomFilter): Unit = {
-    val tmp = new File(f.getParentFile, f.getName + ".tmp")
+    val attempt = Option(org.apache.spark.TaskContext.get())
+      .map(tc => s"a${tc.taskAttemptId()}")
+      .getOrElse(s"d${java.util.concurrent.ThreadLocalRandom.current().nextLong(Long.MaxValue)}")
+    val tmp = new File(f.getParentFile, s"${f.getName}.$attempt.tmp")
     val out = new BufferedOutputStream(new FileOutputStream(tmp))
     try bf.writeTo(out) finally out.close()
     if (!tmp.renameTo(f)) { // atomic publish; fall back to replace
-      f.delete(); tmp.renameTo(f)
+      f.delete()
+      if (!tmp.renameTo(f)) tmp.delete() // lost the race to a concurrent attempt — its bytes are equivalent
     }
   }
 

@@ -349,6 +349,10 @@ object CrawlJob {
       if (assignedPath == null || batchIdx > maxBatch || carryCount > (assignedTotal - consumed)) {
         val input =
           if (round == 0) initialFrontier(spark, siteDir, rules)
+          // assignedTotal == 0 → the assigned dir is a zero-row
+          // partitionBy write (only _SUCCESS; no readable schema) —
+          // re-invoking run() on a completed workDir lands here
+          else if (assignedTotal == 0) carryDf
           else spark.read.parquet(assignedPath)
             .filter(col("batch_no") >= batchIdx).drop("batch_no")
             .unionByName(carryDf)
@@ -364,10 +368,15 @@ object CrawlJob {
         val path = s"${store.root}/data/v$round/assigned"
         Scheduler.assignBatches(allowed, limits, cfg)
           .write.partitionBy("batch_no").mode("overwrite").parquet(path)
-        val assignedStats = spark.read.parquet(path)
-          .agg(count(lit(1)), max("batch_no")).head
-        assignedTotal = assignedStats.getLong(0)
-        maxBatch = if (assignedTotal == 0) -1 else assignedStats.getInt(1)
+        try {
+          val assignedStats = spark.read.parquet(path)
+            .agg(count(lit(1)), max("batch_no")).head
+          assignedTotal = assignedStats.getLong(0)
+          maxBatch = if (assignedTotal == 0) -1 else assignedStats.getInt(1)
+        } catch { // zero rows → no part files → schema not inferable
+          case _: org.apache.spark.sql.AnalysisException =>
+            assignedTotal = 0; maxBatch = -1
+        }
         assignedPath = path
         epochStart = round
         batchIdx = 0
@@ -413,6 +422,13 @@ object CrawlJob {
             val counted = top.map(_._2).sum
             (n, if (n > counted) m + ("<other>" -> (n - counted)) else m)
           }
+        // A4 cache-stats accounting (cache.py:598-649 analogue): requests
+        // entering this round vs requests skipped by the seen set (Bloom
+        // fast-path + exact anti-join + in-round dedup merge = the
+        // request-cache hit semantics). fresh is already materialized by
+        // the schedule actions, so this count reads cached blocks.
+        val nCandidates = nBatchRows + carryCount
+        val nCacheHits = math.max(0L, nCandidates - fresh.count())
         phase("schedule")
 
         if (nScheduled == 0 && nEpochDenied == 0) {
@@ -542,6 +558,8 @@ object CrawlJob {
               "fetched" -> nFetched.toDouble,
               "missing" -> nMissing.toDouble,
               "robots_denied" -> nDenied.toDouble,
+              "cache_candidates" -> nCandidates.toDouble,
+              "cache_hits" -> nCacheHits.toDouble,
               "chunks" -> nChunks.toDouble,
               "elapsed_sec" -> elapsed,
               "epoch_start" -> committedEpochStart.toDouble,
@@ -604,6 +622,26 @@ object CrawlJob {
       }
     }
     round - 1
+  }
+
+  final case class CacheStats(requests: Long, hits: Long, hitRate: Double,
+                              topPatterns: Seq[(String, Long)])
+
+  /** A4 cache-stats parity (cache.py:598-649: hit rate + top-5 url
+    * patterns via Counter.most_common(5)). Computed purely from the
+    * committed manifests — per-round candidate/hit metrics plus the
+    * trace's per-host lineage — so the summary costs zero table scans.
+    * Tie-break on the top-5 is (count DESC, host ASC), deterministic
+    * where Counter.most_common's insertion-order tie-break is not. */
+  def cacheStats(store: SnapshotStore, lastRound: Int): CacheStats = {
+    val ms = (0 to lastRound).map(store.manifest)
+    val requests = ms.map(_.metrics.getOrElse("cache_candidates", 0.0)).sum.toLong
+    val hits = ms.map(_.metrics.getOrElse("cache_hits", 0.0)).sum.toLong
+    val hostCounts = ms.flatMap(_.tables.get("trace").map(_.partitions).getOrElse(Map.empty))
+      .groupBy(_._1).map { case (h, xs) => (h, xs.map(_._2).sum) }
+    val top5 = hostCounts.toSeq.filter(_._1 != "<other>")
+      .sortBy { case (h, n) => (-n, h) }.take(5)
+    CacheStats(requests, hits, if (requests > 0) hits.toDouble / requests else 0.0, top5)
   }
 
   /** spark-submit entry: CrawlJob <siteDir> <workDir> [cpus] */

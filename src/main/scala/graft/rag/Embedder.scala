@@ -47,20 +47,32 @@ object Embedder {
 
   /** Embed `df(textCol)` against a cache table `(text_sha, embedding)`.
     *
-    * Plan shape: one sha projection; cache hits resolve by equi-join;
-    * misses are DISTINCT texts (encode each unique text once, like the
-    * content-addressed cache would) encoded in `batchSize` groups inside
-    * mapPartitions, then joined back. Returns df + text_sha + embedding +
-    * from_cache. `newEntries(result)` gives the rows to upsert back into
-    * the cache. */
+    * Plan shape: ONE pass over df's lineage — sha projection + cache
+    * left-join, materialized (persist) because the joined result has two
+    * consumers (the miss-side distinct-encode branch and the final
+    * join-back). r2 forked the un-materialized `withSha` three ways, so
+    * a 10^9-chunk upstream derivation would have re-run per consumer;
+    * now the fork reads cached blocks (EmbedderPlanSpec asserts both
+    * consumers scan the InMemoryRelation). Misses are DISTINCT texts
+    * (encode each unique text once, like the content-addressed cache
+    * would) encoded in `batchSize` groups inside mapPartitions, then
+    * joined back. Returns df + text_sha + embedding + from_cache.
+    * `newEntries(result)` gives the rows to upsert back into the cache.
+    *
+    * `materialize = false` opts out (callers that checkpoint the
+    * upstream themselves, e.g. a snapshot-committed chunk table). */
   def embedWithCache(df: DataFrame, textCol: String, cache: DataFrame,
-                     encoder: BatchEncoder, batchSize: Int = 64): DataFrame = {
+                     encoder: BatchEncoder, batchSize: Int = 64,
+                     materialize: Boolean = true): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val withSha = df.withColumn("text_sha", textSha(col(textCol)))
     val cacheTbl = cache.select(col("text_sha"), col("embedding").as("_cached_emb"))
-    val missTexts = withSha
-      .join(cacheTbl.select("text_sha"), Seq("text_sha"), "left_anti")
+    val joined0 = df.withColumn("text_sha", textSha(col(textCol)))
+      .join(cacheTbl, Seq("text_sha"), "left")
+    val joined =
+      if (materialize) joined0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else joined0
+    val missTexts = joined.filter(col("_cached_emb").isNull)
       .select(col("text_sha"), col(textCol).as("_t"))
       .dropDuplicates("text_sha")
     val encoded = missTexts.as[(String, String)].mapPartitions { it =>
@@ -69,8 +81,7 @@ object Embedder {
         batch.iterator.zip(embs.iterator).map { case ((sha, _), e) => (sha, e) }
       }
     }.toDF("text_sha", "_enc_emb")
-    withSha
-      .join(cacheTbl, Seq("text_sha"), "left")
+    joined
       .join(encoded, Seq("text_sha"), "left")
       .withColumn("from_cache", col("_cached_emb").isNotNull)
       .withColumn("embedding", coalesce(col("_cached_emb"), col("_enc_emb")))

@@ -60,8 +60,7 @@ object RagPipeline {
 
     // ---- v2+: idempotent merge-by-id upsert into the vector table ----
     val v = vectors.upsert(spark,
-      embedded.select(col("id"), col("embedding"), col("content"), col("source_url")),
-      idCol = "id", vecCol = "embedding")
+      embedded.select(col("id"), col("embedding"), col("content"), col("source_url")))
 
     Result(nChunks, nEmbedded, nFromCache, v)
   }

@@ -1,6 +1,7 @@
 package graft.rag
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.checkpoint.SnapshotStore
@@ -11,64 +12,122 @@ import graft.checkpoint.SnapshotStore
   * batched upserts keyed by id, dimension-mismatch recreate, payload
   * carry).
   *
-  * Semantics per upsert version:
-  *   - merge-by-id: incoming rows REPLACE same-id rows, others carried
-  *   - dim mismatch vs the live table → recreate (drop existing), like
-  *     vector_store.py:272-284's collection recreate
-  *   - payload columns (everything but the vector) carried through;
-  *     schema widens by name on merge
+  * Storage is MERGE-ON-READ (the Iceberg MOR strategy — r2 was
+  * copy-on-write, rewriting the whole table per upsert batch, which is
+  * O(table) write amplification at 100 TB):
   *
-  * The merge here is copy-on-write (read latest + anti-join + union →
-  * write next version), which is the Iceberg MERGE INTO COW strategy; at
-  * 100 TB you'd flip to merge-on-read (commit the upsert batch as a delta
-  * keyed by id, compact periodically) — the SnapshotStore layout already
-  * supports that (per-version delta tables + a compaction version), the
-  * read path just gains a latest-wins window. Upserts are idempotent:
-  * re-applying the same batch yields an identical table. */
-final class VectorStore(val root: String, val table: String = "vectors") {
+  *   - each upsert commits ONLY the batch as a keyed delta version
+  *     (manifest metric `is_delta=1`) — the write is O(batch);
+  *   - the read path unions the newest base + its delta chain and
+  *     resolves latest-version-wins per id (one window keyed by id —
+  *     the standard MOR read cost, amortized away by compaction);
+  *   - when the delta chain exceeds `maxDeltas`, the next upsert
+  *     COMPACTS: merges chain + batch and commits a new base
+  *     (`is_delta=0`), so read cost stays bounded and write
+  *     amplification is O(table/maxDeltas) amortized;
+  *   - dim mismatch vs the live table → recreate (a new base holding
+  *     only the batch), like vector_store.py:272-284's collection
+  *     recreate;
+  *   - payload columns (everything but the vector) ride along; the
+  *     schema widens by name across versions on read.
+  *
+  * Upserts are idempotent: re-applying the same batch adds a delta whose
+  * rows shadow identical rows, leaving the read result unchanged. */
+final class VectorStore(val root: String, val table: String = "vectors",
+                        val idCol: String = "id", val vecCol: String = "embedding",
+                        val maxDeltas: Int = 8) {
   private val store = new SnapshotStore(root)
 
   def latestVersion: Option[Int] = store.latestVersion
 
-  def read(spark: SparkSession): Option[DataFrame] =
-    store.latestVersion.map(v => store.readTable(spark, v, table))
+  private def metric(v: Int, key: String): Double =
+    store.manifest(v).metrics.getOrElse(key, 0.0)
+  private def isDelta(v: Int): Boolean = metric(v, "is_delta") == 1.0
+  private def liveDim(v: Int): Int = metric(v, "dim").toInt
 
-  private def dimOf(df: DataFrame, vecCol: String): Option[Int] =
-    df.select(size(col(vecCol))).limit(1).collect().headOption.map(_.getInt(0))
+  /** Versions composing the current state: newest base + every delta
+    * after it, ascending. v0 is always a base by construction. */
+  private def activeChain: Seq[Int] = latestVersion match {
+    case None => Nil
+    case Some(latest) =>
+      var base = latest
+      while (base > 0 && isDelta(base)) base -= 1
+      base to latest
+  }
 
-  /** Merge-by-id upsert. Returns the committed version. */
-  def upsert(spark: SparkSession, docs: DataFrame,
-             idCol: String = "id", vecCol: String = "embedding"): Int = {
+  /** Latest-wins merged view over the active chain (merge-on-read). */
+  def read(spark: SparkSession): Option[DataFrame] = {
+    val chain = activeChain
+    if (chain.isEmpty) None
+    else if (chain.length == 1) Some(store.readTable(spark, chain.head, table))
+    else Some(mergeLatestWins(
+      chain.map(v => store.readTable(spark, v, table).withColumn("_v", lit(v)))))
+  }
+
+  private def mergeLatestWins(parts: Seq[DataFrame]): DataFrame = {
+    val unioned = parts.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+    val w = Window.partitionBy(col(idCol)).orderBy(desc("_v"))
+    unioned.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn", "_v")
+  }
+
+  /** Merge-by-id upsert. Returns the committed version. The committed
+    * data is O(batch) for a delta commit (VectorStoreSpec asserts this
+    * via the manifest row count), O(current table) only on compaction
+    * or recreate. */
+  def upsert(spark: SparkSession, docs: DataFrame): Int = {
     // vector_store.py:262-265: only rows that actually carry a vector
     val valid = docs.filter(col(vecCol).isNotNull)
-    val newDim = dimOf(valid, vecCol)
-    val current = read(spark)
-    val merged = current match {
-      case Some(old) if newDim.nonEmpty && dimOf(old, vecCol) == newDim =>
-        old.join(valid.select(idCol).distinct(), Seq(idCol), "left_anti")
-          .unionByName(valid, allowMissingColumns = true)
-      case Some(_) => valid // dim mismatch (or empty live table) → recreate
-      case None => valid
-    }
+    val newDim = valid.select(size(col(vecCol))).limit(1).collect()
+      .headOption.map(_.getInt(0))
     val v = store.latestVersion.map(_ + 1).getOrElse(0)
-    val rows = merged.count()
-    // count once, write once: commit recounts from footers otherwise
-    store.commit(spark, v, Map(table -> merged),
-      metrics = Map("upserted" -> valid.count().toDouble, "dim" -> newDim.getOrElse(0).toDouble),
-      knownCounts = Map(table -> rows))
-    v
+    val chain = activeChain
+
+    def commit(df: DataFrame, delta: Boolean, dim: Int, rows: Option[Long]): Int = {
+      val known = rows.map(r => Map(table -> r)).getOrElse(Map.empty[String, Long])
+      store.commit(spark, v, Map(table -> df),
+        metrics = Map(
+          "is_delta" -> (if (delta) 1.0 else 0.0),
+          "dim" -> dim.toDouble,
+          "upserted" -> valid.count().toDouble),
+        knownCounts = known)
+      v
+    }
+
+    if (chain.isEmpty) {
+      commit(valid, delta = false, newDim.getOrElse(0), rows = None) // first write: base
+    } else if (newDim.isEmpty) {
+      // nothing valid to upsert → an empty delta (keeps the table as-is)
+      commit(valid.limit(0), delta = true, liveDim(chain.head), rows = Some(0L))
+    } else if (newDim.get != liveDim(chain.head)) {
+      // dim mismatch → recreate: new base holding only the batch
+      commit(valid, delta = false, newDim.get, rows = None)
+    } else if (chain.length - 1 >= maxDeltas) {
+      // chain too deep → compact: merge chain + batch into a new base
+      val parts = chain.map(c => store.readTable(spark, c, table).withColumn("_v", lit(c))) :+
+        valid.withColumn("_v", lit(v))
+      commit(mergeLatestWins(parts), delta = false, newDim.get, rows = None)
+    } else {
+      commit(valid, delta = true, newDim.get, rows = None) // O(batch) write
+    }
   }
 
   /** W5 search: cosine top-k with score threshold (search.py:148-243).
     * threshold filters BEFORE the top-k heap; rerank=true fetches 2·k
-    * then applies the reference rerank formula (W6) over `contentCol`. */
+    * then applies the reference rerank formula (W6) over `contentCol`.
+    * `payloadFilter` is the reference's metadata filter
+    * (vector_store.py:326-368 builds qdrant must-match conditions from a
+    * metadata dict alongside the vector query): an arbitrary predicate
+    * over payload columns, applied BEFORE scoring so the scan prunes
+    * first. */
   def search(spark: SparkSession, query: Array[Float], k: Int,
              threshold: Double = 0.0,
-             idCol: String = "id", vecCol: String = "embedding",
              rerank: Boolean = false, rerankQuery: String = "",
-             contentCol: String = "content"): DataFrame = {
+             contentCol: String = "content",
+             payloadFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val base = read(spark).getOrElse(return spark.emptyDataFrame) // no collection yet → [] (search.py:238-243)
-    val scored = base
+    val filtered = payloadFilter.map(base.filter).getOrElse(base)
+    val scored = filtered
       .withColumn("score", round(graft.sim.Similarity.cosineToQuery(col(vecCol), query), 6))
       .filter(col("score") >= threshold)
     if (rerank) {

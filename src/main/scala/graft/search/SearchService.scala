@@ -52,21 +52,33 @@ final class SearchService(
 
   def clearCache(): Unit = cache.clear()
 
+  /** `metadataFilter`: the reference's metadata dict alongside the
+    * vector query (vector_store.py:326-368 — each entry becomes a
+    * must-match condition). Folded into the cache key so filtered and
+    * unfiltered searches never alias. */
   def search(spark: org.apache.spark.sql.SparkSession, query: String,
              limit: Int = 5, threshold: Double = 0.7,
-             rerank: Boolean = false): Seq[Hit] = {
-    cache.get(query, limit) match {
+             rerank: Boolean = false,
+             metadataFilter: Map[String, Any] = Map.empty): Seq[Hit] = {
+    val cacheQuery =
+      if (metadataFilter.isEmpty) query
+      else query + "|" + metadataFilter.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(",")
+    cache.get(cacheQuery, limit) match {
       case Some(hits) => hits
       case None =>
         val qVec = encoder.encodeBatch(Array(query)).head
+        val payloadFilter = metadataFilter.toSeq.sortBy(_._1)
+          .map { case (k, v) => org.apache.spark.sql.functions.col(k) ===
+            org.apache.spark.sql.functions.lit(v) }
+          .reduceOption(_ && _)
         val df = store.search(spark, qVec, limit, threshold,
-          rerank = rerank, rerankQuery = query)
+          rerank = rerank, rerankQuery = query, payloadFilter = payloadFilter)
         val scoreCol = if (rerank) "adjusted_score" else "score"
         val hits =
           if (df.columns.isEmpty) Seq.empty
           else df.select("id", scoreCol, "content").collect().toSeq
             .map(r => Hit(String.valueOf(r.get(0)), r.getDouble(1), String.valueOf(r.get(2))))
-        cache.put(query, limit, hits)
+        cache.put(cacheQuery, limit, hits)
         hits
     }
   }

@@ -172,7 +172,23 @@ object SyntheticWeb {
       sb.append("</urlset>\n")
       sb.toString
     }
-    if (host == 0 && pageIdsOnHost.size >= 4) {
+    if (host == 1) {
+      // S4: host1 publishes an HTML sitemap (the reference's fallback,
+      // sitemap_utils.py:268-301) — absolute + root-relative hrefs (the
+      // latter exercise urljoin against the sitemap url) plus
+      // javascript:/#anchor decoys that must be skipped
+      val sb = new StringBuilder
+      sb.append("<html><head><title>host1 site map</title></head><body>\n<h1>Site map</h1>\n<ul>\n")
+      pageIdsOnHost.foreach { i =>
+        val href = if (i % 2 == 0) urlOf(i, nHosts, seed) else s"/sec${sectionOf(i)}/page$i"
+        sb.append(s"""<li><a href="$href">Page $i</a></li>\n""")
+      }
+      sb.append("<li><a href=\"javascript:void(0)\">decoy</a></li>\n")
+      sb.append("<li><a href=\"#top\">anchor decoy</a></li>\n")
+      sb.append("<li><a href=\"\">empty decoy</a></li>\n")
+      sb.append("</ul>\n</body></html>\n")
+      Seq((s"$hostBase/sitemap.xml", sb.toString))
+    } else if (host == 0 && pageIdsOnHost.size >= 4) {
       val (a, b) = pageIdsOnHost.splitAt(pageIdsOnHost.size / 2)
       Seq(
         (s"$hostBase/sitemap.xml",

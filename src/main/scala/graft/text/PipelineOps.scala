@@ -148,7 +148,8 @@ object PipelineOps {
     * arrival order = ascending id for reproducibility), counts
     * L2-normalized. Vocab is built once (driver, bounded max_features)
     * and broadcast. */
-  def countEmbedding(df: DataFrame, idCol: String, textCol: String, maxFeatures: Int = 512): DataFrame = {
+  def countEmbedding(df: DataFrame, idCol: String, textCol: String, maxFeatures: Int = 512,
+                     maxVocabScan: Int = 1 << 20): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     // Vocab pass is driver-bounded: collect only an ascending-id PREFIX
@@ -156,19 +157,33 @@ object PipelineOps {
     // the corpus). Grow K geometrically until the vocab saturates at
     // maxFeatures or the prefix covers the whole input — first-seen order
     // is identical across passes because each pass re-reads from id 0.
+    // K is HARD-CAPPED at maxVocabScan: a degenerate corpus whose
+    // vocabulary never reaches maxFeatures would otherwise grow the
+    // prefix until it collected the whole input (the r2 unboundedness).
+    // An under-saturated capped vocab is reported, and is still a valid
+    // first-seen vocabulary — just built from the first maxVocabScan
+    // docs, exactly what the reference would see on a truncated corpus.
     val vocab: Map[String, Int] = {
       val m = scala.collection.mutable.LinkedHashMap.empty[String, Int]
       var k = math.max(64, maxFeatures / 4)
-      var exhausted = false
-      while (m.size < maxFeatures && !exhausted) {
+      var stop = false
+      while (m.size < maxFeatures && !stop) {
         m.clear()
+        val limitK = math.min(k, maxVocabScan)
         val texts = df.select(col(idCol), col(textCol)).orderBy(col(idCol))
-          .limit(k).as[(Long, String)].collect()
-        exhausted = texts.length < k
+          .limit(limitK).as[(Long, String)].collect()
+        val exhausted = texts.length < limitK
         texts.iterator.takeWhile(_ => m.size < maxFeatures).foreach { case (_, t) =>
           t.toLowerCase.split("\\s+").filter(_.nonEmpty).foreach { tok =>
             if (!m.contains(tok) && m.size < maxFeatures) m(tok) = m.size
           }
+        }
+        if (exhausted) stop = true
+        else if (limitK == maxVocabScan && m.size < maxFeatures) {
+          System.err.println(s"[graft] countEmbedding: vocab under-saturated " +
+            s"(${m.size}/$maxFeatures features) at the $maxVocabScan-row scan cap; " +
+            "raise maxVocabScan or use hashEmbedding for open vocabularies")
+          stop = true
         }
         k = k * 8
       }

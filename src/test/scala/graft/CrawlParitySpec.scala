@@ -86,6 +86,40 @@ class CrawlParitySpec extends AnyFunSuite {
       assert(g == w, s"trace row $i differs: spark=$g ref=$w")
     }
     assert(sparkSeen(workDir, last) == ref.seen)
+    // S4 end-to-end: host1's sitemap is HTML — round-0 entries beyond the
+    // single seed can only come from the HTML-sitemap parse feeding the
+    // frontier
+    val host1Round0 = got.filter(t => t._1 == 0 && t._2 == "host1.example")
+    assert(host1Round0.size > 1,
+      s"HTML sitemap (S4) fed nothing into round 0: $host1Round0")
+  }
+
+  test("re-invoking run() on a completed workDir is a no-op returning the final version") {
+    val workDir = java.nio.file.Files.createTempDirectory("graft_rerun").toString
+    val last = runSparkCrawl(workDir)
+    val again = runSparkCrawl(workDir) // must not throw on the empty assigned dir
+    assert(again == last, s"re-run changed the final version: $again != $last")
+    assert(sparkTrace(workDir, again) == sparkTrace(workDir, last))
+  }
+
+  test("A4 cache stats: per-round hit accounting + top-5 host patterns from manifests") {
+    val workDir = java.nio.file.Files.createTempDirectory("graft_cstats").toString
+    val last = runSparkCrawl(workDir)
+    val store = new SnapshotStore(workDir)
+    val stats = CrawlJob.cacheStats(store, last)
+    assert(stats.requests > 0)
+    assert(stats.hits >= 0 && stats.hits <= stats.requests)
+    assert(stats.hitRate >= 0.0 && stats.hitRate <= 1.0)
+    assert(stats.topPatterns.nonEmpty && stats.topPatterns.size <= 5)
+    // top patterns are crawl hosts ordered by visit count desc
+    assert(stats.topPatterns.forall(_._1.endsWith(".example")))
+    assert(stats.topPatterns.map(_._2) == stats.topPatterns.map(_._2).sorted.reverse)
+    // per-round consistency: candidates − hits = rows that reached ranking
+    (0 to last).foreach { v =>
+      val m = store.manifest(v).metrics
+      assert(m.contains("cache_candidates") && m.contains("cache_hits"), s"round $v missing A4 metrics")
+      assert(m("cache_hits") <= m("cache_candidates"))
+    }
   }
 
   test("extracted markdown is byte-identical to the expected text column per url") {

@@ -120,6 +120,28 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(backoffSec(6) == 60.0) // capped
   }
 
+  test("countEmbedding: degenerate small-vocab corpus never scans past the cap") {
+    val spark = org.apache.spark.sql.SparkSession.builder().master("local[2]")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 5000 docs, 3-word vocabulary: the r2 geometric loop would have
+    // grown the prefix until it collected all 5000 rows; the cap stops
+    // the scan at 256 rows and the vocab is still correct (first-seen
+    // over the prefix = {alpha, beta, gamma})
+    val df = spark.range(0, 5000).selectExpr("id AS doc_id", "'alpha beta gamma' AS text")
+    val out = PipelineOps.countEmbedding(df, "doc_id", "text",
+      maxFeatures = 512, maxVocabScan = 256)
+    val r = out.select(org.apache.spark.sql.functions.size(col("embedding"))).head.getInt(0)
+    assert(r == 3, s"expected 3-dim vocab, got $r")
+    // saturating corpus unaffected by the cap
+    val rich = spark.range(0, 100).selectExpr("id AS doc_id",
+      "concat('tok', CAST(id AS STRING), ' fill') AS text")
+    val out2 = PipelineOps.countEmbedding(rich, "doc_id", "text",
+      maxFeatures = 16, maxVocabScan = 1 << 20)
+    assert(out2.select(org.apache.spark.sql.functions.size(col("embedding"))).head.getInt(0) == 16)
+  }
+
   test("url export line format (sitemap_utils.py:477-499)") {
     val spark = org.apache.spark.sql.SparkSession.builder().master("local[2]")
       .config("spark.ui.enabled", "false").getOrCreate()

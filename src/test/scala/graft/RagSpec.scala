@@ -43,6 +43,22 @@ class RagSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("embedWithCache materializes the sha+cache join once: both consumers read cached blocks") {
+    import spark.implicits._
+    val docs = (0 until 50).map(i => (i.toLong, s"text number $i with words")).toDF("id", "text")
+    val cache = docs.filter(col("id") % 2 === 0)
+      .select(sha2(col("text"), 256).as("text_sha"),
+        graft.text.PipelineOps.hashEmbedding(col("text"), 8).cast("array<float>").as("embedding"))
+    val out = Embedder.embedWithCache(docs, "text", cache, HashBatchEncoder(8))
+    assert(out.count() == 50)
+    val p = out.queryExecution.executedPlan.toString
+    // the upstream lineage must compute ONCE: the final join and the
+    // distinct-miss encode branch both scan the InMemoryRelation
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2,
+      s"expected both consumers on cached blocks:\n${p.take(1500)}")
+    spark.sharedState.cacheManager.clearCache() // release the persisted blocks
+  }
+
   test("vector store upsert: merge-by-id, idempotent, dim mismatch recreates") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_vs").toString

@@ -1,0 +1,83 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sitemap.Sitemap
+
+/** S3/S4 unit coverage: XML urlset/sitemapindex parsing and the
+  * HTML-sitemap fallback (/root/reference/RAGnificent/utils/
+  * sitemap_utils.py:162-221 xml, :268-301 html, :325-342 dispatch).
+  * (r2's COVERAGE.md cited this spec before it existed — it is real
+  * now, and the HTML path is ALSO exercised end-to-end through
+  * CrawlParitySpec since host1's synthetic sitemap is HTML.) */
+class SitemapSpec extends AnyFunSuite {
+
+  test("urlset parse: loc/lastmod/changefreq/priority, bad priority → None") {
+    val xml =
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+        |  <url><loc>https://a.example/p1</loc><lastmod>2024-01-02</lastmod>
+        |    <changefreq>weekly</changefreq><priority>0.8</priority></url>
+        |  <url><loc>https://a.example/p2</loc><priority>not-a-number</priority></url>
+        |  <url><loc></loc></url>
+        |</urlset>""".stripMargin
+    val r = Sitemap.parseXml(xml)
+    assert(r.childSitemaps.isEmpty)
+    assert(r.entries.map(_.loc) == Seq("https://a.example/p1", "https://a.example/p2"))
+    assert(r.entries.head.priority.contains(0.8))
+    assert(r.entries.head.lastmod.contains("2024-01-02"))
+    assert(r.entries(1).priority.isEmpty) // float() failure → None (:255-266)
+  }
+
+  test("sitemapindex parse returns children, no entries") {
+    val xml =
+      """<?xml version="1.0"?>
+        |<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+        |  <sitemap><loc>https://a.example/sm_a.xml</loc></sitemap>
+        |  <sitemap><loc>https://a.example/sm_b.xml</loc></sitemap>
+        |</sitemapindex>""".stripMargin
+    val r = Sitemap.parseXml(xml)
+    assert(r.entries.isEmpty)
+    assert(r.childSitemaps == Seq("https://a.example/sm_a.xml", "https://a.example/sm_b.xml"))
+  }
+
+  test("malformed xml → empty result, not an exception (:182-187)") {
+    val r = Sitemap.parseXml("<urlset><url><loc>https://x/")
+    assert(r.entries.isEmpty && r.childSitemaps.isEmpty)
+  }
+
+  test("S4 html sitemap: a[href] extraction, urljoin, js/#/empty decoys skipped (:268-301)") {
+    val html =
+      """<html><head><title>map</title></head><body><h1>Site map</h1><ul>
+        |<li><a href="https://b.example/abs/page1">abs</a></li>
+        |<li><a href="/rel/page2">root-relative</a></li>
+        |<li><a href="sub/page3">doc-relative</a></li>
+        |<li><a href="javascript:void(0)">js decoy</a></li>
+        |<li><a href="#top">anchor decoy</a></li>
+        |<li><a href="">empty decoy</a></li>
+        |<li><a>no-href anchor</a></li>
+        |</ul></body></html>""".stripMargin
+    val entries = Sitemap.parseHtml(html, "https://b.example/sitemap.xml")
+    assert(entries.map(_.loc) == Seq(
+      "https://b.example/abs/page1",
+      "https://b.example/rel/page2",
+      "https://b.example/sub/page3"))
+    assert(entries.forall(e => e.priority.isEmpty && e.lastmod.isEmpty))
+  }
+
+  test("dispatch sniffing: xml body → xml parse, html body → html fallback (:325-342)") {
+    val xmlBody = """<?xml version="1.0"?><urlset><url><loc>https://c.example/x</loc></url></urlset>"""
+    assert(Sitemap.parse(xmlBody, "https://c.example/sitemap.xml").entries.map(_.loc)
+      == Seq("https://c.example/x"))
+    val htmlBody = """<html><body><a href="/y">y</a></body></html>"""
+    assert(Sitemap.parse(htmlBody, "https://c.example/sitemap.xml").entries.map(_.loc)
+      == Seq("https://c.example/y"))
+  }
+
+  test("default candidate locations when robots lists none (:383-391)") {
+    val locs = Sitemap.defaultLocations("https://d.example/docs/intro")
+    assert(locs.head == "https://d.example/sitemap.xml")
+    assert(locs.size == 4)
+    assert(Sitemap.defaultLocations("not a url").isEmpty)
+  }
+}

@@ -1,0 +1,124 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.rag.VectorStore
+
+/** Merge-on-read vector store: O(batch) delta commits, latest-wins
+  * reads, bounded-chain compaction, payload-filtered search. */
+class VectorStoreSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  private def vec(seed: Int, dim: Int = 8) = Array.tabulate(dim)(i => (seed * 10 + i).toFloat)
+
+  test("upsert commits O(batch) deltas, not O(table) rewrites") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_mor").toString
+    val vs = new VectorStore(root)
+    val store = new graft.checkpoint.SnapshotStore(root)
+
+    val base = (0 until 100).map(i => (s"d$i", vec(i), s"content $i"))
+      .toDF("id", "embedding", "content")
+    val v0 = vs.upsert(spark, base)
+    assert(store.manifest(v0).tables("vectors").rows == 100)
+    assert(store.manifest(v0).metrics("is_delta") == 0.0)
+
+    // a 5-row upsert must COMMIT 5 rows (the MOR contract), not 100
+    val batch = Seq(("d3", vec(999), "updated 3"), ("d7", vec(998), "updated 7"),
+      ("n1", vec(101), "new 1"), ("n2", vec(102), "new 2"), ("n3", vec(103), "new 3"))
+      .toDF("id", "embedding", "content")
+    val v1 = vs.upsert(spark, batch)
+    assert(store.manifest(v1).metrics("is_delta") == 1.0)
+    assert(store.manifest(v1).tables("vectors").rows == 5,
+      s"delta commit wrote ${store.manifest(v1).tables("vectors").rows} rows — O(table), not O(batch)")
+
+    // latest-wins read: 103 ids, updated rows shadow base rows
+    val t = vs.read(spark).get.collect()
+      .map(r => r.getString(0) -> (r.getSeq[Float](1).head, r.getString(2))).toMap
+    assert(t.size == 103)
+    assert(t("d3") == (9990.0f, "updated 3"))
+    assert(t("d4") == (40.0f, "content 4"))
+    assert(t("n1") == (1010.0f, "new 1"))
+
+    // idempotent: the same batch again → read result unchanged
+    vs.upsert(spark, batch)
+    val again = vs.read(spark).get.collect()
+      .map(r => r.getString(0) -> (r.getSeq[Float](1).head, r.getString(2))).toMap
+    assert(again == t)
+  }
+
+  test("delta chain compacts into a new base after maxDeltas") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_mor_compact").toString
+    val vs = new VectorStore(root, maxDeltas = 2)
+    val store = new graft.checkpoint.SnapshotStore(root)
+
+    vs.upsert(spark, (0 until 20).map(i => (s"d$i", vec(i), s"c$i")).toDF("id", "embedding", "content"))
+    vs.upsert(spark, Seq(("d0", vec(500), "u0")).toDF("id", "embedding", "content"))
+    vs.upsert(spark, Seq(("d1", vec(501), "u1")).toDF("id", "embedding", "content"))
+    // chain is now base+2 deltas = maxDeltas → this upsert compacts
+    val vc = vs.upsert(spark, Seq(("d2", vec(502), "u2")).toDF("id", "embedding", "content"))
+    assert(store.manifest(vc).metrics("is_delta") == 0.0, "expected a compaction base")
+    assert(store.manifest(vc).tables("vectors").rows == 20)
+    val t = vs.read(spark).get.collect()
+      .map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(t.size == 20 && t("d0") == "u0" && t("d1") == "u1" && t("d2") == "u2" && t("d3") == "c3")
+    // post-compaction read touches ONLY the new base (single-version chain)
+    val vNext = vs.upsert(spark, Seq(("d4", vec(503), "u4")).toDF("id", "embedding", "content"))
+    assert(store.manifest(vNext).metrics("is_delta") == 1.0)
+    assert(vs.read(spark).get.count() == 20)
+  }
+
+  test("dim mismatch recreates (new base holds only the batch), per vector_store.py:272-284") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_mor_dim").toString
+    val vs = new VectorStore(root)
+    val store = new graft.checkpoint.SnapshotStore(root)
+    vs.upsert(spark, Seq(("a", vec(1), "pa"), ("b", vec(2), "pb")).toDF("id", "embedding", "content"))
+    vs.upsert(spark, Seq(("c", vec(3), "pc")).toDF("id", "embedding", "content"))
+    val vr = vs.upsert(spark, Seq(("z", vec(1, 4), "pz")).toDF("id", "embedding", "content"))
+    assert(store.manifest(vr).metrics("is_delta") == 0.0)
+    val rec = vs.read(spark).get.collect()
+    assert(rec.length == 1 && rec.head.getString(0) == "z")
+  }
+
+  test("search with payload filter restricts candidates before scoring") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_mor_payload").toString
+    val vs = new VectorStore(root)
+    val docs = (0 until 40).map { i =>
+      val v = Array.tabulate(8)(j => math.cos(i + j).toFloat)
+      (s"d$i", v, s"content $i", if (i % 2 == 0) "even" else "odd")
+    }.toDF("id", "embedding", "content", "parity")
+    vs.upsert(spark, docs)
+    val q = Array.tabulate(8)(j => math.cos(7 + j).toFloat) // == d7 (odd)
+    val unfiltered = vs.search(spark, q, 5, threshold = -1.0).collect()
+    assert(unfiltered.head.getString(0) == "d7")
+    val filtered = vs.search(spark, q, 5, threshold = -1.0,
+      payloadFilter = Some(col("parity") === "even")).collect()
+    assert(filtered.length == 5)
+    assert(filtered.forall(_.getAs[String]("parity") == "even"))
+    assert(!filtered.exists(_.getString(0) == "d7"), "filtered-out doc leaked into results")
+
+    // SearchService plumbing: metadata map → conjunctive predicate; the
+    // cache key distinguishes filtered from unfiltered queries
+    val svc = new graft.search.SearchService(vs, graft.rag.HashBatchEncoder(8))
+    val all = svc.search(spark, "content", limit = 3, threshold = -1.0)
+    val onlyOdd = svc.search(spark, "content", limit = 3, threshold = -1.0,
+      metadataFilter = Map("parity" -> "odd"))
+    assert(onlyOdd.size == 3 && onlyOdd != all)
+    val cached = svc.search(spark, "content", limit = 3, threshold = -1.0,
+      metadataFilter = Map("parity" -> "odd"))
+    assert(cached == onlyOdd)
+  }
+}
