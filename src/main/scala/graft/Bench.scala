@@ -16,12 +16,26 @@ import graft.synth.SyntheticWeb
   * configured crawl-delay (the politeness SEMANTICS are verified in
   * CrawlParitySpec at reference budgets).
   *
+  * Trust protocol (r2 lesson: the official BENCH_r02 headline recorded
+  * 265 urls/s while the identical harness reproduces at ~1,990 — one
+  * stalled round on a shared VM contaminated the whole number):
+  *   - the headline crawl runs `headlineRuns`× on FRESH work dirs and
+  *     reports the MEDIAN elapsed run, so a single bad window cannot
+  *     become the round's official number; per-run times are emitted too;
+  *   - sf0.1 uses a 480k-page corpus (4× r2's) so rounds are data-bound
+  *     rather than round-overhead-bound;
+  *   - a separate `crawl_r1cfg` cell re-measures under the ROUND-1
+  *     workload configuration (120k pages, rps=400, depth 3, capped
+  *     sitemaps) so cross-round engine speedups stay attributable —
+  *     the headline's config changes (rps/depth/sitemaps) are disclosed
+  *     in BENCH.md and this cell isolates them.
+  *
   * The `queries` map additionally times every SparkEntry probe on the sf
   * tables. */
 object Bench {
 
   def benchPagesFor(sfDir: String): Long =
-    if (sfDir.contains("sf0.1")) 120000L
+    if (sfDir.contains("sf0.1")) 480000L
     else if (sfDir.contains("sf0.01")) 20000L
     else 2000L
 
@@ -42,38 +56,78 @@ object Bench {
   }
 
   def ensureBenchSite(spark: SparkSession, sfDir: String, cpus: Int,
-                      rps: Double = 400.0, pagesOverride: Option[Long] = None): String = {
+                      rps: Double = 400.0, pagesOverride: Option[Long] = None,
+                      sitemapCapOverride: Option[Int] = None): String = {
     val n = pagesOverride.getOrElse(benchPagesFor(sfDir))
-    val siteDir = s"/dev/shm/graft_bench_site_${n}_${rps.toLong}"
+    val cap = sitemapCapOverride.map(c => s"_cap$c").getOrElse("")
+    val siteDir = s"/dev/shm/graft_bench_site_${n}_${rps.toLong}$cap"
     val marker = new java.io.File(s"$siteDir/pages.parquet/_SUCCESS")
     if (!marker.exists()) {
       SyntheticWeb.generate(spark, siteDir, n, nHosts = 64, partitions = cpus,
-        withExpectedText = false, benchRps = Some(rps))
+        withExpectedText = false, benchRps = Some(rps),
+        sitemapCapOverride = sitemapCapOverride)
     }
     siteDir
+  }
+
+  private def deleteRecursively(dir: String): Unit = {
+    val root = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(root)) {
+      java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  /** Repeat a crawl on fresh work dirs; returns (per-run results, the
+    * median run by elapsed time). Work dirs are deleted between runs so
+    * repeated multi-GB crawls cannot exhaust /dev/shm. */
+  def medianCrawl(spark: SparkSession, siteDir: String, runs: Int,
+                  rps: Double, maxDepth: Int): (Seq[(Long, Long, Double)], (Long, Long, Double)) = {
+    val results = (1 to runs).map { i =>
+      val wd = java.nio.file.Files
+        .createTempDirectory(java.nio.file.Paths.get("/dev/shm"), s"graft_bench_crawl$i").toString
+      val r = crawlBench(spark, siteDir, wd, rps, maxDepth)
+      deleteRecursively(wd)
+      r
+    }
+    (results, results.sortBy(_._3).apply((runs - 1) / 2))
   }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val headlineRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val spark = CrawlJob.session(cpus, "graft-bench")
 
-    // headline: crawl throughput. High politeness budget + uncapped
-    // depth so the crawl covers the whole corpus in ~8 BFS rounds and
-    // the measurement is engine throughput, not the configured
-    // crawl-delay or depth-3 reachability of the random link graph
-    // (politeness/depth SEMANTICS are asserted in CrawlParitySpec at
-    // reference budgets).
+    // headline: crawl throughput, median of N fresh runs. High politeness
+    // budget + uncapped depth so the crawl covers the whole corpus in a
+    // few BFS rounds and the measurement is engine throughput, not the
+    // configured crawl-delay or depth-3 reachability of the random link
+    // graph (politeness/depth SEMANTICS are asserted in CrawlParitySpec
+    // at reference budgets).
     val rps = 8000.0
     val siteDir = ensureBenchSite(spark, sfDir, cpus, rps)
-    val workDir = java.nio.file.Files.createTempDirectory(java.nio.file.Paths.get("/dev/shm"), "graft_bench_crawl").toString
-    val (fetched, chunks, crawlSec) = crawlBench(spark, siteDir, workDir, rps, maxDepth = 99)
+    val (runsAll, (fetched, chunks, crawlSec)) =
+      medianCrawl(spark, siteDir, headlineRuns, rps, maxDepth = 99)
     val urlsPerSec = if (crawlSec > 0) fetched / crawlSec else 0.0
+
+    // attribution cell: the ROUND-1 workload configuration (120k pages,
+    // rps=400 politeness-bound, depth 3, sitemaps capped at 200) so the
+    // engine-only speedup vs r1's 601 urls/s is directly comparable.
+    val r1Site = ensureBenchSite(spark, sfDir, cpus, rps = 400.0,
+      pagesOverride = Some(120000L), sitemapCapOverride = Some(200))
+    val r1Wd = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("/dev/shm"), "graft_bench_r1cfg").toString
+    val (r1Fetched, _, r1Sec) = crawlBench(spark, r1Site, r1Wd, rps = 400.0, maxDepth = 3)
+    deleteRecursively(r1Wd)
+    val r1UrlsPerSec = if (r1Sec > 0) r1Fetched / r1Sec else 0.0
 
     // per-query timings (includes the crawl as "crawl_pipeline");
     // a failed query records -1, never a fake "fast" time.
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     results("crawl_pipeline") = crawlSec
+    runsAll.zipWithIndex.foreach { case ((_, _, sec), i) => results(s"crawl_run${i + 1}") = sec }
+    results("crawl_r1cfg") = r1Sec
     val failures = scala.collection.mutable.ListBuffer[String]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -89,7 +143,7 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     if (failures.nonEmpty)
       System.err.println(s"[bench] ${failures.size} queries failed: ${failures.mkString(",")}")
-    println(s"""{"metric":"urls_fetched_extracted_per_sec","value":${f"$urlsPerSec%.1f"},"unit":"urls/sec","urls_fetched":$fetched,"chunks":$chunks,"crawl_sec":${f"$crawlSec%.1f"},"cpus":$cpus,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"urls_fetched_extracted_per_sec","value":${f"$urlsPerSec%.1f"},"unit":"urls/sec","urls_fetched":$fetched,"chunks":$chunks,"crawl_sec":${f"$crawlSec%.1f"},"crawl_runs_sec":[${runsAll.map(r => f"${r._3}%.1f").mkString(",")}],"r1cfg_urls_per_sec":${f"$r1UrlsPerSec%.1f"},"r1cfg_urls":$r1Fetched,"cpus":$cpus,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -207,7 +207,8 @@ object SyntheticWeb {
     * host_limits parquet tables under `dir`. Distributed + deterministic. */
   def generate(spark: SparkSession, dir: String, nPages: Long, nHosts: Int, seed: Long = 42L,
                partitions: Int = 32, withExpectedText: Boolean = true,
-               benchRps: Option[Double] = None): Unit = {
+               benchRps: Option[Double] = None,
+               sitemapCapOverride: Option[Int] = None): Unit = {
     import spark.implicits._
     val pages = spark.range(0, nPages, 1, partitions).map { i =>
       val url = urlOf(i, nHosts, seed)
@@ -233,7 +234,7 @@ object SyntheticWeb {
     // a complete sitemap, and it is what jumpstarts the frontier so
     // crawl rounds reach design-point size (10^6+ urls) in ~2 rounds
     // instead of ~8 rounds of BFS ramp-up
-    val sitemapCap = if (benchRps.isDefined) Int.MaxValue else 200
+    val sitemapCap = sitemapCapOverride.getOrElse(if (benchRps.isDefined) Int.MaxValue else 200)
     val sitemaps = (0 until nHosts).flatMap { h =>
       sitemapXmlOf(h, idsByHost.getOrElse(h, Nil).take(sitemapCap), nHosts, seed)
         .map { case (u, xml) => (s"host$h.example", u, xml) }
