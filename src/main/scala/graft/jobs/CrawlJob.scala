@@ -157,9 +157,27 @@ object CrawlJob {
     val seedHosts = seeds.select("host").distinct()
 
     // S2: sitemap urls declared by seed hosts' robots — join, no collect
-    var pending = rules.toDF()
+    val declared = rules.toDF()
       .select(col("host").as("sm_host"), explode(col("sitemaps")).as("sm_url"))
       .join(seedHosts.withColumnRenamed("host", "sm_host"), Seq("sm_host"))
+    // S2 fallback (sitemap_utils.py:383-391): seed hosts whose robots
+    // declare NO sitemap try the default candidate locations in order;
+    // the first candidate with a stored body wins (per host). All
+    // distributed — candidates is |fallback hosts| × 4 rows.
+    val fallback = seedHosts.withColumnRenamed("host", "sm_host")
+      .join(declared.select("sm_host").distinct(), Seq("sm_host"), "left_anti")
+      .select(col("sm_host"), posexplode(array(
+        concat(lit("https://"), col("sm_host"), lit("/sitemap.xml")),
+        concat(lit("https://"), col("sm_host"), lit("/sitemap_index.xml")),
+        concat(lit("https://"), col("sm_host"), lit("/sitemap/sitemap.xml")),
+        concat(lit("https://"), col("sm_host"), lit("/sitemaps/sitemap.xml")))))
+      .toDF("sm_host", "cand_rank", "sm_url")
+      .join(bodies.select("sm_url"), Seq("sm_url"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("sm_host").orderBy("cand_rank")))
+      .filter(col("rn") === 1)
+      .select("sm_host", "sm_url")
+    var pending = declared.unionByName(fallback)
       .groupBy("sm_url").agg(min("sm_host").as("sm_host")) // F5: one parse per sitemap url
       .localCheckpoint()
     var processed = pending.select("sm_url").limit(0)

@@ -81,7 +81,16 @@ object RefCrawl {
       .map(UrlCanonical.hostOf).toSet
     val processedSitemaps = mutable.Set.empty[String]
     val queue = mutable.Queue.empty[(String, String)]
-    seedHosts.foreach(h => robots.get(h).foreach(_.sitemaps.foreach(s => queue.enqueue((h, s)))))
+    seedHosts.foreach { h =>
+      val declared = robots.get(h).map(_.sitemaps).getOrElse(Nil)
+      val locs =
+        if (declared.nonEmpty) declared
+        // S2 fallback (sitemap_utils.py:383-391): no robots-declared
+        // sitemap → try default candidate locations in order, first
+        // one that resolves to a stored body wins
+        else Sitemap.defaultLocations(s"https://$h/").filter(sitemaps.contains).take(1)
+      locs.foreach(s => queue.enqueue((h, s)))
+    }
     while (queue.nonEmpty) {
       val (host, smUrl) = queue.dequeue()
       if (!processedSitemaps.contains(smUrl)) {

@@ -138,18 +138,21 @@ object SyntheticWeb {
   def tsOf(i: Long): Timestamp = new Timestamp(BaseTs + i * 1000L)
 
   /** robots.txt body for a host: disallows /sec6/ everywhere, /private/
-    * too, declares the sitemap, crawl-delay varies by host. */
+    * too, declares the sitemap (EXCEPT host2 — its robots omit the
+    * Sitemap line so discovery must fall back to the default candidate
+    * locations, sitemap_utils.py:383-391), crawl-delay varies by host. */
   def robotsOf(host: Int): String = {
     val delay = 1 + host % 3
+    val sitemapLine =
+      if (host == 2) ""
+      else s"\nSitemap: https://host$host.example/sitemap.xml\n"
     s"""# robots for host$host.example
        |User-agent: *
        |Disallow: /sec6/
        |Disallow: /private/
        |Allow: /sec6/page0$$
        |Crawl-delay: $delay
-       |
-       |Sitemap: https://host$host.example/sitemap.xml
-       |""".stripMargin
+       |""".stripMargin + sitemapLine
   }
 
   /** Sitemap XML for a host listing its seed-reachable sample. host0

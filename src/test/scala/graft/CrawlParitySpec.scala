@@ -92,6 +92,16 @@ class CrawlParitySpec extends AnyFunSuite {
     val host1Round0 = got.filter(t => t._1 == 0 && t._2 == "host1.example")
     assert(host1Round0.size > 1,
       s"HTML sitemap (S4) fed nothing into round 0: $host1Round0")
+    // S2 fallback end-to-end: host2's robots declare NO sitemap, so any
+    // round-0 host2 entry beyond the seed can only come from the default
+    // candidate location /sitemap.xml. (host2's two sitemap pages happen
+    // to sit in robots-denied /sec6/, so they land in round-0 SEEN with
+    // null rank rather than the ranked trace — look there.)
+    val store0 = new SnapshotStore(workDir)
+    val v0Host2 = store0.readTable(spark, 0, "seen_delta")
+      .select("url").collect().map(_.getString(0)).filter(_.contains("host2.example"))
+    assert(v0Host2.length > 1,
+      s"default-location sitemap fallback (S2) fed nothing into round 0: ${v0Host2.toSeq}")
   }
 
   test("re-invoking run() on a completed workDir is a no-op returning the final version") {
