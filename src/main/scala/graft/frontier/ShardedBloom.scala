@@ -1,7 +1,9 @@
 package graft.frontier
 
-import java.io.{BufferedInputStream, BufferedOutputStream, File, FileInputStream, FileOutputStream}
+import java.io.{BufferedInputStream, BufferedOutputStream}
 
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.util.sketch.BloomFilter
@@ -25,46 +27,52 @@ import org.apache.spark.util.sketch.BloomFilter
   * it (CrawlParitySpec runs the crawl with sharding forced on and proves
   * the trace unchanged).
   *
-  * Durability notes for the cluster deployment: shard IO here uses
-  * java.io (the sandbox runs one machine with a shared local FS); on a
-  * real cluster `shardFile` resolution routes through the Hadoop
-  * FileSystem API against the DFS work dir — the rename-based publish
-  * maps 1:1 onto FileSystem.rename. Concurrent task ATTEMPTS (retry /
-  * speculation) are safe: tmp files are attempt-unique and both attempts
-  * of a partition carry the identical delta, so whichever rename wins
-  * publishes complete, equivalent bytes (see writeShard). */
+  * Durability: shard IO goes through the Hadoop FileSystem API, so the
+  * SAME code addresses the local FS in this sandbox and HDFS/S3A on a
+  * cluster (`dir` may carry any supported scheme; scheme-less paths
+  * resolve against fs.defaultFS). Publishes are rename-based with
+  * ATTEMPT-UNIQUE tmp names: under task retry / speculative execution two
+  * attempts of one partition may run concurrently — a shared tmp path
+  * would let them interleave writes and publish a truncated sketch; here
+  * each attempt renames its own complete file, and since both attempts of
+  * a partition carry the identical delta, whichever rename wins publishes
+  * equivalent bytes. */
 object ShardedBloom {
 
   final case class Shards(dir: String, nShards: Int, itemsPerShard: Long, fpp: Double)
 
   def shardOf(n: Int): Column = pmod(col("url_hash"), lit(n.toLong)).cast("int")
 
-  private def shardFile(dir: String, i: Int) = new File(dir, f"shard_$i%05d.bloom")
+  private def fsFor(dir: String): (FileSystem, Path) = {
+    val p = new Path(dir)
+    (p.getFileSystem(new Configuration()), p)
+  }
 
-  private def readShard(f: File): BloomFilter = {
-    val in = new BufferedInputStream(new FileInputStream(f))
+  private def shardPath(dir: String, i: Int) = new Path(dir, f"shard_$i%05d.bloom")
+
+  private def readShard(fs: FileSystem, f: Path): BloomFilter = {
+    val in = new BufferedInputStream(fs.open(f))
     try BloomFilter.readFrom(in) finally in.close()
   }
 
-  /** Publish via an ATTEMPT-UNIQUE tmp file: under Spark task retry or
-    * speculative execution two attempts of the same partition may run
-    * concurrently — a shared "<shard>.bloom.tmp" path (the r2 shape)
-    * would let them interleave writes and publish a truncated sketch.
-    * Each attempt writes its own tmp (task attempt id + a random nonce
-    * for non-task callers) and the rename is atomic, so the survivor is
-    * always one attempt's complete bytes; both attempts carry the same
-    * delta, so either winner is correct. */
-  private def writeShard(f: File, bf: BloomFilter): Unit = {
+  private def writeShard(fs: FileSystem, f: Path, bf: BloomFilter): Unit = {
     val attempt = Option(org.apache.spark.TaskContext.get())
       .map(tc => s"a${tc.taskAttemptId()}")
       .getOrElse(s"d${java.util.concurrent.ThreadLocalRandom.current().nextLong(Long.MaxValue)}")
-    val tmp = new File(f.getParentFile, s"${f.getName}.$attempt.tmp")
-    val out = new BufferedOutputStream(new FileOutputStream(tmp))
+    val tmp = new Path(f.getParent, s".${f.getName}.$attempt.tmp")
+    val out = new BufferedOutputStream(fs.create(tmp, true))
     try bf.writeTo(out) finally out.close()
-    if (!tmp.renameTo(f)) { // atomic publish; fall back to replace
-      f.delete()
-      if (!tmp.renameTo(f)) tmp.delete() // lost the race to a concurrent attempt — its bytes are equivalent
+    if (!fs.rename(tmp, f)) { // atomic publish; on occupied dest: replace
+      fs.delete(f, false)
+      if (!fs.rename(tmp, f)) fs.delete(tmp, false) // lost the race to an equivalent attempt
     }
+  }
+
+  /** Remove all shard files (used when rebuilding on resume). */
+  def clear(dir: String): Unit = {
+    val (fs, root) = fsFor(dir)
+    if (fs.exists(root)) fs.delete(root, true)
+    fs.mkdirs(root)
   }
 
   /** Add `delta` (url_hash) into the shard files, creating them on first
@@ -72,10 +80,12 @@ object ShardedBloom {
     * the delta sketch for the shards it holds and merges into the
     * existing file (same capacity/fpp → compatible bit arrays). Shard
     * ownership is disjoint across tasks (hash partitioning sends ALL
-    * rows of a shard to one partition), so no two tasks touch one file. */
+    * rows of a shard to one partition), so no two tasks touch one file
+    * — except equivalent retry/speculation attempts, handled in
+    * writeShard. */
   def add(delta: DataFrame, shards: Shards): Unit = {
-    new File(shards.dir).mkdirs()
     val Shards(dir, n, cap, fpp) = shards
+    fsFor(dir) match { case (fs, root) => fs.mkdirs(root) }
     delta.select(col("url_hash"), shardOf(n).as("shard"))
       .repartition(n, col("shard"))
       .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
@@ -84,10 +94,13 @@ object ShardedBloom {
           val bf = perShard.getOrElseUpdate(r.getInt(1), BloomFilter.create(cap, fpp))
           bf.putLong(r.getLong(0))
         }
-        perShard.foreach { case (i, bf) =>
-          val f = shardFile(dir, i)
-          if (f.exists()) { val cur = readShard(f); cur.mergeInPlace(bf); writeShard(f, cur) }
-          else writeShard(f, bf)
+        if (perShard.nonEmpty) {
+          val (fs, _) = fsFor(dir)
+          perShard.foreach { case (i, bf) =>
+            val f = shardPath(dir, i)
+            if (fs.exists(f)) { val cur = readShard(fs, f); cur.mergeInPlace(bf); writeShard(fs, f, cur) }
+            else writeShard(fs, f, bf)
+          }
         }
       }
   }
@@ -99,16 +112,16 @@ object ShardedBloom {
   def notSeen(frontier: DataFrame, seenExact: DataFrame, shards: Shards): DataFrame = {
     val Shards(dir, n, _, _) = shards
     val cols = frontier.columns
-    val spark = frontier.sparkSession
     val flagged = frontier
       .withColumn("__shard", shardOf(n))
       .repartition(n, col("__shard"))
       .mapPartitions { rows =>
         val cache = scala.collection.mutable.Map.empty[Int, Option[BloomFilter]]
+        lazy val fs = fsFor(dir)._1
         rows.map { r =>
           val bf = cache.getOrElseUpdate(r.getAs[Int]("__shard"), {
-            val f = shardFile(dir, r.getAs[Int]("__shard"))
-            if (f.exists()) Some(readShard(f)) else None
+            val f = shardPath(dir, r.getAs[Int]("__shard"))
+            if (fs.exists(f)) Some(readShard(fs, f)) else None
           })
           val maybe = bf.exists(_.mightContainLong(r.getAs[Long]("url_hash")))
           org.apache.spark.sql.Row.fromSeq(r.toSeq :+ maybe)

@@ -311,8 +311,7 @@ object CrawlJob {
         itemsPerShard = math.max(1024L, bloomCap / s), fpp = 0.03)
     }
     shardCfg.foreach { sh =>
-      val d = new java.io.File(sh.dir)
-      if (d.exists()) d.listFiles().foreach(_.delete())
+      ShardedBloom.clear(sh.dir)
       if (seenCount > 0) ShardedBloom.add(seen, sh)
     }
     var bloom: Option[BloomFilter] =
@@ -478,12 +477,14 @@ object CrawlJob {
             .withColumn("round", lit(round))
             .write.mode("overwrite").parquet(resultsPath)
           val extracted = spark.read.parquet(resultsPath)
-          val nFetched = extracted.count() // parquet metadata count
+          // ONE footer-level job for both accounting numbers (row count +
+          // chunk sum) — separate count()+agg() jobs were two task waves
+          // per round of pure latency
+          val extractedStats = extracted
+            .agg(count(lit(1)), coalesce(sum(col("n_chunks").cast("long")), lit(0L))).head
+          val nFetched = extractedStats.getLong(0)
+          val nChunks = extractedStats.getLong(1)
           phase("fetch+extract")
-
-          val nChunks = extracted.agg(coalesce(sum(col("n_chunks").cast("long")), lit(0L)))
-            .head.getLong(0)
-          phase("chunk-count")
 
           // frontier growth: outlinks → canonical keys → depth+1 (G6),
           // seen-filtered, then robots-gated AT INSERT (F7)
