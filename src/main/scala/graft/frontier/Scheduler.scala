@@ -153,6 +153,10 @@ object Scheduler {
       .withColumn("rank", row_number().over(w))
       .withColumn("batch_no",
         floor((col("rank") - 1) / coalesce(col("budget"), lit(1L))).cast("int"))
-      .drop("rank", "budget")
+      // the WITHIN-batch rank = the round rank this row will get when its
+      // batch is consumed — stored so a fresh epoch's first round can
+      // skip re-ranking entirely (CrawlJob fast path)
+      .withColumn("rank", ((col("rank") - 1) % coalesce(col("budget"), lit(1L)) + 1).cast("int"))
+      .drop("budget")
   }
 }
