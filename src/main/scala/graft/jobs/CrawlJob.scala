@@ -546,10 +546,17 @@ object CrawlJob {
           val nDenied = nNewDenied + nEpochDenied
 
           // carry′ = unselected candidates ∪ new allowed links — size is
-          // ∝ the round's delta + displaced rows, NOT the total frontier
-          val carryNext = mergeFrontier(
-            fresh.join(broadcast(selected.select("url_hash")), Seq("url_hash"), "left_anti")
-              .unionByName(newAllowed))
+          // ∝ the round's delta + displaced rows, NOT the total frontier.
+          // Fast path without a W4 cap: every batch row was selected, so
+          // the unselected side is empty and newAllowed is ALREADY
+          // unique per url (the newLinks groupBy) — the merge groupBy
+          // would be one more O(delta) shuffle for nothing.
+          val carryNext =
+            if (epochFresh && cfg.globalBudget.isEmpty)
+              newAllowed.select(frontierCols.map(col): _*)
+            else mergeFrontier(
+              fresh.join(broadcast(selected.select("url_hash")), Seq("url_hash"), "left_anti")
+                .unionByName(newAllowed))
 
           val nMissing = nScheduled - nFetched
 
