@@ -159,6 +159,33 @@ class CrawlParitySpec extends AnyFunSuite {
     assert(sparkSeen(workKill, lastResumed) == sparkSeen(workFull, lastFull))
   }
 
+  test("fresh-epoch fast path: budget-unbound parity with reference + resume into a fast-path round") {
+    val (pages, robots, sitemaps, limits, seeds) = collectSite()
+    // roundSeconds=500 inflates every host budget ~100× so each epoch is
+    // a single batch → the commit-time assignment + fast path run every
+    // round (the headline-bench regime)
+    val rs = 500.0
+    val ref = RefCrawl.run(pages, robots, sitemaps, limits, seeds, roundSeconds = rs)
+    assert(ref.trace.nonEmpty)
+    val cfg = graft.frontier.Scheduler.Config(roundSeconds = rs)
+    val workDir = java.nio.file.Files.createTempDirectory("graft_fast").toString
+    val last = CrawlJob.run(spark, siteDir, workDir, cfg, bloomThreshold = 100L)
+    val got = sparkTrace(workDir, last)
+    val want = ref.trace.map(t => (t.round, t.host, t.rank, t.url)).sortBy(t => (t._1, t._2, t._3))
+    assert(got.size == want.size, s"trace size: spark=${got.size} ref=${want.size}")
+    got.zip(want).foreach { case (g, w) => assert(g == w, s"trace differs: spark=$g ref=$w") }
+    assert(sparkSeen(workDir, last) == ref.seen)
+    // resume INTO a fast-path round: the killed run's last commit wrote
+    // next-epoch batches (epoch_start == resumed round), so the resumed
+    // process must consume the stored ranks directly
+    val workKill = java.nio.file.Files.createTempDirectory("graft_fast_kill").toString
+    CrawlJob.run(spark, siteDir, workKill, cfg, maxRounds = 1, bloomThreshold = 100L)
+    val lastResumed = CrawlJob.run(spark, siteDir, workKill, cfg, bloomThreshold = 100L)
+    assert(lastResumed == last)
+    assert(sparkTrace(workKill, lastResumed) == got)
+    assert(sparkSeen(workKill, lastResumed) == ref.seen)
+  }
+
   test("robots-denied urls are never fetched (/sec6/ disallowed, page0 allowed back)") {
     import spark.implicits._
     val workDir = java.nio.file.Files.createTempDirectory("graft_robots").toString
