@@ -165,4 +165,36 @@ final class SnapshotStore(val root: String) {
 
   def hasTable(version: Int, name: String): Boolean =
     manifest(version).tables.contains(name)
+
+  private def expiredMarker(v: Int): Path = snapshotsDir.resolve(s"v$v.expired")
+
+  def isExpired(version: Int): Boolean = Files.exists(expiredMarker(version))
+
+  /** Expire old snapshot DATA while keeping the manifest log — the
+    * Iceberg `expire_snapshots` analogue, and the reference cache's
+    * eviction semantics (/root/reference/RAGnificent/core/cache.py:445-498:
+    * entries past their window are deleted, stats survive). Deletes
+    * `data/v<k>` for every version < `upToVersion` and stamps a
+    * `v<k>.expired` marker; manifests (row counts, per-partition
+    * lineage, metrics) stay readable for audit/time-travel metadata.
+    * The caller picks `upToVersion` from retention logic — the crawl's
+    * active seen-TTL window, a vector store's newest base — and the
+    * latest version can never be expired (its tables carry the live
+    * resume state). Returns the versions whose data was removed. */
+  def expire(upToVersion: Int): Seq[Int] = {
+    val latest = latestVersion.getOrElse(-1)
+    require(upToVersion <= latest, s"cannot expire up to $upToVersion: latest is $latest")
+    (0 until upToVersion).flatMap { v =>
+      if (!Files.exists(manifestPath(v)) || isExpired(v)) None
+      else {
+        val dataDir = Paths.get(root, "data", s"v$v")
+        if (Files.exists(dataDir)) {
+          Files.walk(dataDir).sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => Files.deleteIfExists(p))
+        }
+        Files.writeString(expiredMarker(v), "")
+        Some(v)
+      }
+    }
+  }
 }

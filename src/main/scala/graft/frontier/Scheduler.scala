@@ -36,7 +36,13 @@ object Scheduler {
       // 10^10 scale path: shard the seen-set Bloom sketch across S
       // hash-range files instead of one broadcast (ShardedBloom). None =
       // single broadcast sketch (fine until ~10^9 keys).
-      bloomShards: Option[Int] = None)
+      bloomShards: Option[Int] = None,
+      // With a seen TTL: delete snapshot DATA of rounds that have left
+      // the active window (SnapshotStore.expire — Iceberg
+      // expire_snapshots / the reference cache's eviction). Off by
+      // default: expired rounds' tables stop being readable, which
+      // audit/debug workflows may still want.
+      expireBeyondTtl: Boolean = false)
 
   object Config {
     /** Layered config (the reference's env/YAML/JSON layering,
@@ -60,7 +66,9 @@ object Scheduler {
         chunkOverlap = i("chunkOverlap", base.chunkOverlap),
         globalBudget = ol("globalBudget", base.globalBudget),
         seenTtlRounds = oi("seenTtlRounds", base.seenTtlRounds),
-        bloomShards = oi("bloomShards", base.bloomShards))
+        bloomShards = oi("bloomShards", base.bloomShards),
+        expireBeyondTtl = c.getOption("spark.graft.expireBeyondTtl")
+          .map(_.toBoolean).getOrElse(base.expireBeyondTtl))
     }
   }
 

@@ -666,6 +666,15 @@ object CrawlJob {
           bloomAdd(spark.read.parquet(sdPath))
           phase("bloom")
 
+          // retention: rounds that left the TTL window hold no table any
+          // future round (or resume) reads — drop their data files,
+          // keep manifests. The active epoch's `assigned` dir lives at
+          // version epochStart-1 or epochStart, so never expire past it.
+          if (cfg.expireBeyondTtl) cfg.seenTtlRounds.foreach { ttl =>
+            val upTo = math.min((round + 1) - ttl, epochStart - 1)
+            if (upTo > 0) store.expire(upTo)
+          }
+
           fresh.unpersist(); selected.unpersist(); newGate.unpersist()
           if (epochGate != null) epochGate.unpersist()
           round += 1

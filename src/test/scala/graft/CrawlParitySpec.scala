@@ -236,6 +236,34 @@ class CrawlParitySpec extends AnyFunSuite {
     assert(sparkSeen(workDir, last) == ref.seen)
   }
 
+  test("TTL + snapshot expiration: expired rounds' data is dropped without changing the crawl") {
+    val ttl = 3
+    val rounds = 14
+    val cfgPlain = graft.frontier.Scheduler.Config(seenTtlRounds = Some(ttl))
+    val cfgExpire = graft.frontier.Scheduler.Config(seenTtlRounds = Some(ttl), expireBeyondTtl = true)
+    val wPlain = java.nio.file.Files.createTempDirectory("graft_ttl_plain").toString
+    val wExp = java.nio.file.Files.createTempDirectory("graft_ttl_exp").toString
+    val lastPlain = CrawlJob.run(spark, siteDir, wPlain, cfgPlain, maxRounds = rounds, bloomThreshold = 100L)
+    val lastExp = CrawlJob.run(spark, siteDir, wExp, cfgExpire, maxRounds = rounds, bloomThreshold = 100L)
+    assert(lastExp == lastPlain)
+    // identical round-by-round accounting: expiration must not perturb
+    // the crawl (expired versions are exactly the never-again-read ones)
+    val sp = new SnapshotStore(wPlain); val se = new SnapshotStore(wExp)
+    (0 to lastPlain).foreach { v =>
+      val a = sp.manifest(v).metrics; val b = se.manifest(v).metrics
+      Seq("scheduled", "fetched", "chunks", "robots_denied").foreach { k =>
+        assert(a(k) == b(k), s"round $v metric $k: plain=${a(k)} expire=${b(k)}")
+      }
+    }
+    // old rounds' data actually gone, recent window intact
+    assert(se.isExpired(0), "round 0 should have been expired")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(wExp, "data", "v0")))
+    assert(!se.isExpired(lastExp))
+    // resume still works after expiration (reads only the active window)
+    val lastResumed = CrawlJob.run(spark, siteDir, wExp, cfgExpire, maxRounds = rounds, bloomThreshold = 100L)
+    assert(lastResumed == lastExp)
+  }
+
   test("sharded-Bloom seen set: trace and seen parity, incl. resume") {
     val (pages, robots, sitemaps, limits, seeds) = collectSite()
     val ref = RefCrawl.run(pages, robots, sitemaps, limits, seeds)

@@ -17,6 +17,26 @@ class SnapshotStoreSpec extends AnyFunSuite {
     s
   }
 
+  test("expire drops old data, keeps manifests; latest can never expire") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("snap_expire").toString
+    val store = new SnapshotStore(root)
+    (0 to 2).foreach { v =>
+      store.commit(spark, v, Map("t" -> Seq((v.toLong, s"r$v")).toDF("id", "v")), Map("m" -> v.toDouble))
+    }
+    val expired = store.expire(2)
+    assert(expired == Seq(0, 1))
+    // manifests (rows/metrics/lineage) survive for audit
+    assert(store.manifest(0).tables("t").rows == 1 && store.manifest(1).metrics("m") == 1.0)
+    assert(store.isExpired(0) && store.isExpired(1) && !store.isExpired(2))
+    // expired data is gone; live version untouched
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(root, "data", "v0")))
+    assert(store.readTable(spark, 2, "t").count() == 1)
+    // idempotent; and the latest version is protected
+    assert(store.expire(2).isEmpty)
+    intercept[IllegalArgumentException](store.expire(3))
+  }
+
   test("commit → latestVersion → readTable round trip with lineage") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("snap").toString
