@@ -73,8 +73,10 @@ object Bench {
   private def deleteRecursively(dir: String): Unit = {
     val root = java.nio.file.Paths.get(dir)
     if (java.nio.file.Files.exists(root)) {
-      java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+      val walk = java.nio.file.Files.walk(root)
+      try walk.sorted(java.util.Comparator.reverseOrder())
         .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close() // the stream holds directory fds until closed
     }
   }
 

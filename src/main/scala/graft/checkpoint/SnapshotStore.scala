@@ -189,8 +189,10 @@ final class SnapshotStore(val root: String) {
       else {
         val dataDir = Paths.get(root, "data", s"v$v")
         if (Files.exists(dataDir)) {
-          Files.walk(dataDir).sorted(java.util.Comparator.reverseOrder())
+          val walk = Files.walk(dataDir)
+          try walk.sorted(java.util.Comparator.reverseOrder())
             .forEach(p => Files.deleteIfExists(p))
+          finally walk.close() // the stream holds directory fds until closed
         }
         Files.writeString(expiredMarker(v), "")
         Some(v)

@@ -90,6 +90,100 @@ object Dedup {
         |    struct(members[i] as a, members[j] as b))))""".stripMargin)).as("p"))
   }
 
+  // --- near-dup cluster resolution (pairs → connected components) ---
+
+  /** Resolve near-dup candidate pairs into clusters: connected components
+    * over the pairs graph, returned as a `(doc_id, cluster_id)` assignment
+    * where `cluster_id` = the MIN doc id of the component (mirroring
+    * [[exactDedup]]'s deterministic keep-min-id rule). Only docs that
+    * appear in ≥1 pair get a row — everything else is implicitly its own
+    * singleton cluster.
+    *
+    * Algorithm: alternating LARGE-STAR / SMALL-STAR contraction (Kiveris
+    * et al., "Connected Components in MapReduce and Beyond", SoCC'14) —
+    * the published shuffle-bounded CC algorithm for this exact shape:
+    *   - large-star: every node attaches its LARGER neighbors to the
+    *     minimum of its neighborhood (halves long-path distances, so
+    *     convergence is logarithmic in component diameter);
+    *   - small-star: every node attaches its smaller neighbors (and
+    *     itself) to that minimum;
+    *   - at the fixpoint the edge set is a STAR FOREST: one (member,
+    *     min-id root) edge per non-root member.
+    * Each iteration is a bounded groupBy+join per star (shuffle keyed by
+    * node id — no all-pairs, no driver materialization), and iterations
+    * are O(log diameter): the chain-split pairs from [[bucketPairs]]
+    * (diameter = #chains of the hottest bucket) resolve in a handful of
+    * rounds. Per-iteration results are `localCheckpoint`ed: iterative
+    * plans MUST truncate lineage or the DAG doubles per round; blocks are
+    * released automatically when the loop drops the reference (a
+    * production run on preemptible executors would swap in reliable
+    * `checkpoint` — one flag — at the cost of a DFS write per round).
+    *
+    * Convergence is checked EXACTLY (is the edge set a star forest —
+    * i.e. no edge's root has an outgoing edge), not by signature
+    * comparison, so a wrong early stop cannot occur; `maxIters` only
+    * guards against a logic bug ever looping forever. */
+  def resolveClusters(pairs: DataFrame, aCol: String = "id_a", bCol: String = "id_b",
+                      maxIters: Int = 32): DataFrame = {
+    val empty = pairs.sparkSession.emptyDataFrame
+      .withColumn("doc_id", lit(null).cast(pairs.schema(aCol).dataType))
+      .withColumn("cluster_id", lit(null).cast(pairs.schema(aCol).dataType))
+      .limit(0)
+    // canonical directed edges: u (larger) → v (smaller); self-loops dropped
+    var edges = pairs
+      .select(greatest(col(aCol), col(bCol)).as("u"), least(col(aCol), col(bCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+    if (edges.isEmpty) return empty
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      sym.join(mins, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy("u").agg(min("v").as("m"))
+      e.join(mins, "u").select(col("v").as("n"), col("m"))
+        .unionByName(mins.select(col("u").as("n"), col("m")))
+        .filter(col("n") =!= col("m")).distinct()
+        .select(col("n").as("u"), col("m").as("v"))
+    }
+    // star forest ⇔ no edge's target has an outgoing edge (exact fixpoint test)
+    def isStarForest(e: DataFrame): Boolean =
+      e.select(col("v").as("j")).join(e, col("j") === col("u")).limit(1).isEmpty
+
+    var iters = 0
+    while (!isStarForest(edges)) {
+      iters += 1
+      if (iters > maxIters)
+        throw new IllegalStateException(
+          s"resolveClusters did not converge in $maxIters large-star/small-star rounds " +
+            "(O(log diameter) expected — this indicates a logic bug, not a data property)")
+      edges = smallStar(largeStar(edges)).localCheckpoint(true)
+    }
+    // star edges (member → root) + one row per root itself
+    edges.select(col("u").as("doc_id"), col("v").as("cluster_id"))
+      .unionByName(edges.select(col("v").as("doc_id"), col("v").as("cluster_id")).distinct())
+  }
+
+  /** Keep ONE representative per near-dup cluster: the min-id member
+    * (deterministic at any parallelism, mirroring [[exactDedup]]).
+    * Docs in no pair pass through untouched — they are their own
+    * representative. The non-representative drop is a left_anti join
+    * keyed by id: broadcast-able when the clustered fraction is small,
+    * shuffle-keyed otherwise — never a driver collect. */
+  def nearDedup(docs: DataFrame, idCol: String, pairs: DataFrame,
+                aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val dropIds = resolveClusters(pairs, aCol, bCol)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as(s"__drop_$idCol"))
+    docs.join(dropIds, docs(idCol) === dropIds(s"__drop_$idCol"), "left_anti")
+  }
+
   // --- MinHash + LSH ---
 
   /** m minhash values over word w-shingles — single-pass native

@@ -78,8 +78,18 @@ final class VectorStore(val root: String, val table: String = "vectors",
   def upsert(spark: SparkSession, docs: DataFrame): Int = {
     // vector_store.py:262-265: only rows that actually carry a vector
     val valid = docs.filter(col(vecCol).isNotNull)
-    val newDim = valid.select(size(col(vecCol))).limit(1).collect()
-      .headOption.map(_.getInt(0))
+    // ONE action over the batch: count + dim bounds. A batch mixing
+    // dimensions (e.g. 384- and 512-dim vectors) is REJECTED instead of
+    // sampled — committing it would poison every later cosine scoring.
+    val stats = valid.agg(count(lit(1)).as("n"),
+      min(size(col(vecCol))).as("dmin"), max(size(col(vecCol))).as("dmax")).collect().head
+    val nValid = stats.getLong(0)
+    val newDim = if (nValid == 0) None else {
+      val (dmin, dmax) = (stats.getInt(1), stats.getInt(2))
+      require(dmin == dmax,
+        s"upsert batch mixes vector dimensions ($dmin..$dmax); all rows of a batch must share one dim")
+      Some(dmin)
+    }
     val v = store.latestVersion.map(_ + 1).getOrElse(0)
     val chain = activeChain
 
@@ -89,26 +99,26 @@ final class VectorStore(val root: String, val table: String = "vectors",
         metrics = Map(
           "is_delta" -> (if (delta) 1.0 else 0.0),
           "dim" -> dim.toDouble,
-          "upserted" -> valid.count().toDouble),
+          "upserted" -> nValid.toDouble), // reuses the stats action, no extra count
         knownCounts = known)
       v
     }
 
     if (chain.isEmpty) {
-      commit(valid, delta = false, newDim.getOrElse(0), rows = None) // first write: base
+      commit(valid, delta = false, newDim.getOrElse(0), rows = Some(nValid)) // first write: base
     } else if (newDim.isEmpty) {
       // nothing valid to upsert → an empty delta (keeps the table as-is)
       commit(valid.limit(0), delta = true, liveDim(chain.head), rows = Some(0L))
     } else if (newDim.get != liveDim(chain.head)) {
-      // dim mismatch → recreate: new base holding only the batch
-      commit(valid, delta = false, newDim.get, rows = None)
+      // dim mismatch vs the LIVE table → recreate: new base holding only the batch
+      commit(valid, delta = false, newDim.get, rows = Some(nValid))
     } else if (chain.length - 1 >= maxDeltas) {
       // chain too deep → compact: merge chain + batch into a new base
       val parts = chain.map(c => store.readTable(spark, c, table).withColumn("_v", lit(c))) :+
         valid.withColumn("_v", lit(v))
       commit(mergeLatestWins(parts), delta = false, newDim.get, rows = None)
     } else {
-      commit(valid, delta = true, newDim.get, rows = None) // O(batch) write
+      commit(valid, delta = true, newDim.get, rows = Some(nValid)) // O(batch) write
     }
   }
 

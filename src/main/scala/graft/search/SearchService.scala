@@ -16,7 +16,9 @@ final class QueryCache[R](ttlSeconds: Long, maxEntries: Int = 100,
                           now: () => Long = () => System.currentTimeMillis() / 1000) {
   private val cache = mutable.Map.empty[String, (R, Long)]
 
-  private def key(query: String, limit: Int): String = s"$query:$limit"
+  // length-prefixed so a query containing ':' or digits can never alias
+  // another (query, limit) pair's key
+  private def key(query: String, limit: Int): String = s"${query.length}:$query:$limit"
 
   def get(query: String, limit: Int): Option[R] =
     cache.get(key(query, limit)) match {
@@ -60,9 +62,18 @@ final class SearchService(
              limit: Int = 5, threshold: Double = 0.7,
              rerank: Boolean = false,
              metadataFilter: Map[String, Any] = Map.empty): Seq[Hit] = {
+    // Unambiguous composite key: a "q|"/"f…|" tag keeps the unfiltered and
+    // filtered namespaces disjoint (a query literally containing the filter
+    // encoding, e.g. "foo|parity=odd", can never alias a filtered search),
+    // and every variable-length component is length-prefixed so filter
+    // keys/values containing the delimiters cannot shift boundaries either.
     val cacheQuery =
-      if (metadataFilter.isEmpty) query
-      else query + "|" + metadataFilter.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(",")
+      if (metadataFilter.isEmpty) "q|" + query
+      else s"f${query.length}|" + query + "|" +
+        metadataFilter.toSeq.sortBy(_._1).map { case (k, v) =>
+          val vs = String.valueOf(v)
+          s"${k.length}:$k=${vs.length}:$vs"
+        }.mkString(",")
     cache.get(cacheQuery, limit) match {
       case Some(hits) => hits
       case None =>

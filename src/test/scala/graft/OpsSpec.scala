@@ -174,6 +174,61 @@ class OpsSpec extends AnyFunSuite {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("resolveClusters: connected components over a known graph, min-id roots") {
+    import spark.implicits._
+    // component {1,2,3,7}: chain 7-3-2-1; component {10,11}; component {20,21,22}
+    // (triangle); self-loop (30,30) ignored; 40 appears in no pair
+    val pairs = Seq(
+      (7L, 3L), (3L, 2L), (2L, 1L),
+      (10L, 11L),
+      (20L, 21L), (21L, 22L), (22L, 20L),
+      (30L, 30L)).toDF("id_a", "id_b")
+    val got = Dedup.resolveClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L), s"got $got")
+  }
+
+  test("resolveClusters: a 1000-node path converges in O(log diameter) rounds") {
+    import spark.implicits._
+    // worst-case diameter for the iteration count; far below maxIters=32
+    val chain = (0L until 999L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.resolveClusters(chain).collect()
+    assert(got.length == 1000)
+    assert(got.forall(_.getLong(1) == 0L), "all chain members must root at min id 0")
+  }
+
+  test("resolveClusters on empty pairs is empty; nearDedup then passes all docs") {
+    import spark.implicits._
+    val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.resolveClusters(noPairs).isEmpty)
+    val docs = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    assert(Dedup.nearDedup(docs, "doc_id", noPairs).count() == 2)
+  }
+
+  test("nearDedup: a chain-split 200-member cluster resolves to ONE representative") {
+    import spark.implicits._
+    // same shape as the chain-split test above: cluster 200 ≫ maxBucket 64,
+    // so the pairs table is chains, NOT a clique — cluster resolution must
+    // re-merge the chains into one component and keep exactly doc 0
+    val clusterSize = 200
+    val dupText = (0 until 60).map(j => s"common${j % 17} token${j % 29}").mkString(" ")
+    val cluster = (0 until clusterSize).map(i => (i.toLong, dupText))
+    val others = (1000 until 1040).map { i =>
+      (i.toLong, (0 until 60).map(j => s"w${(i * 13 + j * 7) % 97} t${(i + j) % 31}").mkString(" "))
+    }
+    val df = (cluster ++ others).toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshPairs(df, "doc_id", "text", w = 2, m = 32, bands = 16,
+      threshold = 0.9, maxBucket = 64)
+    val kept = Dedup.nearDedup(df, "doc_id", pairs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.contains(0L), "min-id representative of the cluster must survive")
+    assert((1 until clusterSize).forall(i => !kept.contains(i.toLong)),
+      s"non-representative cluster members leaked: ${kept.filter(_ < clusterSize).toSeq.sorted}")
+    assert((1000 until 1040).forall(i => kept.contains(i.toLong)),
+      "docs in no pair must pass through untouched")
+  }
+
   test("token counts match Scala-side splits") {
     import spark.implicits._
     val samples = Seq("a b  c", "  leading and trailing  ", "", "one", "x,y.z!")

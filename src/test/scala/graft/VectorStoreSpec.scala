@@ -92,6 +92,32 @@ class VectorStoreSpec extends AnyFunSuite {
     assert(rec.length == 1 && rec.head.getString(0) == "z")
   }
 
+  test("upsert rejects a batch mixing vector dimensions") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_mor_mixdim").toString
+    val vs = new VectorStore(root)
+    val mixed = Seq(("a", vec(1, 8), "pa"), ("b", vec(2, 4), "pb"))
+      .toDF("id", "embedding", "content")
+    val e = intercept[IllegalArgumentException] { vs.upsert(spark, mixed) }
+    assert(e.getMessage.contains("mixes vector dimensions"))
+    assert(vs.latestVersion.isEmpty, "a mixed-dim batch must not commit anything")
+  }
+
+  test("upsert evaluates the batch lineage a bounded number of times (no extra count action)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_mor_actions").toString
+    val vs = new VectorStore(root)
+    val evals = spark.sparkContext.longAccumulator("batch_row_evals")
+    val tick = udf { (id: String) => evals.add(1L); id }
+    val batch = (0 until 50).map(i => (s"d$i", vec(i), s"c$i")).toDF("id", "embedding", "content")
+      .withColumn("id", tick(col("id")))
+    vs.upsert(spark, batch)
+    // one stats pass + one write pass = ≤ 2 evaluations per row; the old
+    // shape (limit-sample + count + write) ran 3
+    assert(evals.value <= 2 * 50,
+      s"upsert evaluated batch rows ${evals.value} times for 50 rows — an extra action crept in")
+  }
+
   test("search with payload filter restricts candidates before scoring") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_mor_payload").toString
@@ -120,5 +146,12 @@ class VectorStoreSpec extends AnyFunSuite {
     val cached = svc.search(spark, "content", limit = 3, threshold = -1.0,
       metadataFilter = Map("parity" -> "odd"))
     assert(cached == onlyOdd)
+
+    // cache-key aliasing regression: an UNFILTERED query that literally
+    // spells a filtered key's old string encoding must not hit the
+    // filtered entry's cache slot (it matches nothing → 0 hits at 0.7
+    // threshold is fine; the point is it must not return onlyOdd's rows)
+    val aliased = svc.search(spark, "f7|content|6:parity=3:odd", limit = 3, threshold = -1.0)
+    assert(aliased != onlyOdd, "unfiltered query aliased a filtered cache entry")
   }
 }
