@@ -130,15 +130,26 @@ object Bench {
     results("crawl_pipeline") = crawlSec
     runsAll.zipWithIndex.foreach { case ((_, _, sec), i) => results(s"crawl_run${i + 1}") = sec }
     results("crawl_r1cfg") = r1Sec
+
+    // Probes run in a FRESH session, each timed on its SECOND run (first
+    // is an untimed warmup). The headline crawl leaves cached relations,
+    // shuffle files and cleanup threads behind in its session — r3's
+    // per-probe numbers swung 10× round-over-round on unchanged code
+    // (d1 0.39→4.28s) from exactly that contention, which made real
+    // probe regressions indistinguishable from noise.
+    spark.stop()
+    val probeSpark = CrawlJob.session(cpus, "graft-bench-probes")
     val failures = scala.collection.mutable.ListBuffer[String]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch {
+      def once(): Boolean = try { fn(probeSpark, sfDir).count(); true } catch {
         case e: Throwable =>
           System.err.println(s"[bench] query $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
-          failures += name
           false
       }
+      val warm = once()
+      val t0 = System.nanoTime()
+      val ok = warm && once()
+      if (!ok) failures += name
       results(name) = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
     }
 
@@ -146,6 +157,6 @@ object Bench {
     if (failures.nonEmpty)
       System.err.println(s"[bench] ${failures.size} queries failed: ${failures.mkString(",")}")
     println(s"""{"metric":"urls_fetched_extracted_per_sec","value":${f"$urlsPerSec%.1f"},"unit":"urls/sec","urls_fetched":$fetched,"chunks":$chunks,"crawl_sec":${f"$crawlSec%.1f"},"crawl_runs_sec":[${runsAll.map(r => f"${r._3}%.1f").mkString(",")}],"r1cfg_urls_per_sec":${f"$r1UrlsPerSec%.1f"},"r1cfg_urls":$r1Fetched,"cpus":$cpus,"queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
+    probeSpark.stop()
   }
 }

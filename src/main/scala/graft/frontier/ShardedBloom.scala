@@ -30,13 +30,32 @@ import org.apache.spark.util.sketch.BloomFilter
   * Durability: shard IO goes through the Hadoop FileSystem API, so the
   * SAME code addresses the local FS in this sandbox and HDFS/S3A on a
   * cluster (`dir` may carry any supported scheme; scheme-less paths
-  * resolve against fs.defaultFS). Publishes are rename-based with
-  * ATTEMPT-UNIQUE tmp names: under task retry / speculative execution two
-  * attempts of one partition may run concurrently — a shared tmp path
-  * would let them interleave writes and publish a truncated sketch; here
-  * each attempt renames its own complete file, and since both attempts of
-  * a partition carry the identical delta, whichever rename wins publishes
-  * equivalent bytes. */
+  * resolve against fs.defaultFS).
+  *
+  * Publish protocol — GENERATION-FENCED, never-overwriting. Each `add`
+  * call gets a monotonically increasing generation number (driver-side:
+  * max existing gen + 1); every task attempt publishes its shard to a
+  * NEW file `shard_<i>.g<gen>.<attempt>.bloom` via an attempt-unique tmp
+  * + rename, and readers pick the max-(gen, attempt) file per shard.
+  * This closes two holes of a fixed-name replace scheme:
+  *   1. zombie attempts: a speculative/retried task that outlives its
+  *      stage and wakes up AFTER a later add() committed can only
+  *      publish a file tagged with its OWN (older) generation, which
+  *      readers ignore — it can never clobber a newer sketch with stale
+  *      bits (a Bloom false negative, the one failure this module must
+  *      not have);
+  *   2. the replace window: rename targets are unique, so there is no
+  *      delete-then-rename gap in which a shard transiently has no file
+  *      (which a reader would interpret as "definitely new").
+  * Rename atomicity therefore only needs to hide PARTIAL files, which
+  * holds on HDFS and local FS; on S3A (rename = copy, non-atomic) the
+  * tmp would be visible mid-copy, so there a real deployment should
+  * point `dir` at an HDFS/consistent-rename store — the fence logic
+  * itself is scheme-agnostic. Superseded generations are pruned at the
+  * next add() (keeping one prior gen so an in-flight reader's listing
+  * never dangles); concurrent add() calls on one store are not
+  * supported (merges are read-modify-write — callers already order
+  * rounds sequentially). */
 object ShardedBloom {
 
   final case class Shards(dir: String, nShards: Int, itemsPerShard: Long, fpp: Double)
@@ -48,25 +67,81 @@ object ShardedBloom {
     (p.getFileSystem(new Configuration()), p)
   }
 
-  private def shardPath(dir: String, i: Int) = new Path(dir, f"shard_$i%05d.bloom")
+  // shard_<i>.g<gen>.<attempt>.bloom — gen zero-padded so lexical = numeric order
+  private val ShardFileRe = """shard_(\d{5})\.g(\d{12})\.([^.]+)\.bloom""".r
+
+  private def shardFileName(i: Int, gen: Long, attempt: String) =
+    f"shard_$i%05d.g$gen%012d.$attempt.bloom"
+
+  private def attemptTag(): String = Option(org.apache.spark.TaskContext.get())
+    .map(tc => s"a${tc.taskAttemptId()}")
+    .getOrElse(s"d${java.util.concurrent.ThreadLocalRandom.current().nextLong(Long.MaxValue)}")
+
+  /** (shard → winning file, max generation present). Winner per shard =
+    * max (gen, attempt-tag) — attempts of one generation carry identical
+    * deltas, so the tag tiebreak is only for determinism. */
+  private def listShards(fs: FileSystem, root: Path): (Map[Int, Path], Long) = {
+    if (!fs.exists(root)) return (Map.empty, -1L)
+    val best = scala.collection.mutable.Map.empty[Int, (Long, String, Path)]
+    var maxGen = -1L
+    fs.listStatus(root).foreach { st =>
+      st.getPath.getName match {
+        case ShardFileRe(i, g, a) =>
+          val (shard, gen) = (i.toInt, g.toLong)
+          maxGen = math.max(maxGen, gen)
+          val cur = best.get(shard)
+          if (cur.forall(c => gen > c._1 || (gen == c._1 && a > c._2)))
+            best(shard) = (gen, a, st.getPath)
+        case _ => // tmp or foreign file
+      }
+    }
+    (best.view.mapValues(_._3).toMap, maxGen)
+  }
 
   private def readShard(fs: FileSystem, f: Path): BloomFilter = {
     val in = new BufferedInputStream(fs.open(f))
     try BloomFilter.readFrom(in) finally in.close()
   }
 
-  private def writeShard(fs: FileSystem, f: Path, bf: BloomFilter): Unit = {
-    val attempt = Option(org.apache.spark.TaskContext.get())
-      .map(tc => s"a${tc.taskAttemptId()}")
-      .getOrElse(s"d${java.util.concurrent.ThreadLocalRandom.current().nextLong(Long.MaxValue)}")
-    val tmp = new Path(f.getParent, s".${f.getName}.$attempt.tmp")
+  /** Publish to a unique, generation-tagged destination — the rename can
+    * never collide, so no replace fallback exists. */
+  private def writeShard(fs: FileSystem, dir: String, i: Int, gen: Long, bf: BloomFilter): Unit = {
+    val f = new Path(dir, shardFileName(i, gen, attemptTag()))
+    val tmp = new Path(f.getParent, s".${f.getName}.tmp")
     val out = new BufferedOutputStream(fs.create(tmp, true))
     try bf.writeTo(out) finally out.close()
-    if (!fs.rename(tmp, f)) { // atomic publish; on occupied dest: replace
-      fs.delete(f, false)
-      if (!fs.rename(tmp, f)) fs.delete(tmp, false) // lost the race to an equivalent attempt
+    if (!fs.rename(tmp, f)) fs.delete(tmp, false) // dest unique: rename only fails on FS error
+  }
+
+  /** Prune superseded files PER SHARD: keep each shard's winner plus one
+    * runner-up as a grace window for readers whose listing predates this
+    * add (a shard that received no rows for many rounds keeps its only
+    * file — pruning is by per-shard rank, never by global generation).
+    * Stale tmps (attempts that died pre-rename) below the shard's winner
+    * generation go too. */
+  private def prune(fs: FileSystem, root: Path): Unit = {
+    val byShard = scala.collection.mutable.Map.empty[Int, List[(Long, String, Path)]]
+    val tmps = scala.collection.mutable.ListBuffer.empty[(Int, Long, Path)]
+    fs.listStatus(root).foreach { st =>
+      st.getPath.getName match {
+        case ShardFileRe(i, g, a) =>
+          byShard(i.toInt) = (g.toLong, a, st.getPath) :: byShard.getOrElse(i.toInt, Nil)
+        case ShardTmpRe(i, g) => tmps += ((i.toInt, g.toLong, st.getPath))
+        case _ =>
+      }
+    }
+    val winnerGen = scala.collection.mutable.Map.empty[Int, Long]
+    byShard.foreach { case (shard, files) =>
+      val ranked = files.sortBy { case (g, a, _) => (g, a) }.reverse // winner first
+      winnerGen(shard) = ranked.head._1
+      ranked.drop(2).foreach { case (_, _, p) => fs.delete(p, false) }
+    }
+    tmps.foreach { case (shard, g, p) =>
+      if (winnerGen.get(shard).exists(g < _)) fs.delete(p, false)
     }
   }
+
+  private val ShardTmpRe = """\.shard_(\d{5})\.g(\d{12})\.[^.]+\.bloom\.tmp""".r
 
   /** Remove all shard files (used when rebuilding on resume). */
   def clear(dir: String): Unit = {
@@ -77,15 +152,22 @@ object ShardedBloom {
 
   /** Add `delta` (url_hash) into the shard files, creating them on first
     * use. Distributed: rows are repartitioned by shard, each task builds
-    * the delta sketch for the shards it holds and merges into the
-    * existing file (same capacity/fpp → compatible bit arrays). Shard
-    * ownership is disjoint across tasks (hash partitioning sends ALL
-    * rows of a shard to one partition), so no two tasks touch one file
-    * — except equivalent retry/speculation attempts, handled in
-    * writeShard. */
+    * the delta sketch for the shards it holds, merges the current
+    * max-generation file (same capacity/fpp → compatible bit arrays) and
+    * publishes at THIS call's generation. The merge-source listing is
+    * pinned driver-side before the job, so every attempt — including a
+    * zombie from this call — merges the same base and publishes
+    * equivalent bytes; attempts of OLDER add() calls publish under older
+    * generations that readers ignore. Shard ownership is disjoint across
+    * tasks (hash partitioning sends ALL rows of a shard to one
+    * partition). */
   def add(delta: DataFrame, shards: Shards): Unit = {
     val Shards(dir, n, cap, fpp) = shards
-    fsFor(dir) match { case (fs, root) => fs.mkdirs(root) }
+    val (fs0, root) = fsFor(dir)
+    fs0.mkdirs(root)
+    val (bestFiles, maxGen) = listShards(fs0, root)
+    val gen = maxGen + 1
+    val mergeSrc: Map[Int, String] = bestFiles.view.mapValues(_.toString).toMap
     delta.select(col("url_hash"), shardOf(n).as("shard"))
       .repartition(n, col("shard"))
       .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
@@ -97,12 +179,12 @@ object ShardedBloom {
         if (perShard.nonEmpty) {
           val (fs, _) = fsFor(dir)
           perShard.foreach { case (i, bf) =>
-            val f = shardPath(dir, i)
-            if (fs.exists(f)) { val cur = readShard(fs, f); cur.mergeInPlace(bf); writeShard(fs, f, cur) }
-            else writeShard(fs, f, bf)
+            mergeSrc.get(i).foreach(p => bf.mergeInPlace(readShard(fs, new Path(p))))
+            writeShard(fs, dir, i, gen, bf)
           }
         }
       }
+    prune(fs0, root)
   }
 
   /** Split-path seen filter against the shard files (the sharded analogue
@@ -117,11 +199,12 @@ object ShardedBloom {
       .repartition(n, col("__shard"))
       .mapPartitions { rows =>
         val cache = scala.collection.mutable.Map.empty[Int, Option[BloomFilter]]
-        lazy val fs = fsFor(dir)._1
+        lazy val (fs, root) = fsFor(dir)
+        // one listing per task resolves each shard's max-generation file
+        lazy val files = listShards(fs, root)._1
         rows.map { r =>
           val bf = cache.getOrElseUpdate(r.getAs[Int]("__shard"), {
-            val f = shardPath(dir, r.getAs[Int]("__shard"))
-            if (fs.exists(f)) Some(readShard(fs, f)) else None
+            files.get(r.getAs[Int]("__shard")).map(readShard(fs, _))
           })
           val maybe = bf.exists(_.mightContainLong(r.getAs[Long]("url_hash")))
           org.apache.spark.sql.Row.fromSeq(r.toSeq :+ maybe)

@@ -278,10 +278,25 @@ object CrawlJob {
     // re-fetches it. The cumulative Bloom may still contain expired urls:
     // that is only a false "maybe-seen", corrected by the exact anti-join
     // over the active window.
+    // Resuming a workDir that ran with expireBeyondTtl: expired versions'
+    // DATA is gone (manifests remain). They are skipped here, but only
+    // legally — an expired version inside the RESUME config's active
+    // window (TTL absent or larger than the original run's) would change
+    // seen semantics silently, so that is a hard error instead of an
+    // AnalysisException on a deleted path halfway into the round.
+    if (round > 0) {
+      val expiredInWindow = (0 until round).filter(v =>
+        store.isExpired(v) && cfg.seenTtlRounds.forall(ttl => round - v <= ttl))
+      require(expiredInWindow.isEmpty,
+        s"cannot resume: rounds ${expiredInWindow.mkString(",")} were expired by a previous run " +
+          s"but fall inside this config's seen-TTL window (seenTtlRounds=${cfg.seenTtlRounds}); " +
+          "resume with a seenTtlRounds no larger than the run that expired them")
+    }
     var seenMeta: Vector[(Int, String, Long)] =
       if (round == 0) Vector.empty
-      else (0 until round).map { v =>
-        val t = store.manifest(v).tables("seen_delta"); (v, t.path, t.rows)
+      else (0 until round).flatMap { v =>
+        if (store.isExpired(v)) None
+        else { val t = store.manifest(v).tables("seen_delta"); Some((v, t.path, t.rows)) }
       }.toVector
     def activeSeenMeta(r: Int): Vector[(Int, String, Long)] = cfg.seenTtlRounds match {
       case Some(ttl) => seenMeta.filter { case (v, _, _) => r - v <= ttl }

@@ -48,12 +48,20 @@ object Embedder {
   /** Embed `df(textCol)` against a cache table `(text_sha, embedding)`.
     *
     * Plan shape: ONE pass over df's lineage — sha projection + cache
-    * left-join, materialized (persist) because the joined result has two
+    * left-join, materialized because the joined result has two
     * consumers (the miss-side distinct-encode branch and the final
     * join-back). r2 forked the un-materialized `withSha` three ways, so
-    * a 10^9-chunk upstream derivation would have re-run per consumer;
-    * now the fork reads cached blocks (EmbedderPlanSpec asserts both
-    * consumers scan the InMemoryRelation). Misses are DISTINCT texts
+    * a 10^9-chunk upstream derivation would have re-run per consumer.
+    * Materialization is an EAGER `localCheckpoint`, not `persist`: a
+    * persisted block pins executor storage until someone calls
+    * unpersist, and this function has no way to know when its caller's
+    * last action ran — every embedWithCache in a long-lived session
+    * (RagPipeline runs, the bench probe loop) leaked blocks until
+    * executor exit. Checkpoint blocks are registered with the
+    * ContextCleaner instead: when the returned lineage is dropped, the
+    * blocks are released at the next GC — no caller-side handle to
+    * manage (RagSpec asserts both consumers scan the checkpoint RDD).
+    * Misses are DISTINCT texts
     * (encode each unique text once, like the content-addressed cache
     * would) encoded in `batchSize` groups inside mapPartitions, then
     * joined back. Returns df + text_sha + embedding + from_cache.
@@ -70,7 +78,7 @@ object Embedder {
     val joined0 = df.withColumn("text_sha", textSha(col(textCol)))
       .join(cacheTbl, Seq("text_sha"), "left")
     val joined =
-      if (materialize) joined0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      if (materialize) joined0.localCheckpoint(true) // eager; blocks GC'd with the lineage
       else joined0
     val missTexts = joined.filter(col("_cached_emb").isNull)
       .select(col("text_sha"), col(textCol).as("_t"))

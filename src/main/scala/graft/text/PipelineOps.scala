@@ -149,7 +149,7 @@ object PipelineOps {
     * L2-normalized. Vocab is built once (driver, bounded max_features)
     * and broadcast. */
   def countEmbedding(df: DataFrame, idCol: String, textCol: String, maxFeatures: Int = 512,
-                     maxVocabScan: Int = 1 << 20): DataFrame = {
+                     maxVocabScan: Int = 1 << 20, maxVocabChars: Int = 64 << 20): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     // Vocab pass is driver-bounded: collect only an ascending-id PREFIX
@@ -157,12 +157,16 @@ object PipelineOps {
     // the corpus). Grow K geometrically until the vocab saturates at
     // maxFeatures or the prefix covers the whole input — first-seen order
     // is identical across passes because each pass re-reads from id 0.
-    // K is HARD-CAPPED at maxVocabScan: a degenerate corpus whose
-    // vocabulary never reaches maxFeatures would otherwise grow the
-    // prefix until it collected the whole input (the r2 unboundedness).
+    // The prefix is HARD-CAPPED twice: at maxVocabScan ROWS (the r2
+    // unboundedness fix) and at maxVocabChars accumulated CHARS (the r3
+    // finding: 2^20 rows of multi-MB documents is still GBs on the
+    // driver). The char cap costs no extra distributed work and no
+    // global sort: a first TakeOrdered pass collects only (id, length)
+    // — 16 bytes/row — the in-budget row count is a driver-side prefix
+    // sum, and a second TakeOrdered pass collects exactly those texts.
     // An under-saturated capped vocab is reported, and is still a valid
-    // first-seen vocabulary — just built from the first maxVocabScan
-    // docs, exactly what the reference would see on a truncated corpus.
+    // first-seen vocabulary — just built from the first in-budget docs,
+    // exactly what the reference would see on a truncated corpus.
     val vocab: Map[String, Int] = {
       val m = scala.collection.mutable.LinkedHashMap.empty[String, Int]
       var k = math.max(64, maxFeatures / 4)
@@ -170,19 +174,29 @@ object PipelineOps {
       while (m.size < maxFeatures && !stop) {
         m.clear()
         val limitK = math.min(k, maxVocabScan)
-        val texts = df.select(col(idCol), col(textCol)).orderBy(col(idCol))
-          .limit(limitK).as[(Long, String)].collect()
-        val exhausted = texts.length < limitK
+        val lens = df.select(col(idCol).cast("long"), length(col(textCol)).cast("long"))
+          .orderBy(col(idCol)).limit(limitK).as[(Long, Long)].collect()
+        val exhaustedRows = lens.length < limitK
+        var acc = 0L; var nFit = 0
+        while (nFit < lens.length && (nFit == 0 || acc + lens(nFit)._2 <= maxVocabChars)) {
+          acc += lens(nFit)._2; nFit += 1 // first doc always kept (truncated below if huge)
+        }
+        val charCapped = nFit < lens.length
+        val texts = df.select(col(idCol),
+            when(length(col(textCol)) > maxVocabChars,
+              substring(col(textCol), 1, maxVocabChars)).otherwise(col(textCol)))
+          .orderBy(col(idCol)).limit(nFit).as[(Long, String)].collect()
         texts.iterator.takeWhile(_ => m.size < maxFeatures).foreach { case (_, t) =>
           t.toLowerCase.split("\\s+").filter(_.nonEmpty).foreach { tok =>
             if (!m.contains(tok) && m.size < maxFeatures) m(tok) = m.size
           }
         }
-        if (exhausted) stop = true
-        else if (limitK == maxVocabScan && m.size < maxFeatures) {
+        if (exhaustedRows && !charCapped) stop = true
+        else if ((limitK == maxVocabScan || charCapped) && m.size < maxFeatures) {
+          val cap = if (charCapped) s"$maxVocabChars-char" else s"$maxVocabScan-row"
           System.err.println(s"[graft] countEmbedding: vocab under-saturated " +
-            s"(${m.size}/$maxFeatures features) at the $maxVocabScan-row scan cap; " +
-            "raise maxVocabScan or use hashEmbedding for open vocabularies")
+            s"(${m.size}/$maxFeatures features) at the $cap scan cap; " +
+            "raise the cap or use hashEmbedding for open vocabularies")
           stop = true
         }
         k = k * 8

@@ -262,6 +262,21 @@ class CrawlParitySpec extends AnyFunSuite {
     // resume still works after expiration (reads only the active window)
     val lastResumed = CrawlJob.run(spark, siteDir, wExp, cfgExpire, maxRounds = rounds, bloomThreshold = 100L)
     assert(lastResumed == lastExp)
+    // resuming with a LARGER (or absent) TTL window than the run that
+    // expired the data must fail loudly — the window would include
+    // deleted rounds, silently changing seen semantics (or crashing on
+    // a deleted path mid-round without the check)
+    val eBig = intercept[IllegalArgumentException] {
+      CrawlJob.run(spark, siteDir, wExp,
+        graft.frontier.Scheduler.Config(seenTtlRounds = Some(ttl + 10)),
+        maxRounds = rounds + 1, bloomThreshold = 100L)
+    }
+    assert(eBig.getMessage.contains("expired"))
+    val eNone = intercept[IllegalArgumentException] {
+      CrawlJob.run(spark, siteDir, wExp, graft.frontier.Scheduler.Config(),
+        maxRounds = rounds + 1, bloomThreshold = 100L)
+    }
+    assert(eNone.getMessage.contains("expired"))
   }
 
   test("sharded-Bloom seen set: trace and seen parity, incl. resume") {

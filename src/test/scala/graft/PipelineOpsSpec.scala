@@ -142,6 +142,34 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out2.select(org.apache.spark.sql.functions.size(col("embedding"))).head.getInt(0) == 16)
   }
 
+  test("countEmbedding: few LARGE docs are char-capped — driver never ingests past the budget") {
+    val spark = org.apache.spark.sql.SparkSession.builder().master("local[2]")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    import org.apache.spark.sql.functions.col
+    // 10 docs of ~79K chars each, every doc introducing fresh tokens. A
+    // row cap alone admits all 10 (~790K); a 200K-char budget fits only
+    // docs 0-1 (2×78,889 = 157,778; three would be 236,667), so the vocab
+    // must be EXACTLY the first-seen vocab of those two docs — proof the
+    // later docs were never scanned onto the driver.
+    val doc = (d: Int) => (0 until 10000).map(t => s"d${d}w$t").mkString(" ") // 78,889 chars for d<10
+    val df = spark.range(0, 10).selectExpr("id AS doc_id")
+      .withColumn("text",
+        org.apache.spark.sql.functions.udf((id: Long) => doc(id.toInt)).apply(col("doc_id")))
+    val out = PipelineOps.countEmbedding(df, "doc_id", "text",
+      maxFeatures = 1 << 20, maxVocabScan = 1 << 20, maxVocabChars = 200000)
+    val dim = out.select(org.apache.spark.sql.functions.size(col("embedding"))).head.getInt(0)
+    assert(dim == 20000, s"expected the 2-doc in-budget vocab (20000 tokens), got $dim")
+    // a single doc larger than the whole budget is truncated, not collected whole
+    val huge = spark.range(0, 1).selectExpr("id AS doc_id")
+      .withColumn("text",
+        org.apache.spark.sql.functions.udf((id: Long) => doc(0) + " " + doc(1)).apply(col("doc_id")))
+    val outHuge = PipelineOps.countEmbedding(huge, "doc_id", "text",
+      maxFeatures = 1 << 20, maxVocabScan = 1 << 20, maxVocabChars = 60000)
+    val dimHuge = outHuge.select(org.apache.spark.sql.functions.size(col("embedding"))).head.getInt(0)
+    assert(dimHuge < 20000 && dimHuge > 5000,
+      s"expected a truncated-first-doc vocab, got $dimHuge")
+  }
+
   test("url export line format (sitemap_utils.py:477-499)") {
     val spark = org.apache.spark.sql.SparkSession.builder().master("local[2]")
       .config("spark.ui.enabled", "false").getOrCreate()

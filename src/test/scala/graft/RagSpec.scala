@@ -43,7 +43,7 @@ class RagSpec extends AnyFunSuite {
     out.unpersist()
   }
 
-  test("embedWithCache materializes the sha+cache join once: both consumers read cached blocks") {
+  test("embedWithCache materializes the sha+cache join once: both consumers read checkpoint blocks") {
     import spark.implicits._
     val docs = (0 until 50).map(i => (i.toLong, s"text number $i with words")).toDF("id", "text")
     val cache = docs.filter(col("id") % 2 === 0)
@@ -53,10 +53,14 @@ class RagSpec extends AnyFunSuite {
     assert(out.count() == 50)
     val p = out.queryExecution.executedPlan.toString
     // the upstream lineage must compute ONCE: the final join and the
-    // distinct-miss encode branch both scan the InMemoryRelation
-    assert("InMemoryTableScan".r.findAllIn(p).size >= 2,
-      s"expected both consumers on cached blocks:\n${p.take(1500)}")
-    spark.sharedState.cacheManager.clearCache() // release the persisted blocks
+    // distinct-miss encode branch both scan the eager localCheckpoint's
+    // RDD (not re-derive the sha+cache join). Unlike persist, those
+    // blocks are released by the ContextCleaner once the lineage is
+    // dropped — no unpersist handle for callers to leak.
+    assert("Scan ExistingRDD".r.findAllIn(p).size >= 2,
+      s"expected both consumers on the checkpoint RDD:\n${p.take(1500)}")
+    assert(!p.contains("InMemoryTableScan"),
+      "no persisted (leak-prone) blocks expected in the embed stage plan")
   }
 
   test("vector store upsert: merge-by-id, idempotent, dim mismatch recreates") {

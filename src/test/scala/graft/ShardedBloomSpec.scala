@@ -68,4 +68,48 @@ class ShardedBloomSpec extends AnyFunSuite {
     val empty = Seq.empty[(Long, String)].toDF("url_hash", "url")
     assert(ShardedBloom.notSeen(probe, empty, sh).count() == 50L)
   }
+
+  test("zombie attempt fencing: a stale old-generation publish cannot clobber a newer sketch") {
+    import spark.implicits._
+    val sh = freshShards(4)
+    val d1 = (0L until 200L).map(i => (i, s"a$i")).toDF("url_hash", "url")
+    val d2 = (200L until 400L).map(i => (i, s"b$i")).toDF("url_hash", "url")
+    ShardedBloom.add(d1, sh) // generation 0
+    ShardedBloom.add(d2, sh) // generation 1 (merges gen 0)
+    // simulate a ZOMBIE task of the gen-0 add waking up AFTER gen 1
+    // committed: it publishes an (empty → worst-case) sketch under its
+    // own OLD generation tag for every shard. Under the fixed-name
+    // replace scheme this overwrote the merged sketch → false negatives;
+    // under generation fencing readers must keep picking gen 1.
+    import org.apache.spark.util.sketch.BloomFilter
+    (0 until 4).foreach { i =>
+      val stale = BloomFilter.create(4096, 0.03) // contains nothing
+      val f = java.nio.file.Paths.get(sh.dir, f"shard_$i%05d.g${0}%012d.zzzombie.bloom")
+      val out = java.nio.file.Files.newOutputStream(f)
+      try stale.writeTo(out) finally out.close()
+    }
+    val seen = d1.unionByName(d2)
+    // every seen hash must still be maybe-seen → zero survivors
+    assert(ShardedBloom.notSeen(seen, seen, sh).count() == 0,
+      "stale zombie publish caused Bloom false negatives")
+  }
+
+  test("superseded generations are pruned per shard (winner + one grace file kept)") {
+    val sh = freshShards(4)
+    import spark.implicits._
+    (0 until 5).foreach { g =>
+      val d = (g * 100L until (g + 1) * 100L).map(i => (i, s"u$i")).toDF("url_hash", "url")
+      ShardedBloom.add(d, sh)
+    }
+    val perShard = java.nio.file.Files.list(java.nio.file.Paths.get(sh.dir)).toArray
+      .map(_.toString.split("/").last).filter(_.endsWith(".bloom"))
+      .groupBy(_.take("shard_00000".length))
+    assert(perShard.nonEmpty)
+    perShard.foreach { case (shard, files) =>
+      assert(files.length <= 2, s"$shard kept ${files.toSeq} — prune failed")
+    }
+    // and the pruned state still has no false negatives over ALL deltas
+    val all = (0L until 500L).map(i => (i, s"u$i")).toDF("url_hash", "url")
+    assert(ShardedBloom.notSeen(all, all, sh).count() == 0)
+  }
 }
