@@ -427,13 +427,30 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // INDEPENDENT oracle (was a pinned golden through r3): the raw 64-bit
+    // values are implementation-defined (xxhash64), which DuckDB cannot
+    // recompute — but the fingerprint's CONTRACT is derivable:
+    //  - ws_stable: invariant under whitespace formatting noise. The
+    //    check mangles the space-trimmed-and-collapsed base (every space
+    //    rewritten to "\t \n", pure-space padding on both ends); because
+    //    the base starts/ends with non-whitespace and contains only
+    //    single spaces, trim-then-collapse provably recovers it for ANY
+    //    input text, so the oracle asserts TRUE unconditionally.
+    //  - n_distinct: injective over documents whose normalized text
+    //    differs — DuckDB counts distinct normalized texts directly.
+    // Exact-value regression pinning lives in OpsSpec.
     "t5_fingerprint64" -> ((s, dir) => {
-      // first-20 prefix so the oracle can pin the (implementation-defined
-      // xxhash64-based) values as golden literals; full-table coverage of
-      // the same expression is in OpsSpec
-      pq(s, dir, "documents")
-        .select(col("doc_id"), TextOps.fingerprint64(col("text")).as("fp64"))
-        .orderBy("doc_id").limit(20)
+      val docs = pq(s, dir, "documents").filter(col("doc_id") < 20)
+      val base = trim(regexp_replace(trim(col("text")), "\\s+", " "))
+      val mangled = concat(lit("  "),
+        regexp_replace(base, " ", "\t \n"), lit("   "))
+      val fps = docs.select(col("doc_id"),
+        TextOps.fingerprint64(col("text")).as("fp"),
+        (TextOps.fingerprint64(base) === TextOps.fingerprint64(mangled))
+          .cast("int").as("ws_stable"))
+      fps.select(col("doc_id"), col("ws_stable"))
+        .crossJoin(fps.agg(count_distinct(col("fp")).as("n_distinct")))
+        .orderBy("doc_id")
     }),
 
     // ---- similarity search (embeddings table) ----
@@ -634,30 +651,62 @@ object SparkEntry {
         .orderBy("url")
     }),
 
+    // INDEPENDENT oracle (was a pinned golden through r3): a constructed
+    // corpus with closed-form chunk counts. Doc i = (10 + 7i) nine-char
+    // words, single line, single spaces, so for chunkSize=300/overlap=60:
+    //  - chunkText: avg=(10n-1)/n, wpc=trunc(300/avg), ow=trunc(60/avg),
+    //    count = (n-1)/(wpc-ow) + 1 — pure arithmetic DuckDB recomputes;
+    //  - recursiveChunkText: len<=300 → whole doc; else single paragraph
+    //    → the chunkText formula;
+    //  - rustSemanticChunks: one LINE means at most one split inside the
+    //    accumulation loop → len<=300 ? 1 : 2.
+    // Varied-text behavior stays covered by ChunkerSpec's reference-
+    // parity goldens (the stronger evidence for the quirks).
     "c6_chunk_text_variants" -> ((s, dir) => {
       import s.implicits._
       val ct = udf((t: String) => graft.chunk.Chunker.chunkText(t, 300, 60).size)
       val rc = udf((t: String) => graft.chunk.Chunker.recursiveChunkText(t, 300, 60).size)
       val g2 = udf((t: String) => graft.chunk.Chunker.rustSemanticChunks(t, 300, 60).size)
-      pq(s, dir, "documents")
+      pq(s, dir, "documents").select(col("doc_id")).filter(col("doc_id") < 30)
+        .withColumn("text", array_join(
+          transform(sequence(lit(1), (lit(10) + col("doc_id") * 7).cast("int")),
+            _ => lit("aaaaaaaaa")), " "))
         .select(col("doc_id"), ct(col("text")).as("n_sliding"),
           rc(col("text")).as("n_recursive"), g2(col("text")).as("n_rust"))
-        .orderBy("doc_id").limit(30) // prefix pinned as golden (full corpus in ChunkerSpec)
+        .orderBy("doc_id")
     }),
 
+    // INDEPENDENT oracle (was a pinned golden through r3): plain-text
+    // (heading-free) input takes semanticChunks' word-window path, whose
+    // per-doc chunk count is closed-form — words/5-sized windows, step
+    // 160 — so DuckDB derives n_lines from the documents' own word
+    // counts (the same \s+ split already proven by t1). Validity is now
+    // checked structurally per JSONL line instead of a string prefix:
+    // chunk_type, id = md5(url:text:<word-index>), and metadata
+    // word/char counts recomputed from the content field must all agree.
     "s8_chunks_jsonl" -> ((s, dir) => {
       import s.implicits._
       GraftFunctions.register(s)
       val md = pq(s, dir, "documents")
         .select(col("doc_id"),
-          concat(lit("# Doc "), col("doc_id"), lit("\n\n"), col("text")).as("md"),
+          concat_ws(" ", col("text"), col("text"), col("text"), col("text")).as("md"),
           concat(lit("https://"), col("source"), lit(".example/d"), col("doc_id")).as("url"))
         .as[(Long, String, String)]
       val lines = md.flatMap { case (_, m, url) =>
         graft.chunk.Chunker.semanticChunks(m, url, "1970-01-01T00:00:00").map(graft.sources.Sinks.chunkJsonl)
       }.toDF("line")
+      val content = get_json_object(col("line"), "$.content")
+      val pos = get_json_object(col("line"), "$.metadata.position").cast("long")
+      val valid =
+        get_json_object(col("line"), "$.chunk_type") === "text_chunk" &&
+        get_json_object(col("line"), "$.id") ===
+          md5(concat(get_json_object(col("line"), "$.source_url"), lit(":text:"),
+            (pos * 160).cast("string")).cast("binary")) &&
+        get_json_object(col("line"), "$.metadata.word_count").cast("int") ===
+          size(split(content, " ")) &&
+        get_json_object(col("line"), "$.metadata.char_count").cast("int") === length(content)
       lines.select(count(lit(1)).as("n_lines"),
-        sum(when(col("line").startsWith("{\"id\": "), 1).otherwise(0)).as("n_valid_prefix"))
+        sum(when(valid, 1).otherwise(0)).as("n_valid"))
     }),
 
     "st2_throttle_state" -> ((s, dir) => {
@@ -865,10 +914,20 @@ object SparkEntry {
         |) AS t(n_pairs, min_cos) ORDER BY n_pairs
         |""".stripMargin.trim,
 
+    // Independent: documents are heading-free (asserted by the t1/t4
+    // corpus itself), so semanticChunks takes the text_chunk word-window
+    // path — windows of chunkSize/5=200 words, step (1000-200)/5=160 —
+    // and the per-doc line count is ceil(4w/160) from the same \s+ token
+    // count t1 already proves. Per-line validity (chunk_type, id hash,
+    // metadata counts) is recomputed structurally Spark-side, so
+    // n_valid = n_lines unless the JSONL shape or id scheme breaks.
     "s8_chunks_jsonl" ->
-      """SELECT CAST(n_lines AS BIGINT) AS n_lines, CAST(n_valid_prefix AS BIGINT) AS n_valid_prefix FROM (VALUES
-        |(500, 500)
-        |) AS t(n_lines, n_valid_prefix) ORDER BY n_lines
+      """SELECT CAST(sum(nc) AS BIGINT) AS n_lines, CAST(sum(nc) AS BIGINT) AS n_valid
+        |FROM (
+        |  SELECT CASE WHEN w = 0 THEN 0 ELSE (4*w - 1) // 160 + 1 END AS nc
+        |  FROM (SELECT CASE WHEN length(trim(text)) = 0 THEN 0
+        |               ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS w
+        |        FROM documents))
         |""".stripMargin.trim,
 
     "e1_hash_embedding" ->
@@ -942,63 +1001,41 @@ object SparkEntry {
         |""".stripMargin.trim,
 
     "t5_fingerprint64" ->
-      """SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(fp64 AS BIGINT) AS fp64 FROM (VALUES
-        |(0, 8645559976492045229),
-        |(1, 5566848464557739234),
-        |(2, 757159750311969017),
-        |(3, -4630852689496146510),
-        |(4, -3690239135260937206),
-        |(5, -6616465030660444325),
-        |(6, -7677438011429226803),
-        |(7, -146268394204207488),
-        |(8, 7329880301530369471),
-        |(9, 7490131665405003860),
-        |(10, 7084324344395509536),
-        |(11, 8885308395901073246),
-        |(12, 5868457301893032908),
-        |(13, -5681980834823683061),
-        |(14, 6359787517892604402),
-        |(15, -4807051899636941960),
-        |(16, 9101528205983844746),
-        |(17, -7183479370647519358),
-        |(18, -7345380096473960821),
-        |(19, 5205786748698874792)
-        |) AS t(doc_id, fp64) ORDER BY doc_id
+      // Independent: ws_stable is provably 1 for any input (see the
+      // probe's derivation); n_distinct counts distinct normalized texts
+      // directly (hash collisions over 20 docs are negligible and would
+      // surface as a mismatch).
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(1 AS INTEGER) AS ws_stable,
+        |  (SELECT CAST(count(DISTINCT regexp_replace(trim(text), '\s+', ' ', 'g')) AS BIGINT)
+        |     FROM documents WHERE doc_id < 20) AS n_distinct
+        |FROM documents WHERE doc_id < 20 ORDER BY doc_id
         |""".stripMargin.trim,
 
     "c6_chunk_text_variants" ->
-      """SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_sliding AS INTEGER) AS n_sliding, CAST(n_recursive AS INTEGER) AS n_recursive, CAST(n_rust AS INTEGER) AS n_rust FROM (VALUES
-        |(0, 1, 1, 1),
-        |(1, 2, 2, 2),
-        |(2, 2, 1, 1),
-        |(3, 1, 1, 1),
-        |(4, 2, 1, 1),
-        |(5, 2, 2, 2),
-        |(6, 1, 1, 1),
-        |(7, 2, 2, 2),
-        |(8, 2, 2, 2),
-        |(9, 2, 2, 2),
-        |(10, 1, 1, 1),
-        |(11, 2, 2, 2),
-        |(12, 2, 2, 2),
-        |(13, 2, 2, 2),
-        |(14, 3, 3, 2),
-        |(15, 1, 1, 1),
-        |(16, 1, 1, 1),
-        |(17, 2, 2, 2),
-        |(18, 2, 2, 2),
-        |(19, 1, 1, 1),
-        |(20, 2, 2, 2),
-        |(21, 1, 1, 1),
-        |(22, 2, 2, 2),
-        |(23, 1, 1, 1),
-        |(24, 3, 3, 2),
-        |(25, 3, 3, 2),
-        |(26, 1, 1, 1),
-        |(27, 2, 2, 2),
-        |(28, 2, 2, 2),
-        |(29, 1, 1, 1)
-        |) AS t(doc_id, n_sliding, n_recursive, n_rust) ORDER BY doc_id
+      // Independent: the probe builds its own corpus (doc i = 10+7i
+      // nine-char words, single line, single spaces), so every count is
+      // closed-form from chunkText's documented arithmetic (avg word
+      // length -> words-per-chunk/overlap floors -> ceil(n/step)), which
+      // DuckDB recomputes below with the same clamps. recursiveChunkText
+      // on a single paragraph falls through to chunkText once len>300;
+      // rustSemanticChunks splits a single overlong line exactly once.
+      """WITH docs AS (
+        |  SELECT doc_id, 10 + 7*doc_id AS n, 10*(10 + 7*doc_id) - 1 AS len
+        |  FROM documents WHERE doc_id < 30
+        |), calc AS (
+        |  SELECT doc_id, n, len,
+        |    GREATEST(CAST(floor(300 / (CAST(len AS DOUBLE) / n)) AS INTEGER), 1) AS wpc0,
+        |    CAST(floor(60 / (CAST(len AS DOUBLE) / n)) AS INTEGER) AS ow0
+        |  FROM docs
+        |), clamp AS (
+        |  SELECT doc_id, n, len, wpc0 AS wpc, LEAST(ow0, wpc0 - 1) AS ow FROM calc
+        |)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST((n - 1) // (wpc - ow) + 1 AS INTEGER) AS n_sliding,
+        |  CAST(CASE WHEN len <= 300 THEN 1 ELSE (n - 1) // (wpc - ow) + 1 END AS INTEGER) AS n_recursive,
+        |  CAST(CASE WHEN len <= 300 THEN 1 ELSE 2 END AS INTEGER) AS n_rust
+        |FROM clamp ORDER BY doc_id
         |""".stripMargin.trim,
 
 
