@@ -44,8 +44,10 @@ object Bench {
     * (scale) and reused across parallelism levels — identical input. */
   def crawlBench(spark: SparkSession, siteDir: String, workDir: String,
                  rps: Double = 400.0, maxDepth: Int = 3,
-                 maxRounds: Int = 30): (Long, Long, Double) = {
-    val cfg = Scheduler.Config(defaultRps = rps, roundSeconds = 5.0, maxDepth = maxDepth)
+                 maxRounds: Int = 30,
+                 bucketedTable: Option[String] = None): (Long, Long, Double) = {
+    val cfg = Scheduler.Config(defaultRps = rps, roundSeconds = 5.0, maxDepth = maxDepth,
+      bucketedPagesTable = bucketedTable)
     val t0 = System.nanoTime()
     val last = CrawlJob.run(spark, siteDir, workDir, cfg, maxRounds = maxRounds)
     val elapsed = (System.nanoTime() - t0) / 1e9
@@ -124,12 +126,31 @@ object Bench {
     deleteRecursively(r1Wd)
     val r1UrlsPerSec = if (r1Sec > 0) r1Fetched / r1Sec else 0.0
 
+    // bucketed-fetch cell: the 10^10 fetch layout (pages as a
+    // url-bucketed catalog table — no big-side shuffle/sort, no
+    // broadcast hint) run END-TO-END on the headline corpus. Layout
+    // creation is the one-time ingest job, reported separately as
+    // bucketed_layout_sec, never folded into crawl throughput.
+    val bkTable = "bench_pages_bucketed"
+    val tBk0 = System.nanoTime()
+    graft.sources.BucketedPages.createBucketedTable(
+      spark, s"$siteDir/pages.parquet", bkTable, buckets = cpus)
+    val bkLayoutSec = (System.nanoTime() - tBk0) / 1e9
+    val bkWd = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("/dev/shm"), "graft_bench_bucketed").toString
+    val (bkFetched, _, bkSec) = crawlBench(spark, siteDir, bkWd, rps,
+      maxDepth = 99, bucketedTable = Some(bkTable))
+    deleteRecursively(bkWd)
+    val bkUrlsPerSec = if (bkSec > 0) bkFetched / bkSec else 0.0
+
     // per-query timings (includes the crawl as "crawl_pipeline");
     // a failed query records -1, never a fake "fast" time.
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     results("crawl_pipeline") = crawlSec
     runsAll.zipWithIndex.foreach { case ((_, _, sec), i) => results(s"crawl_run${i + 1}") = sec }
     results("crawl_r1cfg") = r1Sec
+    results("crawl_bucketed") = bkSec
+    results("bucketed_layout") = bkLayoutSec
 
     // Probes run in a FRESH session, each timed on its SECOND run (first
     // is an untimed warmup). The headline crawl leaves cached relations,
@@ -156,7 +177,7 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     if (failures.nonEmpty)
       System.err.println(s"[bench] ${failures.size} queries failed: ${failures.mkString(",")}")
-    println(s"""{"metric":"urls_fetched_extracted_per_sec","value":${f"$urlsPerSec%.1f"},"unit":"urls/sec","urls_fetched":$fetched,"chunks":$chunks,"crawl_sec":${f"$crawlSec%.1f"},"crawl_runs_sec":[${runsAll.map(r => f"${r._3}%.1f").mkString(",")}],"r1cfg_urls_per_sec":${f"$r1UrlsPerSec%.1f"},"r1cfg_urls":$r1Fetched,"cpus":$cpus,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"urls_fetched_extracted_per_sec","value":${f"$urlsPerSec%.1f"},"unit":"urls/sec","urls_fetched":$fetched,"chunks":$chunks,"crawl_sec":${f"$crawlSec%.1f"},"crawl_runs_sec":[${runsAll.map(r => f"${r._3}%.1f").mkString(",")}],"r1cfg_urls_per_sec":${f"$r1UrlsPerSec%.1f"},"r1cfg_urls":$r1Fetched,"bucketed_urls_per_sec":${f"$bkUrlsPerSec%.1f"},"bucketed_urls":$bkFetched,"bucketed_layout_sec":${f"$bkLayoutSec%.1f"},"cpus":$cpus,"queries":$qs,"sf":"$sfDir"}""")
     probeSpark.stop()
   }
 }

@@ -713,12 +713,62 @@ object SparkEntry {
       graft.streaming.ThrottleStream.runBounded(s, dir, "events.parquet")
     }),
 
-    // ---- multimodal plumbing (rows-only; deterministic) ----
+    // ---- multimodal decode (real PPM/WAV/GVID parsing; deterministic
+    // closed-form corpus so DuckDB recomputes every decoded statistic
+    // independently from the generation arithmetic) ----
 
     "m1_media_features" -> ((s, dir) => {
+      Multimodal.extractFeatures(Multimodal.synthMedia(s, 600, 8)).toDF()
+        .select(col("media_id"), col("modality"), col("n_bytes"),
+          element_at(col("features"), 1).cast("double").as("f0"),
+          element_at(col("features"), 2).cast("double").as("f1"),
+          element_at(col("features"), 3).cast("double").as("f2"),
+          element_at(col("features"), 4).cast("double").as("f3"))
+        .orderBy("media_id")
+    }),
+
+    "m2_modality_stats" -> ((s, dir) => {
       Multimodal.modalityStats(Multimodal.extractFeatures(Multimodal.synthMedia(s, 600, 8)))
     })
   )
+
+  /** Shared DuckDB CTEs recomputing the synthetic media corpus's decoded
+    * statistics from the closed-form generation arithmetic (see
+    * `Multimodal` Scaladoc) — per-media (media_id, modality, n_bytes,
+    * f0..f3) matching `MediaFeatures`'s documented feature semantics. */
+  private val mediaCtes: String =
+    """img AS (
+      |  SELECT i, 32 + ((i//3)%5)*8 AS w, 24 + ((i//3)%3)*8 AS h
+      |  FROM range(0, 600) t(i) WHERE i % 3 = 0
+      |), img_f AS (
+      |  SELECT i AS media_id, 'image' AS modality, 13 + w*h*3 AS n_bytes,
+      |         CAST(w AS DOUBLE) AS f0, CAST(h AS DOUBLE) AS f1,
+      |         CAST(SUM((i + 7*j) % 256) AS DOUBLE) AS f2,
+      |         CAST(MAX((i + 7*j) % 256) AS DOUBLE) AS f3
+      |  FROM img CROSS JOIN range(0, 7680) r(j) WHERE j < w*h*3
+      |  GROUP BY i, w, h
+      |), aud AS (
+      |  SELECT i, 1024 + (i % 512) AS ns FROM range(0, 600) t(i) WHERE i % 3 = 1
+      |), aud_f AS (
+      |  SELECT i AS media_id, 'audio' AS modality, 44 + 2*ns AS n_bytes,
+      |         CAST(8000 AS DOUBLE) AS f0, CAST(ns AS DOUBLE) AS f1,
+      |         CAST(SUM(ABS(((31*i + 17*k) % 4001) - 2000)) AS DOUBLE) AS f2,
+      |         CAST(MAX(ABS(((31*i + 17*k) % 4001) - 2000)) AS DOUBLE) AS f3
+      |  FROM aud CROSS JOIN range(0, 1536) r(k) WHERE k < ns
+      |  GROUP BY i, ns
+      |), vid AS (
+      |  SELECT i, 4 + (i % 5) AS nf FROM range(0, 600) t(i) WHERE i % 3 = 2
+      |), vid_f AS (
+      |  SELECT i AS media_id, 'video' AS modality, 7 + nf*589 AS n_bytes,
+      |         CAST(nf AS DOUBLE) AS f0, CAST((nf + 1) // 2 AS DOUBLE) AS f1,
+      |         CAST(SUM((i + 101*f + 7*j) % 256) AS DOUBLE) AS f2,
+      |         CAST(MAX((i + 101*f + 7*j) % 256) AS DOUBLE) AS f3
+      |  FROM vid CROSS JOIN range(0, 8) rf(f) CROSS JOIN range(0, 576) rj(j)
+      |  WHERE f < nf AND f % 2 = 0
+      |  GROUP BY i, nf
+      |), allf AS (
+      |  SELECT * FROM img_f UNION ALL SELECT * FROM aud_f UNION ALL SELECT * FROM vid_f
+      |)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -1337,14 +1387,30 @@ ORDER BY id_a""",
 ('https://host3.example/sec6/page20', 'Page 20 — host3 sec6', 'Synthetic page 20 about politeness', 'OG Page 20')
 ) AS t(url, title, description, og_title) ORDER BY url""",
 
-    // golden oracle: probe input is inline + deterministic (sf-independent),
-    // so the expected rows are pinned as literals
+    // independent oracle: the media corpus is closed-form (Multimodal
+    // Scaladoc: PPM pixel j of image i = (i+7j) mod 256; WAV sample k =
+    // ((31i+17k) mod 4001)-2000; GVID frame f byte j = (i+101f+7j) mod
+    // 256, every 2nd frame sampled), so DuckDB recomputes every decoded
+    // statistic — byte sums, peak values, container byte counts — from
+    // the generation arithmetic alone. The row matches only if the Scala
+    // header parsers locate the exact payload offsets and the sample
+    // decode is bit-correct.
     "m1_media_features" ->
-      """SELECT CAST(modality AS VARCHAR) AS modality, CAST(n AS BIGINT) AS n, CAST(total_bytes AS BIGINT) AS total_bytes, CAST(avg_f0 AS DOUBLE) AS avg_f0 FROM (VALUES
-('audio', 200, 879100, 0.501508),
-('image', 200, 469300, 0.503392),
-('video', 200, 1698500, 0.502042)
-) AS t(modality, n, total_bytes, avg_f0) ORDER BY modality""",
+      s"""WITH $mediaCtes
+        |SELECT CAST(media_id AS BIGINT) AS media_id, CAST(modality AS VARCHAR) AS modality,
+        |       CAST(n_bytes AS INTEGER) AS n_bytes, f0, f1, f2, f3
+        |FROM allf ORDER BY media_id""".stripMargin,
+
+    // same closed-form CTEs aggregated per modality — the groupBy shape
+    "m2_modality_stats" ->
+      s"""WITH $mediaCtes
+        |SELECT CAST(modality AS VARCHAR) AS modality, COUNT(*) AS n,
+        |       CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+        |       CAST(ROUND(AVG(f0), 6) AS DOUBLE) AS avg_f0,
+        |       CAST(ROUND(AVG(f1), 6) AS DOUBLE) AS avg_f1,
+        |       CAST(ROUND(AVG(f2), 6) AS DOUBLE) AS avg_f2,
+        |       CAST(ROUND(AVG(f3), 6) AS DOUBLE) AS avg_f3
+        |FROM allf GROUP BY modality ORDER BY modality""".stripMargin,
 
 
     "st1_stream_window" ->

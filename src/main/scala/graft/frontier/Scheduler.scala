@@ -42,7 +42,15 @@ object Scheduler {
       // expire_snapshots / the reference cache's eviction). Off by
       // default: expired rounds' tables stop being readable, which
       // audit/debug workflows may still want.
-      expireBeyondTtl: Boolean = false)
+      expireBeyondTtl: Boolean = false,
+      // 10^10 scale fetch path: read pages from a catalog table bucketed
+      // by url (BucketedPages.createBucketedTable — the stand-in for an
+      // Iceberg storage-partitioned table) so the fetch join never
+      // shuffles or sorts the html-payload big side; only the
+      // politeness-bounded batch moves. None = plain parquet read with
+      // batch-broadcast fetch (fine when each round's batch fits in a
+      // broadcast).
+      bucketedPagesTable: Option[String] = None)
 
   object Config {
     /** Layered config (the reference's env/YAML/JSON layering,
@@ -68,7 +76,9 @@ object Scheduler {
         seenTtlRounds = oi("seenTtlRounds", base.seenTtlRounds),
         bloomShards = oi("bloomShards", base.bloomShards),
         expireBeyondTtl = c.getOption("spark.graft.expireBeyondTtl")
-          .map(_.toBoolean).getOrElse(base.expireBeyondTtl))
+          .map(_.toBoolean).getOrElse(base.expireBeyondTtl),
+        bucketedPagesTable = c.getOption("spark.graft.bucketedPagesTable")
+          .orElse(base.bucketedPagesTable))
     }
   }
 

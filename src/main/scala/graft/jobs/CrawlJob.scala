@@ -75,7 +75,10 @@ object CrawlJob {
       // pure latency per dynamic-partition write (measured: the
       // next-epoch partitionBy write dropped 24.6 s → 10.4 s over a
       // 10-round crawl); v2 renames task outputs at task commit
-      dflt("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2"))
+      dflt("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2"),
+      // managed tables (the bucketed pages layout) live on the fast
+      // local scratch volume, never under the process cwd
+      dflt("spark.sql.warehouse.dir", "/dev/shm/graft_warehouse"))
       .foldLeft(SparkSession.builder()
         .master(s"local[$cpus]")
         .appName(appName)) { case (b, (k, v)) => b.config(k, v) }
@@ -242,7 +245,14 @@ object CrawlJob {
           maxRounds: Int = 50,
           bloomThreshold: Long = 100000L): Int = {
     val store = new SnapshotStore(workDir)
-    val pages = spark.read.parquet(s"$siteDir/pages.parquet")
+    // pages source: plain parquet, or the bucketed catalog table (the
+    // Iceberg storage-partitioned stand-in) when cfg asks for it — the
+    // bucketed scan joins bucket-aligned with zero Exchange/Sort on the
+    // html-payload side (BucketedFetchSpec proves the plan).
+    val pages = cfg.bucketedPagesTable match {
+      case Some(t) => spark.table(t)
+      case None    => spark.read.parquet(s"$siteDir/pages.parquet")
+    }
     val rules = robotsRules(spark, spark.read.parquet(s"$siteDir/robots.parquet")).cache()
     val robotsDf = rules.toDF()
     val limits = spark.read.parquet(s"$siteDir/host_limits.parquet")
@@ -504,10 +514,20 @@ object CrawlJob {
           // batches, the equivalent is a bucketed/storage-partitioned pages
           // table joined on url_hash (no big-side shuffle either); AQE
           // skew-join covers the fallback path.
-          val fetched =
-            if (nScheduled <= 2000000L)
-              pages.join(broadcast(selected.select("url", "url_hash", "host", "depth", "rank")), Seq("url"), "inner")
-            else selected.join(pages, Seq("url"), "inner")
+          val batchCols = selected.select("url", "url_hash", "host", "depth", "rank")
+          val fetched = cfg.bucketedPagesTable match {
+            case Some(_) =>
+              // bucketed fetch: no broadcast hint — the bucket-aligned
+              // pages scan has no Exchange either way, and letting the
+              // planner shuffle only the batch side into bucket
+              // alignment is the 10^10 shape (a broadcast batch also
+              // preserves it; AQE picks per batch size).
+              pages.join(batchCols, Seq("url"), "inner")
+            case None =>
+              if (nScheduled <= 2000000L)
+                pages.join(broadcast(batchCols), Seq("url"), "inner")
+              else selected.join(pages, Seq("url"), "inner")
+          }
           // one typed parse pass written STRAIGHT to the snapshot's results
           // table (markdown + outlinks + chunk structs inline) — parquet IS
           // the round's materialization; persist()/cache() of this wide DF

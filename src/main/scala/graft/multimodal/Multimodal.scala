@@ -3,92 +3,267 @@ package graft.multimodal
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Multimodal-column plumbing: image/audio/video as opaque `binary`
-  * columns with typed metadata, processed in partition-batches.
+/** Multimodal-column processing: image/audio/video as opaque `binary`
+  * columns with typed metadata, decoded in partition-batches.
   *
-  * The actual codec work (JPEG decode, resample, frame extraction) needs
-  * native libraries this container doesn't ship — those steps are
-  * STUBBED with a clearly-marked deterministic fake (`fakeDecode`). The
-  * Spark-side plumbing is real and tested: schema, binary transport,
-  * `mapPartitions` batch shape (the JVM analogue of `mapInPandas` —
-  * amortizes per-batch model/codec setup), and the partitioning that
-  * keeps one media blob per row without driver collection. */
+  * The decode step is REAL, pure-JVM, byte-level work over three
+  * uncompressed container formats (no native codec libraries needed):
+  *
+  *   - image: binary PPM (P6) — token-level header parse (magic,
+  *     whitespace/comment handling, width/height/maxval) then raw RGB
+  *     payload statistics;
+  *   - audio: WAV / RIFF PCM — chunk-walking parse ("fmt " + "data"
+  *     located by walking the RIFF chunk list, not fixed offsets),
+  *     little-endian 16-bit sample decode, amplitude statistics;
+  *   - video: a raw concatenated-frame container ("GVID <n>\n" header
+  *     followed by n complete PPM frames) with FRAME SAMPLING — every
+  *     2nd frame is decoded, the rest are skipped via their parsed
+  *     lengths, the streaming analogue of ffmpeg `-vf select` thinning.
+  *
+  * Compressed codecs (JPEG/MP3/H.264) need native libraries this
+  * container doesn't ship; the dispatch seam (`sniffAndDecode`) is where
+  * they would plug in. The Spark-side shape is the real thing either
+  * way: binary transport, `mapPartitions` batches (the JVM analogue of
+  * `mapInPandas` — per-batch codec/model setup paid once per partition),
+  * one blob per row, no driver collection.
+  *
+  * Synthetic media is closed-form (pixel j of media i = (i + 7j) mod
+  * 256, etc.) so the m1 oracle can independently recompute every decoded
+  * statistic in DuckDB from the generation arithmetic — the probe is
+  * green only if header parsing finds the exact payload offsets and the
+  * sample decode is bit-correct. */
 object Multimodal {
 
   final case class MediaMeta(mime: String, width: Int, height: Int, duration_ms: Int)
   final case class MediaRow(media_id: Long, modality: String, bytes: Array[Byte], meta: MediaMeta)
+  /** `features` semantics per modality (all integer-valued, exact in
+    * Float32 at these sizes):
+    *   image: [width, height, sum(payload bytes), max(payload byte)]
+    *   audio: [sample_rate, n_samples, sum(|sample|), max(|sample|)]
+    *   video: [n_frames, n_sampled_frames, sum(sampled bytes), max(sampled byte)] */
   final case class MediaFeatures(media_id: Long, modality: String, n_bytes: Int, features: Array[Float])
 
-  /** Deterministic synthetic media table (no external data): blob bytes
-    * are seeded noise sized by modality. */
-  def synthMedia(spark: SparkSession, n: Long, partitions: Int = 32): Dataset[MediaRow] = {
-    import spark.implicits._
-    spark.range(0, n, 1, partitions).map { i =>
-      val modality = (i % 3) match {
-        case 0 => "image"; case 1 => "audio"; case _ => "video"
-      }
-      val size = modality match {
-        case "image" => 2048 + (i % 1024).toInt
-        case "audio" => 4096 + (i % 2048).toInt
-        case _       => 8192 + (i % 4096).toInt
-      }
-      val bytes = new Array[Byte](size)
-      var j = 0
-      var h = graft.synth.SyntheticWeb.mix64(i * 31 + 7)
-      while (j < size) {
-        h = graft.synth.SyntheticWeb.mix64(h)
-        bytes(j) = (h & 0xff).toByte
-        j += 1
-      }
-      val meta = modality match {
-        case "image" => MediaMeta("image/jpeg", 640 + (i % 5).toInt * 64, 480, 0)
-        case "audio" => MediaMeta("audio/wav", 0, 0, 1000 + (i % 9000).toInt)
-        case _       => MediaMeta("video/mp4", 1280, 720, 2000 + (i % 28000).toInt)
-      }
-      MediaRow(i, modality, bytes, meta)
-    }
-  }
+  // ---------------------------------------------------------------------
+  // Deterministic synthetic media (no external data): REAL encodings with
+  // closed-form payloads. i % 3 picks the modality.
+  //   image  i: PPM P6, w = 32+((i/3)%5)*8, h = 24+((i/3)%3)*8,
+  //             payload byte j = (i + 7j) % 256
+  //   audio  i: WAV PCM16 mono 8kHz, n = 1024+(i%512) samples,
+  //             sample k = ((31i + 17k) % 4001) - 2000
+  //   video  i: GVID, nf = 4+(i%5) frames of 16x12 PPM,
+  //             frame f byte j = (i + 101f + 7j) % 256
+  // ---------------------------------------------------------------------
 
-  /** STUB — deterministic fake feature extractor standing in for the
-    * real decode (??? in a cluster deployment this is the codec/model
-    * call; the container has no image/audio libs). Produces a stable
-    * 16-dim signature from the blob bytes so downstream joins/ANN are
-    * exercisable end-to-end. */
-  def fakeDecode(bytes: Array[Byte], dim: Int = 16): Array[Float] = {
-    val out = new Array[Float](dim)
-    var i = 0
-    while (i < bytes.length) {
-      out(i % dim) += (bytes(i) & 0xff) / 255.0f
-      i += 1
-    }
-    var d = 0
-    while (d < dim) { out(d) = out(d) / math.max(1, bytes.length / dim); d += 1 }
+  def encodePpm(w: Int, h: Int, pixel: Int => Int): Array[Byte] = {
+    val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + w * h * 3)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var j = 0
+    val n = w * h * 3
+    while (j < n) { out(header.length + j) = pixel(j).toByte; j += 1 }
     out
   }
 
-  /** Batch feature extraction: mapPartitions so per-batch setup (real
-    * deployments: model load, codec init) is paid once per partition,
-    * exactly like mapInPandas batches. */
+  def encodeWav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val out = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(sampleRate).putInt(sampleRate * 2) // byte rate
+      .putShort(2).putShort(16) // block align, bits/sample
+    out.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(out.putShort)
+    out.array()
+  }
+
+  def encodeGvid(frames: Seq[Array[Byte]]): Array[Byte] = {
+    val header = s"GVID ${frames.length}\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + frames.map(_.length).sum)
+    System.arraycopy(header, 0, out, 0, header.length)
+    var off = header.length
+    frames.foreach { f => System.arraycopy(f, 0, out, off, f.length); off += f.length }
+    out
+  }
+
+  def synthOne(i: Long): MediaRow = (i % 3) match {
+    case 0 =>
+      val g = i / 3
+      val w = 32 + (g % 5).toInt * 8
+      val h = 24 + (g % 3).toInt * 8
+      val bytes = encodePpm(w, h, j => ((i + 7L * j) % 256).toInt)
+      MediaRow(i, "image", bytes, MediaMeta("image/x-portable-pixmap", w, h, 0))
+    case 1 =>
+      val n = 1024 + (i % 512).toInt
+      val samples = Array.tabulate(n)(k => (((31L * i + 17L * k) % 4001) - 2000).toShort)
+      val bytes = encodeWav(8000, samples)
+      MediaRow(i, "audio", bytes, MediaMeta("audio/wav", 0, 0, n * 1000 / 8000))
+    case _ =>
+      val nf = 4 + (i % 5).toInt
+      val frames = (0 until nf).map(f =>
+        encodePpm(16, 12, j => ((i + 101L * f + 7L * j) % 256).toInt))
+      val bytes = encodeGvid(frames)
+      MediaRow(i, "video", bytes, MediaMeta("video/x-gvid-raw", 16, 12, nf * 40))
+  }
+
+  /** Deterministic synthetic media table (no external data). */
+  def synthMedia(spark: SparkSession, n: Long, partitions: Int = 32): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(0, n, 1, partitions).map(i => synthOne(i))
+  }
+
+  // ---------------------------------------------------------------------
+  // Decoders — real byte-level parsing.
+  // ---------------------------------------------------------------------
+
+  /** Parsed PPM: payload starts at `payloadOff`, `w*h*3` bytes long. */
+  final case class PpmHeader(w: Int, h: Int, maxval: Int, payloadOff: Int)
+
+  /** Token-level P6 header parse: whitespace-delimited width/height/
+    * maxval, `#` comments allowed between tokens (the PPM spec), exactly
+    * one whitespace byte after maxval, then the raw RGB payload. */
+  def parsePpmHeader(bytes: Array[Byte], off: Int): PpmHeader = {
+    require(bytes.length >= off + 2 && bytes(off) == 'P' && bytes(off + 1) == '6',
+      s"not a P6 PPM at offset $off")
+    var p = off + 2
+    def skipSpaceAndComments(): Unit = {
+      var in = true
+      while (in && p < bytes.length) {
+        val c = bytes(p)
+        if (c == ' ' || c == '\t' || c == '\n' || c == '\r') p += 1
+        else if (c == '#') { while (p < bytes.length && bytes(p) != '\n') p += 1 }
+        else in = false
+      }
+    }
+    def readInt(): Int = {
+      skipSpaceAndComments()
+      var v = 0
+      var any = false
+      while (p < bytes.length && bytes(p) >= '0' && bytes(p) <= '9') {
+        v = v * 10 + (bytes(p) - '0'); p += 1; any = true
+      }
+      require(any, s"malformed PPM header near offset $p")
+      v
+    }
+    val w = readInt(); val h = readInt(); val mv = readInt()
+    p += 1 // exactly one whitespace byte separates maxval from payload
+    require(bytes.length >= p + w * h * 3, "truncated PPM payload")
+    PpmHeader(w, h, mv, p)
+  }
+
+  def imageFeatures(bytes: Array[Byte]): Array[Float] = {
+    val hd = parsePpmHeader(bytes, 0)
+    val n = hd.w * hd.h * 3
+    var sum = 0L; var mx = 0; var j = 0
+    while (j < n) {
+      val v = bytes(hd.payloadOff + j) & 0xff
+      sum += v; if (v > mx) mx = v; j += 1
+    }
+    Array(hd.w.toFloat, hd.h.toFloat, sum.toFloat, mx.toFloat)
+  }
+
+  /** RIFF/WAVE chunk walk: find "fmt " (must be PCM 16-bit) and "data",
+    * wherever they sit in the chunk list, then decode LE int16 samples. */
+  def audioFeatures(bytes: Array[Byte]): Array[Float] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(off: Int) = new String(bytes, off, 4, "US-ASCII")
+    require(fourcc(0) == "RIFF" && fourcc(8) == "WAVE", "not a RIFF/WAVE file")
+    var p = 12
+    var sampleRate = -1; var bits = -1; var channels = -1
+    var dataOff = -1; var dataLen = -1
+    while (p + 8 <= bytes.length && (dataOff < 0 || sampleRate < 0)) {
+      val id = fourcc(p); val len = bb.getInt(p + 4)
+      id match {
+        case "fmt " =>
+          require(bb.getShort(p + 8) == 1, "not PCM")
+          channels = bb.getShort(p + 10).toInt
+          sampleRate = bb.getInt(p + 12)
+          bits = bb.getShort(p + 22).toInt
+        case "data" => dataOff = p + 8; dataLen = len
+        case _ => // skip unknown chunks (LIST, fact, ...)
+      }
+      p += 8 + len + (len & 1) // chunks are 2-byte aligned
+    }
+    require(sampleRate > 0 && dataOff >= 0, "missing fmt/data chunk")
+    require(bits == 16 && channels == 1, s"unsupported PCM layout ${bits}bit x$channels")
+    val n = dataLen / 2
+    var sumAbs = 0L; var maxAbs = 0; var k = 0
+    while (k < n) {
+      val s = bb.getShort(dataOff + 2 * k).toInt
+      val a = math.abs(s)
+      sumAbs += a; if (a > maxAbs) maxAbs = a; k += 1
+    }
+    Array(sampleRate.toFloat, n.toFloat, sumAbs.toFloat, maxAbs.toFloat)
+  }
+
+  /** GVID frame walk with sampling: every `step`-th frame is decoded;
+    * skipped frames are stepped over via their parsed header lengths
+    * (no decode work), which is what makes sampling cheaper than
+    * decoding — the point of frame thinning at 100 TB. */
+  def videoFeatures(bytes: Array[Byte], step: Int = 2): Array[Float] = {
+    require(bytes.length > 5 && new String(bytes, 0, 5, "US-ASCII") == "GVID ",
+      "not a GVID container")
+    var p = 5
+    var nf = 0
+    while (bytes(p) >= '0' && bytes(p) <= '9') { nf = nf * 10 + (bytes(p) - '0'); p += 1 }
+    require(bytes(p) == '\n', "malformed GVID header"); p += 1
+    var sum = 0L; var mx = 0; var sampled = 0
+    var f = 0
+    while (f < nf) {
+      val hd = parsePpmHeader(bytes, p)
+      val n = hd.w * hd.h * 3
+      if (f % step == 0) {
+        var j = 0
+        while (j < n) {
+          val v = bytes(hd.payloadOff + j) & 0xff
+          sum += v; if (v > mx) mx = v; j += 1
+        }
+        sampled += 1
+      }
+      p = hd.payloadOff + n
+      f += 1
+    }
+    Array(nf.toFloat, sampled.toFloat, sum.toFloat, mx.toFloat)
+  }
+
+  /** Container dispatch by MAGIC BYTES (not the metadata column) — the
+    * seam where compressed codecs (JPEG/MP3/H.264 via native libs) would
+    * register at a real deployment. */
+  def sniffAndDecode(bytes: Array[Byte]): Array[Float] = {
+    if (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6') imageFeatures(bytes)
+    else if (bytes.length >= 4 && bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F') audioFeatures(bytes)
+    else if (bytes.length >= 4 && bytes(0) == 'G' && bytes(1) == 'V' && bytes(2) == 'I' && bytes(3) == 'D') videoFeatures(bytes)
+    else throw new IllegalArgumentException("unknown media container")
+  }
+
+  /** Batch feature extraction: mapPartitions so per-batch setup (codec
+    * tables, model weights at a real deployment) is paid once per
+    * partition, exactly like mapInPandas batches. */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      // per-partition setup happens HERE once (stub: nothing to load)
+      // per-partition setup happens HERE once (pure-JVM decoders need none)
       rows.map { r =>
-        MediaFeatures(r.media_id, r.modality, r.bytes.length, fakeDecode(r.bytes))
+        MediaFeatures(r.media_id, r.modality, r.bytes.length, sniffAndDecode(r.bytes))
       }
     }
   }
 
   /** Per-modality stats over the features table — the downstream
     * aggregation shape (groupBy modality = low-cardinality shuffle with
-    * map-side partial aggregation). */
+    * map-side partial aggregation). Feature values are integer-valued
+    * and exact in Float32 at these sizes, so the averages are
+    * reproducible bit-for-bit by an independent engine. */
   def modalityStats(features: Dataset[MediaFeatures]): DataFrame = {
+    def avgF(i: Int) = round(avg(element_at(col("features"), i).cast("double")), 6).as(s"avg_f${i - 1}")
     features.toDF()
       .groupBy("modality")
       .agg(
         count(lit(1)).as("n"),
         sum("n_bytes").as("total_bytes"),
-        round(avg(element_at(col("features"), 1).cast("decimal(18,6)")), 6).cast("double").as("avg_f0"))
+        avgF(1), avgF(2), avgF(3), avgF(4))
       .orderBy("modality")
   }
 }

@@ -52,6 +52,40 @@ class BucketedFetchSpec extends AnyFunSuite {
     assert(plan.contains("Bucketed: true"), plan.take(1500))
   }
 
+  test("e2e crawl over the bucketed pages table matches the default path") {
+    import spark.implicits._
+    import graft.jobs.CrawlJob
+    import graft.checkpoint.SnapshotStore
+    val dir = java.nio.file.Files.createTempDirectory("bucket_site_e2e").toString
+    graft.synth.SyntheticWeb.generate(spark, dir, 400, 4, seed = 42L, partitions = 4)
+    val table = "pages_bucketed_e2e"
+    BucketedPages.createBucketedTable(spark, s"$dir/pages.parquet", table, buckets = 4)
+
+    def trace(wd: String, last: Int): Seq[(Int, String, Int, String)] = {
+      val store = new SnapshotStore(wd)
+      (0 to last).flatMap(v =>
+        store.readTable(spark, v, "trace").as[(Int, String, Int, String)].collect().toSeq)
+        .sortBy(t => (t._1, t._2, t._3))
+    }
+    def seen(wd: String, last: Int): Set[String] = {
+      val store = new SnapshotStore(wd)
+      (0 to last).flatMap(v =>
+        store.readTable(spark, v, "seen_delta").select("url").as[String].collect()).toSet
+    }
+
+    val wdDefault = java.nio.file.Files.createTempDirectory("crawl_default").toString
+    val wdBucketed = java.nio.file.Files.createTempDirectory("crawl_bucketed").toString
+    val cfgDefault = graft.frontier.Scheduler.Config(defaultRps = 5.0)
+    val lastD = CrawlJob.run(spark, dir, wdDefault, cfgDefault, bloomThreshold = 100L)
+    val lastB = CrawlJob.run(spark, dir, wdBucketed,
+      cfgDefault.copy(bucketedPagesTable = Some(table)), bloomThreshold = 100L)
+    assert(lastD == lastB)
+    val td = trace(wdDefault, lastD)
+    assert(td.nonEmpty)
+    assert(td == trace(wdBucketed, lastB))
+    assert(seen(wdDefault, lastD) == seen(wdBucketed, lastB))
+  }
+
   test("bucketed join returns identical rows to the plain join") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("bucket_site2").toString

@@ -288,6 +288,60 @@ class OpsSpec extends AnyFunSuite {
     assert(stats.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("multimodal: PPM decode parses header variants and exact payload stats") {
+    import graft.multimodal.Multimodal._
+    // header with comments and mixed whitespace — spec-level parsing, not
+    // the fixed layout synthOne happens to emit
+    val payload = Array.tabulate(2 * 3 * 3)(j => (j * 11) % 256)
+    val hdr = "P6 #comment\n# another\n 2\t3 #w h\n255\n".getBytes("US-ASCII")
+    val bytes = hdr ++ payload.map(_.toByte)
+    val f = imageFeatures(bytes)
+    assert(f(0) == 2f && f(1) == 3f)
+    assert(f(2) == payload.sum.toFloat && f(3) == payload.max.toFloat)
+    // truncated payload must fail loudly, not mis-read
+    intercept[IllegalArgumentException](imageFeatures(bytes.dropRight(1)))
+  }
+
+  test("multimodal: WAV decode walks chunks (extra chunk before data)") {
+    import graft.multimodal.Multimodal._
+    val samples = Array[Short](-2000, 0, 1999, -1, 7)
+    val std = encodeWav(8000, samples)
+    // splice an unknown chunk between fmt and data: decoder must skip it
+    val extra = "LIST".getBytes("US-ASCII") ++ Array[Byte](3, 0, 0, 0, 1, 2, 3, 0) // len 3 + pad
+    val spliced = std.slice(0, 36) ++ extra ++ std.slice(36, std.length)
+    // patch RIFF size (bytes 4..7, LE)
+    val bb = java.nio.ByteBuffer.wrap(spliced).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(4, spliced.length - 8)
+    for (b <- Seq(std, spliced)) {
+      val f = audioFeatures(b)
+      assert(f(0) == 8000f && f(1) == samples.length.toFloat)
+      assert(f(2) == samples.map(s => math.abs(s.toInt)).sum.toFloat)
+      assert(f(3) == 2000f)
+    }
+  }
+
+  test("multimodal: GVID frame sampling decodes every 2nd frame only") {
+    import graft.multimodal.Multimodal._
+    // 5 frames; sampled frames (0,2,4) have known bytes, skipped frames
+    // (1,3) are all-255 — if the sampler ever reads them the sum explodes
+    val sampledByte = 7
+    val frames = (0 until 5).map { fno =>
+      encodePpm(2, 2, _ => if (fno % 2 == 0) sampledByte else 255)
+    }
+    val f = videoFeatures(encodeGvid(frames))
+    assert(f(0) == 5f && f(1) == 3f)
+    assert(f(2) == (3 * 2 * 2 * 3 * sampledByte).toFloat)
+    assert(f(3) == sampledByte.toFloat)
+  }
+
+  test("multimodal: dispatch sniffs magic bytes and rejects unknown containers") {
+    import graft.multimodal.Multimodal._
+    assert(sniffAndDecode(synthOne(0).bytes)(0) == 32f)  // image i=0: w=32
+    assert(sniffAndDecode(synthOne(1).bytes)(0) == 8000f) // audio: sample rate
+    assert(sniffAndDecode(synthOne(2).bytes)(0) == 6f)   // video i=2: nf=4+2%5=6
+    intercept[IllegalArgumentException](sniffAndDecode("nope".getBytes))
+  }
+
   test("fingerprint is whitespace-normalization stable") {
     import spark.implicits._
     val df = Seq((1, "hello   world\n\tfoo"), (2, "hello world foo")).toDF("id", "text")
