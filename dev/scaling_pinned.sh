@@ -5,20 +5,36 @@
 # onto the other cores of the box, so an unpinned local[2] borrows the
 # machine and inflates the low-parallelism throughput. `taskset` pins
 # the whole JVM to N cores: the honest analogue of an N-core executor
-# node. N=2→4N=8 is used (instead of 8→32) because this VM's memory
-# bus saturates at ~22 GB/s (~13 GB/s already at 8 threads — measured
-# with a multithreaded read microbench): at 32 cores the engine is
-# memory-bandwidth-bound, which measures the box, not the engine. On a
-# real cluster each executor brings its own memory bus, so the
-# bandwidth wall does not accumulate across executors the way it does
-# inside one VM.
+# node. The default cell is 1→4 (instead of 8→32) because this VM's
+# memory bus saturates at ~22 GB/s (~13 GB/s already at 8 threads —
+# measured with a multithreaded read microbench): at 32 cores the
+# engine is memory-bandwidth-bound, which measures the box, not the
+# engine. On a real cluster each executor brings its own memory bus,
+# so the bandwidth wall does not accumulate across executors the way
+# it does inside one VM.
+#
+# NOISE PROTOCOL: this VM suffers EPISODIC CPU STEAL from the host
+# (measured: bursts of >1 stolen core sustained for tens of seconds;
+# 18% wall-clock spread between identical runs). Two defenses:
+#   1. each width runs RUNS times (default 3) and the MINIMUM elapsed
+#      time is the reported number — for a deterministic workload the
+#      min is the least-contaminated estimate (mean/median fold the
+#      host's noise into the engine's number);
+#   2. per-run steal is measured over the PINNED cores from
+#      /proc/stat and reported alongside, so a contaminated run is
+#      visible instead of silently skewing the cell.
+# JVM/codegen warmup (~30 s, constant in core count — pure distortion
+# of a scaling ratio) is excluded by CrawlJob.main's built-in warmup
+# micro-crawl, which prints its own timing line.
 #
 # Usage: dev/scaling_pinned.sh [pages] [lowCpus] [highCpus]
+#   RUNS=n        repeats per width (default 3)
 set -e
 cd "$(dirname "$0")/.."
 PAGES=${1:-1920000}
-LOW=${2:-2}
-HIGH=${3:-8}
+LOW=${2:-1}
+HIGH=${3:-4}
+RUNS=${RUNS:-3}
 RPS=8000
 SITE=/dev/shm/graft_bench_site_${PAGES}_${RPS}
 
@@ -26,35 +42,57 @@ if [ ! -f "$SITE/pages.parquet/_SUCCESS" ]; then
   sbt -batch "runMain graft.tools.SiteGenCli $SITE $PAGES 64 32 $RPS"
 fi
 
-run_at() {
+steal_ticks() { # sum of the steal field over cores 0..N-1
+  local cpus=$1
+  awk -v n="$cpus" '$1 ~ /^cpu[0-9]+$/ { c = substr($1, 4) + 0;
+    if (c < n) s += $9 } END { print s+0 }' /proc/stat
+}
+
+run_at() { # one pinned run; echoes "<urls_per_sec> <sec> <results> <steal_sec>"
   local cpus=$1
   local mask="0-$((cpus - 1))"
   local work
   work=$(mktemp -d /dev/shm/graft_pinned_${cpus}_XXXX)
-  SPARK_DRIVER_MEM=${SPARK_DRIVER_MEM:-24g} \
-  GRAFT_JAVA_OPTS="-Dspark.graft.defaultRps=$RPS -Dspark.graft.maxDepth=99 -Dspark.graft.roundSeconds=5" \
+  local s0 s1 line
+  s0=$(steal_ticks "$cpus")
+  line=$(SPARK_DRIVER_MEM=${SPARK_DRIVER_MEM:-24g} \
+    GRAFT_JAVA_OPTS="-Dspark.graft.defaultRps=$RPS -Dspark.graft.maxDepth=99 -Dspark.graft.roundSeconds=5" \
     taskset -c "$mask" sbt -batch "runMain graft.jobs.CrawlJob $SITE $work $cpus" \
-    | grep "crawl complete" | tee /dev/stderr
+    | grep "crawl complete")
+  s1=$(steal_ticks "$cpus")
   rm -rf "$work"
+  python3 - "$line" "$s0" "$s1" <<'EOF'
+import re, sys
+m = lambda k: float(re.search(k + r'=([0-9.]+)', sys.argv[1]).group(1))
+print(f"{m('urls_per_sec')} {m('sec')} {int(m('results'))} {(int(sys.argv[3])-int(sys.argv[2]))/100.0:.1f}")
+EOF
 }
 
-echo "== pinned $LOW cores =="
-OUT_LOW=$(run_at "$LOW")
-echo "== pinned $HIGH cores =="
-OUT_HIGH=$(run_at "$HIGH")
+declare -a LOW_RUNS HIGH_RUNS
+for i in $(seq 1 "$RUNS"); do
+  echo "== pinned $LOW cores, run $i ==" >&2
+  LOW_RUNS+=("$(run_at "$LOW")")
+  echo "   ${LOW_RUNS[-1]} (urls/s sec results steal_s)" >&2
+  echo "== pinned $HIGH cores, run $i ==" >&2
+  HIGH_RUNS+=("$(run_at "$HIGH")")
+  echo "   ${HIGH_RUNS[-1]} (urls/s sec results steal_s)" >&2
+done
 
-python3 - "$OUT_LOW" "$OUT_HIGH" "$LOW" "$HIGH" <<'EOF'
-import re, sys
-def parse(s):
-    return (float(re.search(r'urls_per_sec=([0-9.]+)', s).group(1)),
-            float(re.search(r'sec=([0-9.]+)', s).group(1)),
-            int(re.search(r'results=(\d+)', s).group(1)))
-tl, sl, rl = parse(sys.argv[1])
-th, sh, rh = parse(sys.argv[2])
-low, high = int(sys.argv[3]), int(sys.argv[4])
-assert rl == rh, f"runs diverged: {rl} vs {rh} urls"
-eff = (th / tl) / (high / low)
-print(f'{{"scaling_pinned":{{"low_cpus":{low},"high_cpus":{high},"urls":{rl},'
-      f'"sec_low":{sl:.1f},"sec_high":{sh:.1f},"thr_low":{tl:.1f},"thr_high":{th:.1f},'
-      f'"speedup":{th/tl:.2f},"efficiency":{eff:.3f}}}}}')
+python3 - "$LOW" "$HIGH" "$RUNS" "${LOW_RUNS[@]}" "${HIGH_RUNS[@]}" <<'EOF'
+import json, sys
+low, high, runs = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
+rows = [tuple(map(float, a.split())) for a in sys.argv[4:]]
+lo, hi = rows[:runs], rows[runs:]
+assert len({int(r[2]) for r in rows}) == 1, f"runs diverged in fetched urls: {rows}"
+def cell(rs):
+    best = max(rs, key=lambda r: r[0])
+    return best, [{"urls_per_sec": r[0], "sec": r[1], "steal_sec": r[3]} for r in rs]
+(bl, lruns), (bh, hruns) = cell(lo), cell(hi)
+eff = (bh[0] / bl[0]) / (high / low)
+print(json.dumps({"scaling_pinned": {
+    "low_cpus": low, "high_cpus": high, "urls": int(bl[2]),
+    "protocol": "best-of-%d per width (episodic host CPU steal; per-run steal shown)" % runs,
+    "low_runs": lruns, "high_runs": hruns,
+    "thr_low": bl[0], "thr_high": bh[0],
+    "speedup": round(bh[0] / bl[0], 2), "efficiency": round(eff, 3)}}))
 EOF

@@ -82,19 +82,38 @@ object Bench {
     }
   }
 
-  /** Repeat a crawl on fresh work dirs; returns (per-run results, the
-    * median run by elapsed time). Work dirs are deleted between runs so
-    * repeated multi-GB crawls cannot exhaust /dev/shm. */
+  /** Host CPU steal (all cores, /proc/stat ticks) — this VM suffers
+    * EPISODIC steal bursts from its host (measured: >1 core sustained
+    * for tens of seconds), so each benchmark run records the steal it
+    * absorbed; a contaminated run is then visible in the output instead
+    * of silently skewing the median. */
+  private def stealTicks(): Long =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try src.getLines().find(_.startsWith("cpu "))
+        .map(_.trim.split("\\s+")(8).toLong).getOrElse(0L)
+      finally src.close()
+    } catch { case _: Throwable => 0L }
+
+  /** Repeat a crawl on fresh work dirs; returns (per-run results with
+    * absorbed host-steal seconds, the median run by elapsed time). Work
+    * dirs are deleted between runs so repeated multi-GB crawls cannot
+    * exhaust /dev/shm. */
   def medianCrawl(spark: SparkSession, siteDir: String, runs: Int,
-                  rps: Double, maxDepth: Int): (Seq[(Long, Long, Double)], (Long, Long, Double)) = {
+                  rps: Double, maxDepth: Int)
+      : (Seq[(Long, Long, Double, Double)], (Long, Long, Double)) = {
     val results = (1 to runs).map { i =>
       val wd = java.nio.file.Files
         .createTempDirectory(java.nio.file.Paths.get("/dev/shm"), s"graft_bench_crawl$i").toString
+      val s0 = stealTicks()
       val r = crawlBench(spark, siteDir, wd, rps, maxDepth)
+      val stealSec = (stealTicks() - s0) / 100.0
       deleteRecursively(wd)
-      r
+      (r._1, r._2, r._3, stealSec)
     }
-    (results, results.sortBy(_._3).apply((runs - 1) / 2))
+    (results, results.sortBy(_._3).apply((runs - 1) / 2) match {
+      case (f, c, s, _) => (f, c, s)
+    })
   }
 
   def main(args: Array[String]): Unit = {
@@ -147,7 +166,7 @@ object Bench {
     // a failed query records -1, never a fake "fast" time.
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     results("crawl_pipeline") = crawlSec
-    runsAll.zipWithIndex.foreach { case ((_, _, sec), i) => results(s"crawl_run${i + 1}") = sec }
+    runsAll.zipWithIndex.foreach { case ((_, _, sec, _), i) => results(s"crawl_run${i + 1}") = sec }
     results("crawl_r1cfg") = r1Sec
     results("crawl_bucketed") = bkSec
     results("bucketed_layout") = bkLayoutSec
@@ -177,7 +196,7 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     if (failures.nonEmpty)
       System.err.println(s"[bench] ${failures.size} queries failed: ${failures.mkString(",")}")
-    println(s"""{"metric":"urls_fetched_extracted_per_sec","value":${f"$urlsPerSec%.1f"},"unit":"urls/sec","urls_fetched":$fetched,"chunks":$chunks,"crawl_sec":${f"$crawlSec%.1f"},"crawl_runs_sec":[${runsAll.map(r => f"${r._3}%.1f").mkString(",")}],"r1cfg_urls_per_sec":${f"$r1UrlsPerSec%.1f"},"r1cfg_urls":$r1Fetched,"bucketed_urls_per_sec":${f"$bkUrlsPerSec%.1f"},"bucketed_urls":$bkFetched,"bucketed_layout_sec":${f"$bkLayoutSec%.1f"},"cpus":$cpus,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"urls_fetched_extracted_per_sec","value":${f"$urlsPerSec%.1f"},"unit":"urls/sec","urls_fetched":$fetched,"chunks":$chunks,"crawl_sec":${f"$crawlSec%.1f"},"crawl_runs_sec":[${runsAll.map(r => f"${r._3}%.1f").mkString(",")}],"crawl_runs_steal_sec":[${runsAll.map(r => f"${r._4}%.1f").mkString(",")}],"r1cfg_urls_per_sec":${f"$r1UrlsPerSec%.1f"},"r1cfg_urls":$r1Fetched,"bucketed_urls_per_sec":${f"$bkUrlsPerSec%.1f"},"bucketed_urls":$bkFetched,"bucketed_layout_sec":${f"$bkLayoutSec%.1f"},"cpus":$cpus,"queries":$qs,"sf":"$sfDir"}""")
     probeSpark.stop()
   }
 }

@@ -264,20 +264,36 @@ object SparkEntry {
           concat(lit("zzz "), substring_index(col("text"), " ", -200)).as("text"))
       val all = docs.select(col("doc_id"), col("text")).unionByName(nearDup)
       val pairs = Dedup.minhashLshPairs(all, "doc_id", "text", w = 3, m = 32, bands = 8, threshold = 0.5)
-      val verified = Dedup.verifyJaccard(pairs, all, "doc_id", "text", w = 3)
-      verified.agg(
-        count(lit(1)).as("n_pairs"),
-        sum(when(col("jaccard") >= 0.5, 1).otherwise(0)).as("n_confirmed"))
+      // output the exact-verified pair LIST (not LSH-internal counts):
+      // the oracle recomputes the full qualifying set {(a,b) : exact
+      // 3-shingle jaccard ≥ 0.5} by brute force, so a single missed or
+      // phantom candidate mismatches — recall is checked, independently
+      Dedup.verifyJaccard(pairs, all, "doc_id", "text", w = 3)
+        .filter(col("jaccard") >= 0.5)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("id_a", "id_b")
     }),
 
     "d3_simhash" -> ((s, dir) => {
       val docs = pq(s, dir, "documents")
+      // clones keep the text BYTE-IDENTICAL: identical text ⇒ identical
+      // 64-bit simhash ⇒ hamming 0 ⇒ a pigeonhole bucket hit is
+      // STRUCTURAL, so the output set is derivable from text equality
+      // alone and the probe is green only if signature determinism, all
+      // four chunk bucketings, and the hamming verify behave. (Near-dup
+      // recall at hamming ≤ 6 has no derivable guarantee — simhash over
+      // ~80-word docs measurably drops j ≈ 0.99 pairs — so that behavior
+      // is asserted by d7's constructed corpus + OpsSpec, not here.)
       val nearDup = docs.filter(col("doc_id") % 7 === 0)
-        .select((col("doc_id") + 1000000).as("doc_id"),
-          concat(col("text"), lit(" tail")).as("text"))
+        .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
       val all = docs.select(col("doc_id"), col("text")).unionByName(nearDup)
-      Dedup.simhashPairs(all, "doc_id", "text", maxDistance = 6)
-        .agg(count(lit(1)).as("n_pairs"), max(col("hamming")).as("max_hamming"))
+      val pairs = Dedup.simhashPairs(all, "doc_id", "text", maxDistance = 6)
+      pairs
+        .join(all.select(col("doc_id").as("id_a"), col("text").as("ta")), Seq("id_a"))
+        .join(all.select(col("doc_id").as("id_b"), col("text").as("tb")), Seq("id_b"))
+        .filter(col("ta") === col("tb"))
+        .select(col("id_a"), col("id_b"), col("hamming"))
+        .orderBy("id_a", "id_b")
     }),
 
     "d4_ngram_jaccard" -> ((s, dir) => {
@@ -295,15 +311,18 @@ object SparkEntry {
       val nearDup = emb.filter(col("vec_id") % 9 === 0)
         .select((col("vec_id") + 1000000).as("vec_id"), col("embedding"), col("label"))
       val all = emb.unionByName(nearDup)
+      // hyperplane-LSH candidates at cos ≥ 0.999, output as the pair
+      // list — the oracle brute-forces all-pairs cosine over the same
+      // corpus, so bucket recall at near-identity is checked for real
       Dedup.cosinePairs(all, "vec_id", "embedding", dim = 64, planes = 10, threshold = 0.999)
-        .agg(count(lit(1)).as("n_pairs"), round(min(col("cos")), 4).as("min_cos"))
+        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+        .orderBy("id_a", "id_b")
     }),
 
     // ---- LSH completeness oracles (constructed corpus, so DuckDB can
     // derive the expected answer INDEPENDENTLY: every planted duplicate
-    // must be caught, no noise doc may pair — unlike the d2/d3/d5 pinned
-    // goldens these are semantic, not regression, checks; they also run
-    // the hot-bucket chain-split path for real (cluster 200 ≫ maxBucket
+    // must be caught, no noise doc may pair); they also run the
+    // hot-bucket chain-split path for real (cluster 200 ≫ maxBucket
     // 64) ----
 
     "d6_lsh_complete" -> ((s, dir) => {
@@ -770,6 +789,30 @@ object SparkEntry {
       |  SELECT * FROM img_f UNION ALL SELECT * FROM aud_f UNION ALL SELECT * FROM vid_f
       |)""".stripMargin
 
+  /** Brute-force all-pairs exact 3-shingle Jaccard over a `corpus` CTE
+    * with (doc_id, text): shingles exploded then self-joined, so only
+    * pairs sharing at least one shingle are scored (a pair sharing none
+    * has jaccard 0 and cannot reach any threshold ≥ 0.5). Entirely
+    * independent of the MinHash/SimHash implementations it checks. */
+  private def pairJaccardSql(corpusCtes: String, threshold: String): String =
+    s"""WITH $corpusCtes, sh AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+       |         ELSE list_distinct(list_transform(range(1, len(toks) - 1),
+       |              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END AS s
+       |  FROM (SELECT doc_id,
+       |          list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '') AS toks
+       |        FROM corpus)),
+       |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+       |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+       |          FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+       |lens AS (SELECT doc_id, len(s) AS n FROM sh)
+       |SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       |  round(CAST(n_inter AS DOUBLE) / (la.n + lb.n - n_inter), 4) AS jaccard
+       |FROM inter JOIN lens la ON la.doc_id = id_a JOIN lens lb ON lb.doc_id = id_b
+       |WHERE CAST(n_inter AS DOUBLE) / (la.n + lb.n - n_inter) >= $threshold
+       |ORDER BY id_a, id_b""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -940,29 +983,51 @@ object SparkEntry {
       s"""SELECT vec_id, round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), $queryVecSql), 6) AS score
          |FROM embeddings ORDER BY score DESC, vec_id ASC LIMIT 10""".stripMargin,
 
-    // ---- golden oracles pinned at the driver's fixed verify scale
-    // (sf0.01; seeded synthetic tables are deterministic across runs).
-    // e2's values are additionally cross-checked against the reference's
-    // own SimpleCountEmbedding (rag/embedding.py:486-548) run on the same
-    // parquet — byte-equal f0/dim. s8/c6 chunk semantics are byte-parity
-    // tested against the ported reference chunker tests in ChunkerSpec.
-    "d2_minhash_lsh" ->
-      """SELECT CAST(n_pairs AS BIGINT) AS n_pairs, CAST(n_confirmed AS BIGINT) AS n_confirmed FROM (VALUES
-        |(139, 139)
-        |) AS t(n_pairs, n_confirmed) ORDER BY n_pairs
-        |""".stripMargin.trim,
+    // ---- dedup pair probes: fully independent oracles below (brute-
+    // force recomputation, no pinned values). e1/e2 remain goldens
+    // pinned at the driver's fixed verify scale (sf0.01; seeded
+    // synthetic tables are deterministic across runs); e2's values are
+    // additionally cross-checked against the reference's own
+    // SimpleCountEmbedding (rag/embedding.py:486-548) run on the same
+    // parquet — byte-equal f0/dim.
+    // INDEPENDENT oracles (pinned goldens through r3): DuckDB brute-
+    // forces the exact qualifying pair set over the same doc/clone
+    // corpus — every LSH recall miss or phantom pair mismatches. The
+    // clone rule mirrors the probe exactly (substring_index(text,' ',
+    // -200) = last 200 single-space-split fields).
+    "d2_minhash_lsh" -> pairJaccardSql(
+      """base AS (SELECT doc_id, text FROM documents),
+        |corpus AS (
+        |  SELECT doc_id, text FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    'zzz ' || CASE WHEN len(parts) <= 200 THEN text
+        |              ELSE array_to_string(parts[len(parts)-199:len(parts)], ' ') END
+        |  FROM (SELECT doc_id, text, string_split(text, ' ') AS parts
+        |        FROM base WHERE doc_id % 5 = 0))""".stripMargin, "0.5"),
 
     "d3_simhash" ->
-      """SELECT CAST(n_pairs AS BIGINT) AS n_pairs, CAST(max_hamming AS INTEGER) AS max_hamming FROM (VALUES
-        |(235, 6)
-        |) AS t(n_pairs, max_hamming) ORDER BY n_pairs
-        |""".stripMargin.trim,
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |corpus AS (SELECT doc_id, text FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM base WHERE doc_id % 7 = 0)
+        |SELECT CAST(a.doc_id AS BIGINT) AS id_a, CAST(b.doc_id AS BIGINT) AS id_b,
+        |  CAST(0 AS INTEGER) AS hamming
+        |FROM corpus a JOIN corpus b ON a.doc_id < b.doc_id AND a.text = b.text
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "d5_cosine_neardup" ->
-      """SELECT CAST(n_pairs AS BIGINT) AS n_pairs, CAST(min_cos AS DOUBLE) AS min_cos FROM (VALUES
-        |(56, 1.0)
-        |) AS t(n_pairs, min_cos) ORDER BY n_pairs
-        |""".stripMargin.trim,
+      """WITH base AS (SELECT vec_id, embedding FROM embeddings),
+        |corpus AS (SELECT vec_id, embedding FROM base
+        |  UNION ALL
+        |  SELECT vec_id + 1000000, embedding FROM base WHERE vec_id % 9 = 0)
+        |SELECT CAST(a.vec_id AS BIGINT) AS id_a, CAST(b.vec_id AS BIGINT) AS id_b,
+        |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                               CAST(b.embedding AS DOUBLE[])), 6) AS cos
+        |FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                             CAST(b.embedding AS DOUBLE[])) >= 0.999
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // Independent: documents are heading-free (asserted by the t1/t4
     // corpus itself), so semanticChunks takes the text_chunk word-window

@@ -409,17 +409,17 @@ object CrawlJob {
           alw
         } else fresh
         val path = s"${store.root}/data/v$round/assigned"
+        // row count + max batch ride the write job as an Observation —
+        // no read-back job, and the zero-row case (no part files, no
+        // inferable schema) falls out as (0, null) instead of an
+        // AnalysisException
+        val asgObs = org.apache.spark.sql.Observation(s"assign_epoch_r$round")
         Scheduler.assignBatches(allowed, limits, cfg)
+          .observe(asgObs, count(lit(1)).as("n"), max("batch_no").as("mb"))
           .write.partitionBy("batch_no").mode("overwrite").parquet(path)
-        try {
-          val assignedStats = spark.read.parquet(path)
-            .agg(count(lit(1)), max("batch_no")).head
-          assignedTotal = assignedStats.getLong(0)
-          maxBatch = if (assignedTotal == 0) -1 else assignedStats.getInt(1)
-        } catch { // zero rows → no part files → schema not inferable
-          case _: org.apache.spark.sql.AnalysisException =>
-            assignedTotal = 0; maxBatch = -1
-        }
+        val asgM = asgObs.get
+        assignedTotal = asgM("n").asInstanceOf[Long]
+        maxBatch = if (assignedTotal == 0) -1 else asgM("mb").asInstanceOf[Int]
         assignedPath = path
         epochStart = round
         batchIdx = 0
@@ -497,7 +497,12 @@ object CrawlJob {
         // request-cache hit semantics). fresh is already materialized by
         // the schedule actions, so this count reads cached blocks.
         val nCandidates = nBatchRows + carryCount
-        val nCacheHits = math.max(0L, nCandidates - fresh.count())
+        // fast path: fresh IS the pruned batch (nCandidates == nBatchRows
+        // and no carry), so the hit count is identically 0 — skip the
+        // count job rather than run it to compute a constant
+        val nCacheHits =
+          if (epochFresh) 0L
+          else math.max(0L, nCandidates - fresh.count())
         phase("schedule")
 
         if (nScheduled == 0 && nEpochDenied == 0) {
@@ -535,17 +540,18 @@ object CrawlJob {
           // on big string columns) and a second consumer would re-parse.
           // All derived tables read back columnar + pruned.
           val resultsPath = s"${store.root}/data/v$round/results"
+          // accounting (row count + chunk sum) rides the WRITE job as an
+          // Observation — zero extra jobs, zero re-scan of the output
+          val exObs = org.apache.spark.sql.Observation(s"extract_r$round")
           extract(spark, fetched, cfg).toDF()
             .withColumn("round", lit(round))
+            .observe(exObs, count(lit(1)).as("n_rows"),
+              coalesce(sum(col("n_chunks").cast("long")), lit(0L)).as("n_chunks"))
             .write.mode("overwrite").parquet(resultsPath)
           val extracted = spark.read.parquet(resultsPath)
-          // ONE footer-level job for both accounting numbers (row count +
-          // chunk sum) — separate count()+agg() jobs were two task waves
-          // per round of pure latency
-          val extractedStats = extracted
-            .agg(count(lit(1)), coalesce(sum(col("n_chunks").cast("long")), lit(0L))).head
-          val nFetched = extractedStats.getLong(0)
-          val nChunks = extractedStats.getLong(1)
+          val exM = exObs.get
+          val nFetched = exM("n_rows").asInstanceOf[Long]
+          val nChunks = exM("n_chunks").asInstanceOf[Long]
           phase("fetch+extract")
 
           // frontier growth: outlinks → canonical keys → depth+1 (G6),
@@ -565,7 +571,6 @@ object CrawlJob {
           val newFresh = notSeenDf(newLinks, seen)
             .join(broadcast(selected.select("url_hash")), Seq("url_hash"), "left_anti")
           val (newAllowed, newDenied, newGate) = Scheduler.robotsGate(newFresh, robotsDf)
-          val nNewDenied = newDenied.count()
           phase("links")
 
           // ONE `visited` table = scheduled rows (rank set) ∪ denied rows
@@ -573,12 +578,16 @@ object CrawlJob {
           // it — one write job per round instead of three
           val deniedAll =
             if (epochDenied != null) newDenied.unionByName(epochDenied) else newDenied
+          // the denied count rides the visited WRITE as an Observation
+          // (rank is null ⇔ denied) instead of its own count() job
+          val visitObs = org.apache.spark.sql.Observation(s"visited_r$round")
           val visited = selected
             .select(lit(round).as("round"), col("host"), col("rank").cast("int").as("rank"),
               col("url"), col("url_hash"))
             .unionByName(deniedAll.select(lit(round).as("round"), col("host"),
               lit(null).cast("int").as("rank"), col("url"), col("url_hash")))
-          val nDenied = nNewDenied + nEpochDenied
+            .observe(visitObs,
+              coalesce(sum(when(col("rank").isNull, 1L).otherwise(0L)), lit(0L)).as("n_denied"))
 
           // carry′ = unselected candidates ∪ new allowed links — size is
           // ∝ the round's delta + displaced rows, NOT the total frontier.
@@ -619,21 +628,20 @@ object CrawlJob {
           val carryPath = s"${store.root}/data/v$round/carry"
           if (epochExhausted) {
             nextAssignedPath = s"${store.root}/data/v$round/assigned_next"
+            // stats ride the write job (see the epoch-assign Observation)
+            val nxObs = org.apache.spark.sql.Observation(s"assign_next_r$round")
             Scheduler.assignBatches(carryNext, limits, cfg)
+              .observe(nxObs, count(lit(1)).as("n"), max("batch_no").as("mb"))
               .write.partitionBy("batch_no").mode("overwrite").parquet(nextAssignedPath)
-            try {
-              val s = spark.read.parquet(nextAssignedPath)
-                .agg(count(lit(1)), max("batch_no")).head
-              nextTotal = s.getLong(0)
-              nextMax = if (nextTotal == 0) -1 else s.getInt(1)
-            } catch { // zero rows → no part files → schema not inferable
-              case _: org.apache.spark.sql.AnalysisException => ()
-            }
+            val nxM = nxObs.get
+            nextTotal = nxM("n").asInstanceOf[Long]
+            nextMax = if (nextTotal == 0) -1 else nxM("mb").asInstanceOf[Int]
             phase("epoch-next")
           } else {
             carryNext.write.mode("overwrite").parquet(carryPath)
           }
           scala.concurrent.Await.result(visitedF, scala.concurrent.duration.Duration.Inf)
+          val nDenied = visitObs.get("n_denied").asInstanceOf[Long]
 
           val elapsed = (System.nanoTime() - t0) / 1e9
           val (committedEpochStart, committedTotal, committedConsumed, committedMax) =
@@ -741,12 +749,39 @@ object CrawlJob {
     CacheStats(requests, hits, if (requests > 0) hits.toDouble / requests else 0.0, top5)
   }
 
+  /** One-time JVM warmup: a 200-page micro-crawl on a throwaway site,
+    * exercising every hot path of the real crawl (extract codegen, the
+    * window rank, dynamic-partition writes, Bloom, commit) so the timed
+    * run below measures the ENGINE, not first-use JIT + codegen
+    * compilation (~30 s constant regardless of core count — a pure
+    * distortion of single-run scaling cells; the multi-run median bench
+    * is warm by construction and unaffected). */
+  def warmup(spark: SparkSession): Double = {
+    val t0 = System.nanoTime()
+    val site = java.nio.file.Files.createTempDirectory("graft_warm_site").toString
+    val wd = java.nio.file.Files.createTempDirectory("graft_warm_wd").toString
+    graft.synth.SyntheticWeb.generate(spark, site, 200, 4, seed = 7L, partitions = 4)
+    // bloomThreshold 50 forces the Bloom build/filter path at 200 pages
+    run(spark, site, wd, Scheduler.Config(defaultRps = 50.0, maxDepth = 2),
+      maxRounds = 3, bloomThreshold = 50L)
+    for (d <- Seq(site, wd)) {
+      val root = java.nio.file.Paths.get(d)
+      val walk = java.nio.file.Files.walk(root)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
+    (System.nanoTime() - t0) / 1e9
+  }
+
   /** spark-submit entry: CrawlJob <siteDir> <workDir> [cpus] */
   def main(args: Array[String]): Unit = {
     val siteDir = args(0)
     val workDir = args(1)
     val cpus = if (args.length > 2) args(2).toInt else 8
     val spark = session(cpus)
+    val warmSec = warmup(spark)
+    println(f"warmup complete: sec=$warmSec%.1f (excluded from crawl timing)")
     // layered config: defaults ← spark.graft.* conf (spark-submit --conf)
     val t0 = System.nanoTime()
     val last = run(spark, siteDir, workDir, Scheduler.Config.fromSpark(spark))
