@@ -373,6 +373,27 @@ object SparkEntry {
       planted.unionByName(noise).orderBy("grp")
     }),
 
+    // d10: END-TO-END near-dedup on the real corpus — LSH candidates,
+    // exact-jaccard verify, connected-component resolution, min-id
+    // representative kept, everything else removed. Output = the
+    // removed ids; the oracle re-derives them from graph reachability
+    // over the brute-forced qualifying pair set (recursive CTE).
+    "d10_neardup_e2e" -> ((s, dir) => {
+      val docs = pq(s, dir, "documents")
+      val nearDup = docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(lit("zzz "), substring_index(col("text"), " ", -200)).as("text"))
+      val all = docs.select(col("doc_id"), col("text")).unionByName(nearDup)
+      val cand = Dedup.minhashLshPairs(all, "doc_id", "text", w = 3, m = 32, bands = 8, threshold = 0.5)
+      val pairs = Dedup.verifyJaccard(cand, all, "doc_id", "text", w = 3)
+        .filter(col("jaccard") >= 0.5).select("id_a", "id_b")
+      val kept = Dedup.nearDedup(all, "doc_id", pairs)
+      all.select(col("doc_id"))
+        .join(kept.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .select(col("doc_id").as("removed_id"))
+        .orderBy("removed_id")
+    }),
+
     // ---- A4 cache stats (cache.py:598-649: hit rate + top-5 url
     // patterns via Counter.most_common(5); tie-break count DESC,
     // pattern ASC — deterministic where Counter insertion order is not).
@@ -794,8 +815,8 @@ object SparkEntry {
     * pairs sharing at least one shingle are scored (a pair sharing none
     * has jaccard 0 and cannot reach any threshold ≥ 0.5). Entirely
     * independent of the MinHash/SimHash implementations it checks. */
-  private def pairJaccardSql(corpusCtes: String, threshold: String): String =
-    s"""WITH $corpusCtes, sh AS (
+  private def pairSetCtes(corpusCtes: String, threshold: String): String =
+    s"""$corpusCtes, sh AS (
        |  SELECT doc_id,
        |    CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
        |         ELSE list_distinct(list_transform(range(1, len(toks) - 1),
@@ -806,12 +827,32 @@ object SparkEntry {
        |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
        |          FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
-       |lens AS (SELECT doc_id, len(s) AS n FROM sh)
+       |lens AS (SELECT doc_id, len(s) AS n FROM sh),
+       |qpairs AS (
+       |  SELECT id_a, id_b,
+       |    CAST(n_inter AS DOUBLE) / (la.n + lb.n - n_inter) AS jaccard
+       |  FROM inter JOIN lens la ON la.doc_id = id_a JOIN lens lb ON lb.doc_id = id_b
+       |  WHERE CAST(n_inter AS DOUBLE) / (la.n + lb.n - n_inter) >= $threshold)""".stripMargin
+
+  private def pairJaccardSql(corpusCtes: String, threshold: String): String =
+    s"""WITH ${pairSetCtes(corpusCtes, threshold)}
        |SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
-       |  round(CAST(n_inter AS DOUBLE) / (la.n + lb.n - n_inter), 4) AS jaccard
-       |FROM inter JOIN lens la ON la.doc_id = id_a JOIN lens lb ON lb.doc_id = id_b
-       |WHERE CAST(n_inter AS DOUBLE) / (la.n + lb.n - n_inter) >= $threshold
-       |ORDER BY id_a, id_b""".stripMargin
+       |  round(jaccard, 4) AS jaccard
+       |FROM qpairs ORDER BY id_a, id_b""".stripMargin
+
+  /** The d2/d10 doc+clone corpus, as DuckDB CTEs mirroring the Spark
+    * probes' clone rule exactly (substring_index(text, ' ', -200) =
+    * last 200 single-space-split fields, 'zzz ' prefix). */
+  private val d2CorpusCtes: String =
+    """base AS (SELECT doc_id, text FROM documents),
+      |corpus AS (
+      |  SELECT doc_id, text FROM base
+      |  UNION ALL
+      |  SELECT doc_id + 1000000,
+      |    'zzz ' || CASE WHEN len(parts) <= 200 THEN text
+      |              ELSE array_to_string(parts[len(parts)-199:len(parts)], ' ') END
+      |  FROM (SELECT doc_id, text, string_split(text, ' ') AS parts
+      |        FROM base WHERE doc_id % 5 = 0))""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -995,16 +1036,27 @@ object SparkEntry {
     // corpus — every LSH recall miss or phantom pair mismatches. The
     // clone rule mirrors the probe exactly (substring_index(text,' ',
     // -200) = last 200 single-space-split fields).
-    "d2_minhash_lsh" -> pairJaccardSql(
-      """base AS (SELECT doc_id, text FROM documents),
-        |corpus AS (
-        |  SELECT doc_id, text FROM base
-        |  UNION ALL
-        |  SELECT doc_id + 1000000,
-        |    'zzz ' || CASE WHEN len(parts) <= 200 THEN text
-        |              ELSE array_to_string(parts[len(parts)-199:len(parts)], ' ') END
-        |  FROM (SELECT doc_id, text, string_split(text, ' ') AS parts
-        |        FROM base WHERE doc_id % 5 = 0))""".stripMargin, "0.5"),
+    "d2_minhash_lsh" -> pairJaccardSql(d2CorpusCtes, "0.5"),
+
+    // d10: the END-TO-END near-dup pipeline (LSH pairs → exact verify →
+    // connected components → min-id representative per cluster) on the
+    // same corpus; the oracle independently recomputes the removed set
+    // with a recursive-CTE transitive closure over the brute-forced
+    // qualifying pair set — cluster resolution is checked against graph
+    // reachability, not against the implementation's own output.
+    "d10_neardup_e2e" ->
+      s"""WITH RECURSIVE ${pairSetCtes(d2CorpusCtes, "0.5")},
+         |nodes AS (SELECT DISTINCT id FROM
+         |  (SELECT id_a AS id FROM qpairs UNION ALL SELECT id_b FROM qpairs)),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM qpairs
+         |  UNION ALL SELECT id_b, id_a FROM qpairs),
+         |reach(start, node) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT r.start, e.b FROM reach r JOIN edges e ON e.a = r.node),
+         |roots AS (SELECT start AS id, min(node) AS root FROM reach GROUP BY start)
+         |SELECT CAST(id AS BIGINT) AS removed_id FROM roots WHERE id <> root
+         |ORDER BY removed_id""".stripMargin,
 
     "d3_simhash" ->
       """WITH base AS (SELECT doc_id, text FROM documents),
