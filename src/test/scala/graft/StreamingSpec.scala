@@ -1,0 +1,143 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.nio.file.attribute.FileTime
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.ThrottleStream
+
+/** Multi-micro-batch / multi-run Structured Streaming semantics that the
+  * st1/st2 oracle probes (single AvailableNow batch over one file)
+  * cannot exercise:
+  *
+  *   - across CHECKPOINTED RESTARTS of an append-mode windowed
+  *     aggregation (file source -> parquet sink): the watermark is
+  *     restored from the commit log, a late event whose window it
+  *     already closed is dropped (no duplicate emission for that
+  *     window, ever), a late-but-in-watermark event is kept, closed
+  *     windows are emitted exactly once, and consumed files are never
+  *     re-read;
+  *   - `mapGroupsWithState` state carries ACROSS micro-batches inside
+  *     one run (ThrottleStream's consecutive-error counter keeps
+  *     counting when a host's failures span batches; batch boundaries
+  *     forced with maxFilesPerTrigger=1 + explicit modification times —
+  *     the file source processes oldest-first). */
+class StreamingSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  /** Write `df` as a single parquet file named `name` inside `dir`,
+    * stamped with `mtimeSec` so the file source's oldest-first ordering
+    * is deterministic. */
+  private def addFile(df: DataFrame, dir: String, name: String, mtimeSec: Long): Unit = {
+    val tmp = Files.createTempDirectory("graft_stream_part").toString
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = Files.list(Paths.get(tmp)).filter(_.getFileName.toString.endsWith(".parquet"))
+      .findFirst().get()
+    val dest = Paths.get(dir, name)
+    Files.copy(part, dest)
+    Files.setLastModifiedTime(dest, FileTime.fromMillis(mtimeSec * 1000))
+  }
+
+  private def ts(hhmm: String) = s"2024-01-01 $hhmm:00"
+
+  test("append windowed agg over checkpointed restarts: late drop, exactly-once emission") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_stream_wm").toString
+    val ck = Files.createTempDirectory("graft_stream_ck").toString
+    val out = Files.createTempDirectory("graft_stream_out").toString
+
+    /** One AvailableNow run of the 5-minute count with a 10-minute
+      * watermark, recovering from `ck`, appending to parquet `out`. */
+    def run(): Seq[(String, Long)] = {
+      val agg = spark.readStream.schema("ts STRING, v INT").parquet(dir)
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "5 minutes").as("win"))
+        .agg(count(lit(1)).as("n"))
+        .select(date_format(col("win.start"), "HH:mm").as("w"), col("n"))
+      val q = agg.writeStream.outputMode("append").format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.read.schema("w STRING, n LONG").parquet(out)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sorted
+    }
+
+    // run 1: window 10:00 gets 2 rows; 10:20 pushes the watermark to 10:10
+    addFile(Seq((ts("10:00"), 1), (ts("10:02"), 1), (ts("10:20"), 1)).toDF("ts", "v"),
+      dir, "f1.parquet", 1000L)
+    run()
+
+    // run 2: restored watermark 10:10 has closed window 10:00 -> the late
+    // 10:03 row MUST be dropped (a leak would later surface as a duplicate
+    // "10:00" output row with n=1); 10:16 is late-but-in-watermark -> kept
+    addFile(Seq((ts("10:03"), 1), (ts("10:16"), 1)).toDF("ts", "v"),
+      dir, "f2.parquet", 2000L)
+    val afterRun2 = run()
+    assert(afterRun2 == Seq(("10:00", 2L)),
+      s"after run 2 exactly the closed window 10:00 (n=2, late row dropped) is emitted, once; got $afterRun2")
+
+    // run 3: 10:40 advances the watermark to 10:30, closing 10:15/10:20
+    addFile(Seq((ts("10:40"), 1)).toDF("ts", "v"), dir, "f3.parquet", 3000L)
+    val afterRun3 = run()
+    assert(afterRun3 == Seq(("10:00", 2L), ("10:15", 1L), ("10:20", 1L)),
+      s"run 3 emits the two newly closed windows exactly once, keeps 10:16, " +
+        s"never re-emits or duplicates 10:00, and leaves the open 10:40 window unemitted; got $afterRun3")
+  }
+
+  test("mapGroupsWithState: consecutive-error state carries across micro-batches") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_stream_tt").toString
+    // ThrottleStream derives host="h"+user_id, failed=(event_type=="error")
+    def events(rows: Seq[(Int, String, Long, String)]): DataFrame =
+      rows.toDF("user_id", "ts", "event_id", "event_type")
+    // batch 1: h1 fails twice; h2 fails once then succeeds
+    addFile(events(Seq(
+      (1, ts("10:00"), 1L, "error"), (1, ts("10:01"), 2L, "error"),
+      (2, ts("10:00"), 3L, "error"), (2, ts("10:01"), 4L, "view"))),
+      dir, "f1.parquet", 1000L)
+    // batch 2: h1 fails AGAIN -> 3 only if batch-1 state carried; h2 fails -> 1
+    addFile(events(Seq(
+      (1, ts("10:05"), 5L, "error"), (2, ts("10:05"), 6L, "error"))),
+      dir, "f2.parquet", 2000L)
+
+    val schema = spark.read.parquet(s"$dir/f1.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+      .select(
+        concat(lit("h"), col("user_id").cast("string")).as("host"),
+        col("ts").cast("timestamp").as("ts"),
+        col("event_id"),
+        (col("event_type") === "error").as("failed"))
+      .as[ThrottleStream.FetchEvent]
+    val states = stream.groupByKey(_.host)
+      .mapGroupsWithState(
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout())(ThrottleStream.updateState)
+    val qname = "tt_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = states.writeStream.outputMode("update")
+      .format("memory").queryName(qname)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    // update-mode memory sink appends one row per (host, batch) update
+    val got = spark.table(qname)
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+    assert(got.count(_ == ("h1", 2)) == 1 && got.count(_ == ("h1", 3)) == 1,
+      s"h1 must update 2 (batch 1) then 3 (batch 2, carried state); got $got")
+    assert(got.count(_ == ("h2", 0)) == 1 && got.count(_ == ("h2", 1)) == 1,
+      s"h2 must update 0 (success reset) then 1; got $got")
+    assert(ThrottleStream.backoffSec(3) == 8.0, "throttle.py:150-160 backoff at 3 errors")
+  }
+}
