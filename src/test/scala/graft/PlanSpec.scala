@@ -129,6 +129,31 @@ class PlanSpec extends AnyFunSuite {
     assert(scan.count() > 0)
   }
 
+  test("near-dedup chain (d10): no all-pairs operator anywhere in the plan") {
+    // LSH candidate generation, jaccard verify, and the final anti-join
+    // must all stay key-joined — a CartesianProduct or nested-loop join
+    // sneaking in would be O(n^2) at corpus scale. resolveClusters'
+    // iterations run eagerly when the query is built; the remaining plan
+    // is the representative-drop anti-join over the cluster assignment.
+    val df = SparkEntry.queries("d10_neardup_e2e")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    assert(p.contains("LeftAnti"), s"representative drop must be an anti join:\n${p.take(600)}")
+
+    // the pair-producing stage on its own: bucket-join shaped, no
+    // cross product, no unbounded (unpartitioned) window
+    import spark.implicits._
+    val docs = (0L until 60L).map(i => (i, s"w${i % 7} x$i y z common tokens ${i % 5}"))
+      .toDF("doc_id", "text")
+    val pairs = graft.dedup.Dedup.minhashLshPairs(docs, "doc_id", "text",
+      w = 3, m = 32, bands = 8, threshold = 0.3)
+    val pp = pairs.queryExecution.executedPlan.toString
+    assert(!pp.contains("CartesianProduct") && !pp.contains("BroadcastNestedLoopJoin"), pp.take(800))
+    assert(!pp.matches("(?s).*Window \\[[^\\]]*\\]$.*") || pp.contains("partitionBy"),
+      "window in pair generation must be partitioned")
+  }
+
   test("q1: partial aggregation before the shuffle (map-side combine)") {
     val p = planOf("q1_agg")
     // two HashAggregate nodes around one Exchange
