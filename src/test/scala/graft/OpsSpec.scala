@@ -198,6 +198,33 @@ class OpsSpec extends AnyFunSuite {
     assert(got.forall(_.getLong(1) == 0L), "all chain members must root at min id 0")
   }
 
+  test("resolveClusters: random graphs match a driver-side union-find oracle") {
+    import spark.implicits._
+    // 12 seeded random topologies (sparse, dense, many components, big
+    // hubs) against an independent union-find — the fixed-shape tests
+    // above can't cover arbitrary component mixes
+    val rnd = new scala.util.Random(4242)
+    (1 to 12).foreach { trial =>
+      val n = 5 + rnd.nextInt(36)                 // nodes 0..n-1 (some isolated)
+      val m = rnd.nextInt(3 * n)
+      val edges = Seq.fill(m)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      // oracle: path-compressing union-find, root = min id per component
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) { val keep = math.min(ra, rb); parent(math.max(ra, rb)) = keep }
+      }
+      // output contract: one (member -> min-id root) row per node that
+      // appears in at least one non-self-loop pair
+      val inGraph = edges.filter(e => e._1 != e._2).flatMap(e => Seq(e._1, e._2)).distinct
+      val expected = inGraph.map(i => i -> find(i.toInt).toLong).toMap
+      val got = Dedup.resolveClusters(edges.toDF("id_a", "id_b")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"trial $trial (n=$n, m=$m): got $got expected $expected edges=$edges")
+    }
+  }
+
   test("resolveClusters on empty pairs is empty; nearDedup then passes all docs") {
     import spark.implicits._
     val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
