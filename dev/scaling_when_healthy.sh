@@ -1,0 +1,30 @@
+#!/bin/bash
+# Wait for a healthy host memory window, then fire one pinned scaling
+# pair. Companion to dev/memlat.sh + dev/scaling_pinned.sh: the host's
+# LLC/DRAM contention mode (see memlat.sh header) depresses pinned
+# crawl numbers ~2.5-3x and taxes the 4-core cell harder than the
+# 1-core cell, so a scaling pair measured in a degraded window
+# understates both the absolutes AND the ratio. This sentinel polls the
+# LLC chase latency and only starts the measurement once it drops below
+# the threshold (healthy ~25 ns; 60 is "mostly recovered").
+#
+# Usage: dev/scaling_when_healthy.sh [llc_threshold_ns] [max_checks]
+#   polls every 10 min; logs to /tmp/window_watch.log; pair output in
+#   /tmp/scaling_r4_healthy.log (scaling_pinned.sh JSON on the last line)
+set -e
+cd "$(dirname "$0")/.."
+THRESH=${1:-60}
+CHECKS=${2:-18}
+for i in $(seq 1 "$CHECKS"); do
+  llc=$(dev/memlat.sh | python3 -c "import json,sys; print(json.load(sys.stdin)['llc_ns'])")
+  echo "$(date -u +%H:%M:%S) llc_ns=$llc" >> /tmp/window_watch.log
+  if python3 -c "import sys; sys.exit(0 if $llc < $THRESH else 1)"; then
+    echo "$(date -u +%H:%M:%S) healthy window - starting pinned pair" >> /tmp/window_watch.log
+    RUNS=1 dev/scaling_pinned.sh > /tmp/scaling_r4_healthy.log 2>/tmp/scaling_r4_healthy.err
+    echo "$(date -u +%H:%M:%S) pair done" >> /tmp/window_watch.log
+    exit 0
+  fi
+  sleep 600
+done
+echo "$(date -u +%H:%M:%S) gave up - window never recovered" >> /tmp/window_watch.log
+exit 3
