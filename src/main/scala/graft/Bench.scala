@@ -72,15 +72,8 @@ object Bench {
     siteDir
   }
 
-  private def deleteRecursively(dir: String): Unit = {
-    val root = java.nio.file.Paths.get(dir)
-    if (java.nio.file.Files.exists(root)) {
-      val walk = java.nio.file.Files.walk(root)
-      try walk.sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => java.nio.file.Files.deleteIfExists(p))
-      finally walk.close() // the stream holds directory fds until closed
-    }
-  }
+  private def deleteRecursively(dir: String): Unit =
+    graft.util.LocalFs.deleteRecursively(dir)
 
   /** Host CPU steal (all cores, /proc/stat ticks) — this VM suffers
     * EPISODIC steal bursts from its host (measured: >1 core sustained

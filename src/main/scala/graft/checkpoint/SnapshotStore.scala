@@ -187,13 +187,7 @@ final class SnapshotStore(val root: String) {
     (0 until upToVersion).flatMap { v =>
       if (!Files.exists(manifestPath(v)) || isExpired(v)) None
       else {
-        val dataDir = Paths.get(root, "data", s"v$v")
-        if (Files.exists(dataDir)) {
-          val walk = Files.walk(dataDir)
-          try walk.sorted(java.util.Comparator.reverseOrder())
-            .forEach(p => Files.deleteIfExists(p))
-          finally walk.close() // the stream holds directory fds until closed
-        }
+        graft.util.LocalFs.deleteRecursively(Paths.get(root, "data", s"v$v"))
         Files.writeString(expiredMarker(v), "")
         Some(v)
       }

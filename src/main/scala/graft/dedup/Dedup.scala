@@ -120,7 +120,8 @@ object Dedup {
     * `checkpoint` — one flag — at the cost of a DFS write per round).
     *
     * Convergence is checked EXACTLY (is the edge set a star forest —
-    * i.e. no edge's root has an outgoing edge), not by signature
+    * i.e. out-degree ≤ 1 at every node AND no edge's root has an
+    * outgoing edge), not by signature
     * comparison, so a wrong early stop cannot occur; `maxIters` only
     * guards against a logic bug ever looping forever. */
   def resolveClusters(pairs: DataFrame, aCol: String = "id_a", bCol: String = "id_b",
@@ -152,9 +153,17 @@ object Dedup {
         .filter(col("n") =!= col("m")).distinct()
         .select(col("n").as("u"), col("m").as("v"))
     }
-    // star forest ⇔ no edge's target has an outgoing edge (exact fixpoint test)
-    def isStarForest(e: DataFrame): Boolean =
-      e.select(col("v").as("j")).join(e, col("j") === col("u")).limit(1).isEmpty
+    // star forest ⇔ every node has AT MOST ONE outgoing edge AND no
+    // edge's target has an outgoing edge. Both conditions are load-bearing:
+    // depth alone accepts {10→1, 10→2} (one doc LSH-paired with two docs
+    // that aren't paired with each other — no target is a source, yet doc
+    // 10 would land in two clusters and component {1,2,10} stay unmerged).
+    def isStarForest(e: DataFrame): Boolean = {
+      val singleParent =
+        e.groupBy("u").agg(count(lit(1)).as("deg")).filter(col("deg") > 1).limit(1).isEmpty
+      singleParent &&
+        e.select(col("v").as("j")).join(e, col("j") === col("u")).limit(1).isEmpty
+    }
 
     var iters = 0
     while (!isStarForest(edges)) {

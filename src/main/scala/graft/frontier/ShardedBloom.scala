@@ -113,12 +113,18 @@ object ShardedBloom {
     if (!fs.rename(tmp, f)) fs.delete(tmp, false) // dest unique: rename only fails on FS error
   }
 
-  /** Prune superseded files PER SHARD: keep each shard's winner plus one
-    * runner-up as a grace window for readers whose listing predates this
-    * add (a shard that received no rows for many rounds keeps its only
-    * file — pruning is by per-shard rank, never by global generation).
-    * Stale tmps (attempts that died pre-rename) below the shard's winner
-    * generation go too. */
+  /** Prune superseded files PER SHARD: keep the two newest GENERATIONS
+    * present for the shard — every attempt file of each — as a grace
+    * window for readers whose listing predates this add (a shard that
+    * received no rows for many rounds keeps its only file — pruning is by
+    * per-shard generation rank, never by global generation). Keeping whole
+    * generations rather than the top-2 (gen, attempt)-ranked FILES is
+    * load-bearing: under task retry/speculation the winning generation can
+    * have several attempt files, and a file-rank-2 cut would then delete
+    * the prior generation — the exact file an in-flight reader may have
+    * pinned. Attempt counts per generation are small (retries), so the
+    * window stays O(1) files. Stale tmps (attempts that died pre-rename)
+    * below the shard's winner generation go too. */
   private def prune(fs: FileSystem, root: Path): Unit = {
     val byShard = scala.collection.mutable.Map.empty[Int, List[(Long, String, Path)]]
     val tmps = scala.collection.mutable.ListBuffer.empty[(Int, Long, Path)]
@@ -132,9 +138,10 @@ object ShardedBloom {
     }
     val winnerGen = scala.collection.mutable.Map.empty[Int, Long]
     byShard.foreach { case (shard, files) =>
-      val ranked = files.sortBy { case (g, a, _) => (g, a) }.reverse // winner first
-      winnerGen(shard) = ranked.head._1
-      ranked.drop(2).foreach { case (_, _, p) => fs.delete(p, false) }
+      val gens = files.map(_._1).distinct.sorted.reverse // newest generation first
+      winnerGen(shard) = gens.head
+      val keep = gens.take(2).toSet
+      files.foreach { case (g, _, p) => if (!keep.contains(g)) fs.delete(p, false) }
     }
     tmps.foreach { case (shard, g, p) =>
       if (winnerGen.get(shard).exists(g < _)) fs.delete(p, false)

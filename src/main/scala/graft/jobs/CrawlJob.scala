@@ -61,6 +61,15 @@ object CrawlJob {
       round: Int, scheduled: Long, fetched: Long, missing: Long,
       robots_denied: Long, new_frontier: Long, chunks: Long, elapsedSec: Double)
 
+  /** Per-process managed-table scratch: tmpfs when the host has it,
+    * java.io.tmpdir otherwise (portability beyond Linux). */
+  private[graft] def defaultWarehouseDir: String = {
+    val base =
+      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm"))) "/dev/shm"
+      else sys.props.getOrElse("java.io.tmpdir", "/tmp")
+    s"$base/graft_warehouse_${ProcessHandle.current().pid()}"
+  }
+
   def session(cpus: Int, appName: String = "graft-crawl"): SparkSession = {
     // defaults are overridable via -Dspark.* system properties (the
     // local-mode analogue of spark-submit --conf)
@@ -76,9 +85,13 @@ object CrawlJob {
       // next-epoch partitionBy write dropped 24.6 s → 10.4 s over a
       // 10-round crawl); v2 renames task outputs at task commit
       dflt("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2"),
-      // managed tables (the bucketed pages layout) live on the fast
-      // local scratch volume, never under the process cwd
-      dflt("spark.sql.warehouse.dir", "/dev/shm/graft_warehouse"))
+      // managed tables (the bucketed pages layout) live on a fast local
+      // scratch volume, never under the process cwd — and PER PROCESS:
+      // a fixed shared path lets two concurrent graft JVMs clobber each
+      // other's table directories mid-scan (createBucketedTable rm-rf's
+      // <warehouse>/<table>). Overridable for an intentionally shared
+      // (e.g. pre-built cluster) warehouse.
+      dflt("spark.sql.warehouse.dir", defaultWarehouseDir))
       .foldLeft(SparkSession.builder()
         .master(s"local[$cpus]")
         .appName(appName)) { case (b, (k, v)) => b.config(k, v) }
@@ -764,13 +777,7 @@ object CrawlJob {
     // bloomThreshold 50 forces the Bloom build/filter path at 200 pages
     run(spark, site, wd, Scheduler.Config(defaultRps = 50.0, maxDepth = 2),
       maxRounds = 3, bloomThreshold = 50L)
-    for (d <- Seq(site, wd)) {
-      val root = java.nio.file.Paths.get(d)
-      val walk = java.nio.file.Files.walk(root)
-      try walk.sorted(java.util.Comparator.reverseOrder())
-        .forEach(p => java.nio.file.Files.deleteIfExists(p))
-      finally walk.close()
-    }
+    Seq(site, wd).foreach(graft.util.LocalFs.deleteRecursively)
     (System.nanoTime() - t0) / 1e9
   }
 

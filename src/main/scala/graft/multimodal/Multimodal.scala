@@ -139,17 +139,22 @@ object Multimodal {
     }
     def readInt(): Int = {
       skipSpaceAndComments()
-      var v = 0
+      var v = 0L
       var any = false
       while (p < bytes.length && bytes(p) >= '0' && bytes(p) <= '9') {
         v = v * 10 + (bytes(p) - '0'); p += 1; any = true
+        require(v <= Int.MaxValue, s"PPM header field overflows Int near offset $p")
       }
       require(any, s"malformed PPM header near offset $p")
-      v
+      v.toInt
     }
     val w = readInt(); val h = readInt(); val mv = readInt()
     p += 1 // exactly one whitespace byte separates maxval from payload
-    require(bytes.length >= p + w * h * 3, "truncated PPM payload")
+    // Long arithmetic: w*h*3 in Int overflows for hostile headers (e.g.
+    // "P6 50000 50000 255"), turning the truncation check into a no-op
+    // and "decoding" an empty payload as a success.
+    require(w > 0 && h > 0 && mv > 0 && mv <= 65535, s"implausible PPM header ${w}x$h maxval=$mv")
+    require(bytes.length.toLong >= p.toLong + w.toLong * h.toLong * 3L, "truncated PPM payload")
     PpmHeader(w, h, mv, p)
   }
 

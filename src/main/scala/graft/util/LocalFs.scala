@@ -1,0 +1,23 @@
+package graft.util
+
+import java.nio.file.{Files, Path, Paths}
+
+/** Local-filesystem helpers for driver-side scratch management (bench
+  * fixtures, warmup sites, expired snapshot data). Distributed-store IO
+  * goes through the Hadoop FileSystem API elsewhere — these are only for
+  * paths known to be local to the driver JVM. */
+object LocalFs {
+
+  /** Recursive delete; safe on a missing path. The walk stream must be
+    * closed or it holds directory file descriptors until GC — material
+    * in per-round cleanup loops of a long crawl. */
+  def deleteRecursively(dir: String): Unit = deleteRecursively(Paths.get(dir))
+
+  def deleteRecursively(root: Path): Unit =
+    if (Files.exists(root)) {
+      val walk = Files.walk(root)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p))
+      finally walk.close()
+    }
+}

@@ -189,6 +189,28 @@ class OpsSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L), s"got $got")
   }
 
+  test("resolveClusters: fan shape (one doc paired with two mutually-unpaired docs)") {
+    import spark.implicits._
+    // Regression: canonical edges {10→1, 10→2} pass a depth-only star-forest
+    // test (no target is a source) yet node 10 has out-degree 2 — the loop
+    // must still iterate and merge {1,2,10} under root 1. This is the
+    // ubiquitous LSH output shape: one doc similar to two docs that never
+    // shared a bucket with each other.
+    val fan = Seq((10L, 1L), (10L, 2L)).toDF("id_a", "id_b")
+    val got = Dedup.resolveClusters(fan).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 10L -> 1L), s"got $got")
+    assert(Dedup.resolveClusters(fan).count() == 3,
+      "exactly one row per doc (no doc may be assigned to two clusters)")
+    // two independent fans + a bridge doc fanning into both
+    val fans = Seq((10L, 1L), (10L, 2L), (20L, 11L), (20L, 12L), (30L, 2L), (30L, 11L))
+      .toDF("id_a", "id_b")
+    val got2 = Dedup.resolveClusters(fans).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 == Map(1L -> 1L, 2L -> 1L, 10L -> 1L, 11L -> 1L, 12L -> 1L,
+      20L -> 1L, 30L -> 1L), s"got $got2")
+  }
+
   test("resolveClusters: a 1000-node path converges in O(log diameter) rounds") {
     import spark.implicits._
     // worst-case diameter for the iteration count; far below maxIters=32
@@ -327,6 +349,14 @@ class OpsSpec extends AnyFunSuite {
     assert(f(2) == payload.sum.toFloat && f(3) == payload.max.toFloat)
     // truncated payload must fail loudly, not mis-read
     intercept[IllegalArgumentException](imageFeatures(bytes.dropRight(1)))
+    // hostile header whose w*h*3 overflows Int must be REJECTED, not
+    // "decoded" as an empty payload with plausible-looking features
+    val hostile = "P6 50000 50000 255 ".getBytes("US-ASCII") ++ Array.fill(16)(0.toByte)
+    intercept[IllegalArgumentException](imageFeatures(hostile))
+    intercept[IllegalArgumentException](
+      imageFeatures("P6 0 5 255 ".getBytes("US-ASCII") ++ Array.fill(16)(0.toByte)))
+    intercept[IllegalArgumentException](
+      imageFeatures("P6 99999999999999999999 5 255 ".getBytes("US-ASCII")))
   }
 
   test("multimodal: WAV decode walks chunks (extra chunk before data)") {

@@ -94,6 +94,37 @@ class ShardedBloomSpec extends AnyFunSuite {
       "stale zombie publish caused Bloom false negatives")
   }
 
+  test("prune keeps the whole previous GENERATION when the winner gen has retry attempts") {
+    // Regression: a file-rank-2 prune (top 2 by (gen, attempt)) deletes the
+    // prior-generation file whenever the winning generation carries more
+    // than one task attempt — exactly the file an in-flight reader whose
+    // listing predates the retry may have pinned. Pruning must keep the two
+    // newest GENERATIONS, all attempts of each.
+    val sh = freshShards(2)
+    import spark.implicits._
+    ShardedBloom.add((0L until 50L).map(i => (i, s"u$i")).toDF("url_hash", "url"), sh) // gen 0
+    ShardedBloom.add((50L until 100L).map(i => (i, s"u$i")).toDF("url_hash", "url"), sh) // gen 1
+    val dir = java.nio.file.Paths.get(sh.dir)
+    def files() = java.nio.file.Files.list(dir).toArray.map(_.toString.split("/").last)
+      .filter(_.endsWith(".bloom")).sorted
+    val gen1Originals = files().filter(_.contains(".g000000000001."))
+    assert(gen1Originals.nonEmpty)
+    // simulate a speculative/retried attempt of gen 1: identical bits, later attempt tag
+    gen1Originals.foreach { f =>
+      val retry = f.replaceAll("""\.g(\d{12})\.[^.]+\.bloom""", ".g$1.zzretry.bloom")
+      java.nio.file.Files.copy(dir.resolve(f), dir.resolve(retry))
+    }
+    ShardedBloom.add((100L until 150L).map(i => (i, s"u$i")).toDF("url_hash", "url"), sh) // gen 2 + prune
+    val after = files()
+    gen1Originals.foreach { f =>
+      assert(after.contains(f),
+        s"prune deleted prior-generation file $f an in-flight reader may have pinned: ${after.toSeq}")
+    }
+    assert(!after.exists(_.contains(".g000000000000.")), "generations older than 2 must be pruned")
+    val all = (0L until 150L).map(i => (i, s"u$i")).toDF("url_hash", "url")
+    assert(ShardedBloom.notSeen(all, all, sh).count() == 0)
+  }
+
   test("superseded generations are pruned per shard (winner + one grace file kept)") {
     val sh = freshShards(4)
     import spark.implicits._
