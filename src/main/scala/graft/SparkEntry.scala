@@ -394,6 +394,27 @@ object SparkEntry {
         .orderBy("removed_id")
     }),
 
+    // ---- d11: PARAGRAPH-level exact dedup (CCNet-style boilerplate
+    // removal — repeated nav/footer paragraphs survive doc-level dedup
+    // because the body differs). Corpus: each doc body wrapped with
+    // boilerplate paragraphs planted by doc_id rule, so DuckDB can
+    // rebuild the identical corpus and re-derive first-occurrence-wins
+    // reassembly generically (window + string_agg) — fully independent.
+    "d11_paragraph_dedup" -> ((s, dir) => {
+      val corpus = pq(s, dir, "documents").select(col("doc_id"),
+        concat(
+          when(col("doc_id") % 3 === 0,
+            lit("subscribe to our newsletter for updates today\n\n")).otherwise(lit("")),
+          col("text"),
+          lit("\n\ncopyright 2024 example com all rights reserved"),
+          when(col("doc_id") % 5 === 0,
+            lit("\n\nfollow us on social media for more")).otherwise(lit(""))
+        ).as("text"))
+      Dedup.paragraphDedup(corpus, "doc_id", "text")
+        .select(col("doc_id"), col("n_paras"), col("n_kept"), col("text_dedup"))
+        .orderBy("doc_id")
+    }),
+
     // ---- A4 cache stats (cache.py:598-649: hit rate + top-5 url
     // patterns via Counter.most_common(5); tie-break count DESC,
     // pattern ASC — deterministic where Counter insertion order is not).
@@ -490,6 +511,15 @@ object SparkEntry {
           .cast("int").as("ws_stable"))
       fps.select(col("doc_id"), col("ws_stable"))
         .crossJoin(fps.agg(count_distinct(col("fp")).as("n_distinct")))
+        .orderBy("doc_id")
+    }),
+
+    // ---- t6: Gopher-style repetition signals (dup-word/bigram fraction,
+    // top-word/bigram share) — the standard repetitious-document quality
+    // gates for training data. DuckDB recomputes all four fractions from
+    // the raw text independently.
+    "t6_repetition" -> ((s, dir) => {
+      TextOps.repetitionSignals(pq(s, dir, "documents"), "doc_id", "text")
         .orderBy("doc_id")
     }),
 
@@ -1058,6 +1088,36 @@ object SparkEntry {
          |SELECT CAST(id AS BIGINT) AS removed_id FROM roots WHERE id <> root
          |ORDER BY removed_id""".stripMargin,
 
+    // d11: DuckDB rebuilds the identical boilerplate-wrapped corpus, then
+    // re-derives first-occurrence-wins paragraph dedup GENERICALLY
+    // (split → position-ordered window by paragraph → string_agg of
+    // survivors) — the algorithm is recomputed, nothing pinned.
+    "d11_paragraph_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 3 = 0
+        |       THEN 'subscribe to our newsletter for updates today' || chr(10) || chr(10)
+        |       ELSE '' END)
+        |    || text || chr(10) || chr(10) || 'copyright 2024 example com all rights reserved'
+        |    || (CASE WHEN doc_id % 5 = 0
+        |       THEN chr(10) || chr(10) || 'follow us on social media for more'
+        |       ELSE '' END) AS t
+        |  FROM documents),
+        |paras AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(t, chr(10) || chr(10))) AS para,
+        |    generate_subscripts(string_split(t, chr(10) || chr(10)), 1) AS pos
+        |  FROM corpus),
+        |firsts AS (
+        |  SELECT doc_id, pos, para,
+        |    row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+        |  FROM paras)
+        |SELECT doc_id, count(*) AS n_paras,
+        |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  coalesce(string_agg(CASE WHEN rn = 1 THEN para END,
+        |                      chr(10) || chr(10) ORDER BY pos), '') AS text_dedup
+        |FROM firsts GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "d3_simhash" ->
       """WITH base AS (SELECT doc_id, text FROM documents),
         |corpus AS (SELECT doc_id, text FROM base
@@ -1178,6 +1238,37 @@ object SparkEntry {
         |     FROM documents WHERE doc_id < 20) AS n_distinct
         |FROM documents WHERE doc_id < 20 ORDER BY doc_id
         |""".stripMargin.trim,
+
+    // t6: all four repetition fractions recomputed from the raw text —
+    // unigrams via regexp_split, bigrams via the pos/pos+1 self-join.
+    "t6_repetition" ->
+      """WITH words AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS w,
+        |    generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1) AS pos
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |uni AS (SELECT doc_id, w, count(*) AS c FROM words GROUP BY doc_id, w),
+        |uni_sig AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+        |    count(*) AS n_distinct_words, max(c) AS top_word_count
+        |  FROM uni GROUP BY doc_id),
+        |bigrams AS (
+        |  SELECT a.doc_id, a.w || ' ' || b.w AS bg
+        |  FROM words a JOIN words b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+        |bg AS (SELECT doc_id, bg, count(*) AS c FROM bigrams GROUP BY doc_id, bg),
+        |bg_sig AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+        |    count(*) AS n_distinct_bigrams, max(c) AS top_bigram_count
+        |  FROM bg GROUP BY doc_id)
+        |SELECT u.doc_id, u.n_words,
+        |  round(1.0 - CAST(u.n_distinct_words AS DOUBLE) / u.n_words, 4) AS dup_word_frac,
+        |  round(CAST(u.top_word_count AS DOUBLE) / u.n_words, 4) AS top_word_frac,
+        |  coalesce(round(1.0 - CAST(b.n_distinct_bigrams AS DOUBLE) / b.n_bigrams, 4), 0.0)
+        |    AS dup_bigram_frac,
+        |  coalesce(round(CAST(b.top_bigram_count AS DOUBLE) / b.n_bigrams, 4), 0.0)
+        |    AS top_bigram_frac
+        |FROM uni_sig u LEFT JOIN bg_sig b USING (doc_id)
+        |ORDER BY u.doc_id""".stripMargin,
 
     "c6_chunk_text_variants" ->
       // Independent: the probe builds its own corpus (doc i = 10+7i

@@ -33,6 +33,60 @@ object Dedup {
     df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
   }
 
+  // --- paragraph-level exact dedup (CCNet-style boilerplate removal) ---
+
+  /** Remove GLOBALLY duplicated paragraphs, keeping only the first
+    * occurrence (first = min (doc_id, position) — deterministic at any
+    * parallelism), and reassemble each document from its surviving
+    * paragraphs in original order. This is the standard training-data
+    * boilerplate-removal pass (CCNet splits on double-newline and drops
+    * repeated paragraphs corpus-wide): nav bars, cookie banners, and
+    * footers repeat across a crawl and survive DOC-level dedup because
+    * the body differs.
+    *
+    * Output: one row per input doc —
+    * (idCol, n_paras, n_kept, text_dedup) — `text_dedup` is "" when
+    * every paragraph of the doc occurred earlier elsewhere.
+    *
+    * Scale shape (the naive shapes both break at 10^10 docs):
+    *   - NOT a window over the paragraph text: a corpus-wide footer puts
+    *     10^10 rows in ONE window partition — an unsortable hot key.
+    *     First-occurrence is instead `min(struct(doc_id, pos))` per
+    *     paragraph: a partial aggregate, so the hot footer collapses
+    *     map-side and the shuffle carries one winner row per DISTINCT
+    *     paragraph.
+    *   - No join back either: the winner row already carries everything
+    *     the output needs (paragraph text + its one surviving
+    *     coordinate), so survivors regroup directly by winner doc_id.
+    *   - Reassembly's collect_list is bounded by the doc's own paragraph
+    *     count (inherent to the semantics).
+    * Cost: two shuffles (distinct-paragraph winners; per-doc regroup),
+    * both keyed uniformly. Measured plan note: `min(struct)` is not
+    * hash-aggregable, so the winner agg compiles to a PARTIAL
+    * SortAggregate → Exchange → final SortAggregate — the map-side
+    * combine still collapses hot paragraphs before the shuffle, and the
+    * per-partition sort spills instead of OOMing. */
+  def paragraphDedup(df: DataFrame, idCol: String, textCol: String,
+                     sep: String = "\n\n"): DataFrame = {
+    val paras = df.select(col(idCol),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep))).as(Seq("pos", "para")))
+    val nParas = paras.groupBy(col(idCol)).agg(count(lit(1)).as("n_paras"))
+    val winners = paras
+      .groupBy(col("para"))
+      .agg(min(struct(col(idCol).as("doc"), col("pos"))).as("w"))
+    val rebuilt = winners
+      .groupBy(col("w.doc").as(idCol))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("w.pos").as("pos"), col("para")))),
+            x => x.getField("para")),
+          sep).as("text_dedup"))
+    nParas.join(rebuilt, Seq(idCol), "left")
+      .withColumn("n_kept", coalesce(col("n_kept"), lit(0L)))
+      .withColumn("text_dedup", coalesce(col("text_dedup"), lit("")))
+  }
+
   // --- bucket → candidate pairs (shared by all three LSH variants) ---
 
   private val pairTagSeq = new java.util.concurrent.atomic.AtomicLong(0)

@@ -76,6 +76,47 @@ object TextOps {
       .drop(LangMarkers.map { case (l, _) => s"_hits_$l" } :+ "_best": _*)
   }
 
+  /** Gopher-style repetition signals per document: the fraction of
+    * repeated words/bigrams and the share of the single most frequent
+    * word/bigram — the standard "repetitious document" quality gates for
+    * training data (machine-generated spam has high dup fractions; a
+    * page that is 40% one bigram is a keyword stuffer).
+    *
+    * Output: (idCol, n_words, dup_word_frac, top_word_frac,
+    * dup_bigram_frac, top_bigram_frac); empty/whitespace-only docs are
+    * dropped, single-word docs get 0.0 bigram signals.
+    *
+    * Scale shape: explode → two groupBy chains keyed by (doc, token) —
+    * every aggregate is map-side combinable and no key can exceed the
+    * owning document's token count, so there is no corpus-level hot key;
+    * nothing is windowed or collected. */
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = df.filter(length(trim(col(textCol))) > 0)
+    val warr = split(trim(col(textCol)), "\\s+")
+    val bgArr = when(size(warr) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(warr) - 2),
+        i => concat_ws(" ", slice(warr, i + 1, lit(2)))))
+
+    def sig(tokens: Column, total: String, distinct: String, top: String): DataFrame =
+      base.select(col(idCol), explode(tokens).as("_tok"))
+        .groupBy(col(idCol), col("_tok")).agg(count(lit(1)).as("_c"))
+        .groupBy(col(idCol)).agg(
+          sum(col("_c")).cast("long").as(total),
+          count(lit(1)).as(distinct),
+          max(col("_c")).as(top))
+
+    val uni = sig(warr, "n_words", "_nd_w", "_top_w")
+    val bg = sig(bgArr, "_n_bg", "_nd_bg", "_top_bg")
+    uni.join(bg, Seq(idCol), "left")
+      .select(col(idCol), col("n_words"),
+        round(lit(1.0) - col("_nd_w").cast("double") / col("n_words"), 4).as("dup_word_frac"),
+        round(col("_top_w").cast("double") / col("n_words"), 4).as("top_word_frac"),
+        coalesce(round(lit(1.0) - col("_nd_bg").cast("double") / col("_n_bg"), 4), lit(0.0))
+          .as("dup_bigram_frac"),
+        coalesce(round(col("_top_bg").cast("double") / col("_n_bg"), 4), lit(0.0))
+          .as("top_bigram_frac"))
+  }
+
   /** 64-bit polynomial rolling hash of the WHITESPACE-NORMALIZED text —
     * a content fingerprint stable under formatting noise (the engine's
     * analogue of the reference's blake2b cache key, cache.py:176-178).

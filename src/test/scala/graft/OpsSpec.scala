@@ -324,6 +324,63 @@ class OpsSpec extends AnyFunSuite {
     assert(empty.isEmpty)
   }
 
+  test("paragraphDedup: first occurrence wins globally, order preserved, fully-dup docs go empty") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "intro\n\nbody zero\n\nfooter"),
+      (1L, "body one\n\nfooter"),
+      (2L, "intro\n\nfooter"), // every paragraph first seen in doc 0
+      (3L, "footer\n\nbody three\n\nintro") // only the middle survives
+    ).toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(docs, "doc_id", "text").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    assert(out == Seq(
+      (0L, 3L, 3L, "intro\n\nbody zero\n\nfooter"),
+      (1L, 2L, 1L, "body one"),
+      (2L, 2L, 0L, ""),
+      (3L, 3L, 1L, "body three")))
+  }
+
+  test("paragraphDedup matches a sequential first-occurrence oracle on a randomized corpus") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val pool = (0 until 12).map(i => s"para$i content ${i * i}")
+    val docs = (0L until 30L).map { i =>
+      val k = 1 + rnd.nextInt(5)
+      (i, Seq.fill(k)(pool(rnd.nextInt(pool.size))).mkString("\n\n"))
+    }
+    val seen = scala.collection.mutable.Set[String]()
+    val expected = docs.map { case (id, t) =>
+      val ps = t.split("\n\n", -1)
+      val kept = ps.filter(seen.add) // in-doc repeats drop too
+      (id, ps.length.toLong, kept.length.toLong, kept.mkString("\n\n"))
+    }
+    val out = Dedup.paragraphDedup(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    assert(out == expected)
+  }
+
+  test("repetition signals: known fractions; single-word doc gets zero bigram signals") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a a a b"), // dup 1-2/4; top 3/4; bigrams {a a, a a, a b}
+      (1L, "x y z"),
+      (2L, "solo"),
+      (3L, "   ") // whitespace-only: dropped
+    ).toDF("doc_id", "text")
+    val out = TextOps.repetitionSignals(docs, "doc_id", "text").orderBy("doc_id").collect()
+    assert(out.length == 3)
+    val r0 = out(0)
+    assert(r0.getLong(1) == 4 && r0.getDouble(2) == 0.5 && r0.getDouble(3) == 0.75)
+    assert(r0.getDouble(4) == 0.3333 && r0.getDouble(5) == 0.6667)
+    val r1 = out(1)
+    assert(r1.getLong(1) == 3 && r1.getDouble(2) == 0.0 && r1.getDouble(3) == 0.3333
+      && r1.getDouble(4) == 0.0 && r1.getDouble(5) == 0.5)
+    val r2 = out(2)
+    assert(r2.getLong(1) == 1 && r2.getDouble(4) == 0.0 && r2.getDouble(5) == 0.0)
+  }
+
   test("multimodal: batch feature extraction is deterministic and typed") {
     val media = graft.multimodal.Multimodal.synthMedia(spark, 90, 4)
     val feats = graft.multimodal.Multimodal.extractFeatures(media)
