@@ -180,6 +180,9 @@ object Multimodal {
     var dataOff = -1; var dataLen = -1
     while (p + 8 <= bytes.length && (dataOff < 0 || sampleRate < 0)) {
       val id = fourcc(p); val len = bb.getInt(p + 4)
+      // a hostile/corrupt negative length would step p BACKWARDS and spin
+      // this walk forever — an executor hang, strictly worse than a crash
+      require(len >= 0, s"negative RIFF chunk length $len at offset $p")
       id match {
         case "fmt " =>
           require(bb.getShort(p + 8) == 1, "not PCM")
@@ -193,6 +196,7 @@ object Multimodal {
     }
     require(sampleRate > 0 && dataOff >= 0, "missing fmt/data chunk")
     require(bits == 16 && channels == 1, s"unsupported PCM layout ${bits}bit x$channels")
+    require(dataOff.toLong + dataLen <= bytes.length, "truncated WAV data chunk")
     val n = dataLen / 2
     var sumAbs = 0L; var maxAbs = 0; var k = 0
     while (k < n) {
@@ -211,9 +215,12 @@ object Multimodal {
     require(bytes.length > 5 && new String(bytes, 0, 5, "US-ASCII") == "GVID ",
       "not a GVID container")
     var p = 5
-    var nf = 0
-    while (bytes(p) >= '0' && bytes(p) <= '9') { nf = nf * 10 + (bytes(p) - '0'); p += 1 }
-    require(bytes(p) == '\n', "malformed GVID header"); p += 1
+    var nf = 0L
+    while (p < bytes.length && bytes(p) >= '0' && bytes(p) <= '9') {
+      nf = nf * 10 + (bytes(p) - '0'); p += 1
+      require(nf <= Int.MaxValue, "GVID frame count overflows Int") // silent wrap → negative nf → empty "success"
+    }
+    require(p < bytes.length && bytes(p) == '\n', "malformed GVID header"); p += 1
     var sum = 0L; var mx = 0; var sampled = 0
     var f = 0
     while (f < nf) {
@@ -252,6 +259,28 @@ object Multimodal {
       // per-partition setup happens HERE once (pure-JVM decoders need none)
       rows.map { r =>
         MediaFeatures(r.media_id, r.modality, r.bytes.length, sniffAndDecode(r.bytes))
+      }
+    }
+  }
+
+  final case class MediaFeaturesOrError(media_id: Long, modality: String, n_bytes: Int,
+                                        features: Array[Float], error: String)
+
+  /** Fault-tolerant variant of [[extractFeatures]] for UNTRUSTED blobs
+    * (a real crawl decodes corrupt media constantly): a blob that fails
+    * to decode yields a null-features row carrying the error message
+    * instead of throwing — one bad byte must quarantine one ROW, not
+    * kill a 100 TB job. Callers split on `error IS NULL`; the error rows
+    * are the quarantine table. */
+  def extractFeaturesSafe(media: Dataset[MediaRow]): Dataset[MediaFeaturesOrError] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        try MediaFeaturesOrError(r.media_id, r.modality, r.bytes.length, sniffAndDecode(r.bytes), null)
+        catch { case scala.util.control.NonFatal(e) =>
+          MediaFeaturesOrError(r.media_id, r.modality, r.bytes.length, null,
+            s"${e.getClass.getSimpleName}: ${e.getMessage}")
+        }
       }
     }
   }

@@ -456,6 +456,37 @@ class OpsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](sniffAndDecode("nope".getBytes))
   }
 
+  test("multimodal: hostile inputs fail fast (no hangs, no silent empty successes)") {
+    import graft.multimodal.Multimodal._
+    // negative RIFF chunk length would step the chunk walk BACKWARDS and
+    // spin forever without the guard
+    val evilWav = encodeWav(8000, Array.tabulate(16)(_.toShort))
+    val bb = java.nio.ByteBuffer.wrap(evilWav).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(16, -8) // fmt chunk length := -8
+    intercept[IllegalArgumentException](audioFeatures(evilWav))
+    // WAV data chunk claiming more samples than the blob carries
+    val shortWav = encodeWav(8000, Array.tabulate(16)(_.toShort))
+    java.nio.ByteBuffer.wrap(shortWav).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(40, 9999) // data length field
+    intercept[IllegalArgumentException](audioFeatures(shortWav))
+    // GVID frame count overflowing Int must error, not wrap negative and
+    // "succeed" with zero frames
+    val evilGvid = "GVID 99999999999\n".getBytes("US-ASCII")
+    intercept[IllegalArgumentException](videoFeatures(evilGvid))
+  }
+
+  test("multimodal: extractFeaturesSafe quarantines corrupt blobs as error rows") {
+    import spark.implicits._
+    val good = graft.multimodal.Multimodal.synthOne(0)
+    val bad = good.copy(media_id = 999L, bytes = "garbage-bytes".getBytes("US-ASCII"))
+    val ds = spark.createDataset(Seq(good, bad))
+    val out = graft.multimodal.Multimodal.extractFeaturesSafe(ds)
+      .collect().sortBy(_.media_id)
+    assert(out(0).error == null && out(0).features != null && out(0).features(0) == 32f)
+    assert(out(1).features == null && out(1).error != null
+      && out(1).error.contains("unknown media container"))
+  }
+
   test("fingerprint is whitespace-normalization stable") {
     import spark.implicits._
     val df = Seq((1, "hello   world\n\tfoo"), (2, "hello world foo")).toDF("id", "text")
