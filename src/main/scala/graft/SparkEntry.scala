@@ -415,6 +415,65 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- d12: benchmark DECONTAMINATION (13-gram overlap vs an eval
+    // set — the GPT-3 appendix-C / Pile procedure). The eval set is
+    // derived from the corpus itself (every 17th doc's words 11..31),
+    // so DuckDB can rebuild it and brute-force the gram join on the raw
+    // strings — fully independent of the hashed semi-join under test.
+    "d12_decontaminate" -> ((s, dir) => {
+      val docs = pq(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") % 17 === 3)
+        .select(array_join(slice(split(lower(trim(col("text"))), "\\s+"), 11, 21), " ")
+          .as("bench_text"))
+      Dedup.contaminatedIds(docs, "doc_id", "text", bench, "bench_text", n = 13)
+        .orderBy("doc_id")
+    }),
+
+    // ---- d13: duplicated-WINDOW fraction (the exact-substring dup
+    // signal of Lee et al. — span-level duplication that survives doc-
+    // and paragraph-level dedup). Corpus + planted tail clones: a
+    // clone's last 100 words duplicate windows inside its source doc
+    // while both stay distinct at doc level. DuckDB recomputes every
+    // window count from the raw strings. ----
+    "d13_dup_windows" -> ((s, dir) => {
+      val docs = pq(s, dir, "documents").select(col("doc_id"), col("text"))
+      val clones = docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(lit("qqq "), substring_index(col("text"), " ", -100)).as("text"))
+      Dedup.duplicatedWindowStats(docs.unionByName(clones), "doc_id", "text", n = 8)
+        .orderBy("doc_id")
+    }),
+
+    // ---- f8: deterministic stratified sampling (md5-prefix gate —
+    // cluster-size-independent membership; Spark's own sample/sampleBy
+    // are partition-seeded and change membership under repartition).
+    // DuckDB recomputes the gate PER ROW — an exact membership check,
+    // not a rate check. ----
+    "f8_stratified_sample" -> ((s, dir) => {
+      graft.sample.Sampling.stratifiedSample(pq(s, dir, "documents"),
+          col("doc_id"), col("lang"),
+          Map("en" -> 0.5, "de" -> 0.25, "fr" -> 1.0), defaultRate = 0.1, salt = "s42")
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- l1: link-graph PageRank (the frontier-priority signal a
+    // production crawl ranks by; feeds F3/W1). Edge set derived from
+    // doc ids alone (functional graph + a planted hub at node 0), so
+    // DuckDB re-derives the graph and recomputes three damped power
+    // iterations as unrolled CTEs — the oracle checks rank VALUES, not
+    // just shape. ----
+    "l1_pagerank" -> ((s, dir) => {
+      val docs = pq(s, dir, "documents")
+      val spread = docs.select((col("doc_id") % 53).as("src"),
+        ((col("doc_id") % 53 + expr("doc_id DIV 53") % 11 + 1) % 53).as("dst"))
+      val hub = docs.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") % 53).as("src"), lit(0L).as("dst"))
+      graft.graph.LinkGraph.pagerank(spread.unionByName(hub), "src", "dst", iters = 3)
+        .select(col("node").cast("long").as("node"), round(col("rank"), 6).as("rank"))
+        .orderBy("node")
+    }),
+
     // ---- A4 cache stats (cache.py:598-649: hit rate + top-5 url
     // patterns via Counter.most_common(5); tie-break count DESC,
     // pattern ASC — deterministic where Counter insertion order is not).
@@ -884,6 +943,18 @@ object SparkEntry {
       |  FROM (SELECT doc_id, text, string_split(text, ' ') AS parts
       |        FROM base WHERE doc_id % 5 = 0))""".stripMargin
 
+  /** Unrolled damped power-iteration CTEs for the l1 PageRank oracle:
+    * c_i = per-node inflow under ranks r_{i-1}, r_i = (1-d) + d·inflow.
+    * Constants match LinkGraph.pagerank's damping = 0.85. */
+  private def pagerankIterCtes(iters: Int): String =
+    (1 to iters).map { i =>
+      s"""c$i AS (SELECT e.dst AS node, sum(r.rank / od.deg) AS inflow
+         |  FROM e JOIN od ON od.src = e.src JOIN r${i - 1} r ON r.node = e.src GROUP BY 1),
+         |r$i AS (SELECT n.node,
+         |    CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE) * coalesce(c$i.inflow, 0) AS rank
+         |  FROM nodes n LEFT JOIN c$i ON c$i.node = n.node)""".stripMargin
+    }.mkString(",\n")
+
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -1117,6 +1188,81 @@ object SparkEntry {
         |  coalesce(string_agg(CASE WHEN rn = 1 THEN para END,
         |                      chr(10) || chr(10) ORDER BY pos), '') AS text_dedup
         |FROM firsts GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // d12: DuckDB rebuilds the eval set (words 11..31 of every 17th
+    // doc), brute-forces 13-grams as raw STRINGS on both sides, and
+    // joins — independent of the hashed semi-join it checks.
+    "d12_decontaminate" ->
+      """WITH dw AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> '') AS w
+        |  FROM documents),
+        |bseq AS (SELECT w[11:31] AS bw FROM dw WHERE doc_id % 17 = 3),
+        |bidx AS (SELECT bw, unnest(range(1, len(bw) - 11)) AS i FROM bseq WHERE len(bw) >= 13),
+        |bgrams AS (SELECT DISTINCT array_to_string(bw[i:i+12], ' ') AS gram FROM bidx),
+        |didx AS (SELECT doc_id, w, unnest(range(1, len(w) - 11)) AS i FROM dw WHERE len(w) >= 13),
+        |dgrams AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+12], ' ') AS gram FROM didx)
+        |SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id
+        |FROM dgrams JOIN bgrams USING (gram) ORDER BY doc_id""".stripMargin,
+
+    // d13: DuckDB rebuilds the clone corpus (same last-100-words rule
+    // as d2's last-200) and recomputes per-(doc, 8-gram) counts and
+    // corpus totals on raw strings — every window count independently
+    // re-derived.
+    "d13_dup_windows" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    'qqq ' || CASE WHEN len(parts) <= 100 THEN text
+        |              ELSE array_to_string(parts[len(parts)-99:len(parts)], ' ') END
+        |  FROM (SELECT doc_id, text, string_split(text, ' ') AS parts
+        |        FROM documents WHERE doc_id % 5 = 0)),
+        |dw AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> '') AS w
+        |  FROM corpus),
+        |idx AS (SELECT doc_id, w, unnest(range(1, len(w) - 6)) AS i FROM dw WHERE len(w) >= 8),
+        |grams AS (SELECT doc_id, array_to_string(w[i:i+7], ' ') AS gram FROM idx),
+        |pg AS (SELECT doc_id, gram, count(*) AS c FROM grams GROUP BY 1, 2),
+        |tg AS (SELECT gram, sum(c) AS tot FROM pg GROUP BY 1),
+        |st AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_windows,
+        |         CAST(sum(CASE WHEN tot > 1 THEN c ELSE 0 END) AS BIGINT) AS n_dup_windows
+        |       FROM pg JOIN tg USING (gram) GROUP BY doc_id)
+        |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+        |  coalesce(st.n_windows, 0) AS n_windows,
+        |  coalesce(st.n_dup_windows, 0) AS n_dup_windows,
+        |  CASE WHEN coalesce(st.n_windows, 0) > 0
+        |       THEN round(CAST(st.n_dup_windows AS DOUBLE) / st.n_windows, 4)
+        |       ELSE CAST(0.0 AS DOUBLE) END AS dup_window_frac
+        |FROM (SELECT doc_id FROM corpus) d LEFT JOIN st ON st.doc_id = d.doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    // f8: DuckDB recomputes the md5-prefix gate per row — an EXACT
+    // membership check of the deterministic sample, not a rate check.
+    // Thresholds are rateToHex(0.5/0.25/1.0/0.1) spelled literally.
+    "f8_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR) || 's42'), 1, 8) <
+        |  CASE lang WHEN 'en' THEN '80000000' WHEN 'de' THEN '40000000'
+        |            WHEN 'fr' THEN 'g' ELSE '19999999' END
+        |ORDER BY doc_id""".stripMargin,
+
+    // l1: DuckDB re-derives the edge set from doc ids and recomputes
+    // THREE damped power iterations as unrolled CTEs — rank values are
+    // checked, not just graph shape.
+    "l1_pagerank" ->
+      s"""WITH e AS (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT doc_id % 53 AS src,
+         |           (doc_id % 53 + (doc_id // 53) % 11 + 1) % 53 AS dst FROM documents
+         |    UNION ALL
+         |    SELECT doc_id % 53, 0 FROM documents WHERE doc_id % 3 = 0)
+         |  WHERE src <> dst),
+         |nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+         |od AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+         |r0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS rank FROM nodes),
+         |${pagerankIterCtes(3)}
+         |SELECT CAST(node AS BIGINT) AS node, round(rank, 6) AS rank FROM r3 ORDER BY node""".stripMargin,
 
     "d3_simhash" ->
       """WITH base AS (SELECT doc_id, text FROM documents),

@@ -87,6 +87,81 @@ object Dedup {
       .withColumn("text_dedup", coalesce(col("text_dedup"), lit("")))
   }
 
+  // --- benchmark decontamination (n-gram overlap vs an eval set) ---
+
+  /** Distinct ids of training docs sharing ANY word n-gram with a
+    * benchmark/eval corpus — "decontamination" (the GPT-3 appendix-C /
+    * Pile procedure: a training doc containing a verbatim 13-gram from
+    * an eval set leaks the benchmark into training). Grams are
+    * lowercase whitespace-token n-grams ([[TextOps.shingles]]).
+    *
+    * Scale shape: doc grams hash to 64 bits AT THE EXPLODE, so the
+    * shuffle carries (id, long) rather than (id, thirteen words); the
+    * bench side (eval sets are ~10^5 docs; grams deduped first) is an
+    * aggregate AQE can broadcast, and the LEFT SEMI join never widens
+    * the doc side. A 64-bit collision can only FLAG an extra doc —
+    * conservative in the removal direction — never miss a real overlap.
+    */
+  def contaminatedIds(docs: DataFrame, idCol: String, textCol: String,
+                      bench: DataFrame, benchTextCol: String, n: Int = 13): DataFrame = {
+    val docGrams = docs
+      .select(col(idCol).as("doc_id"), explode(TextOps.shingles(col(textCol), n)).as("gram"))
+      .select(col("doc_id"), xxhash64(col("gram")).as("g"))
+    val benchGrams = bench
+      .select(explode(TextOps.shingles(col(benchTextCol), n)).as("gram"))
+      .select(xxhash64(col("gram")).as("g")).distinct()
+    docGrams.join(benchGrams, Seq("g"), "left_semi")
+      .select(col("doc_id")).distinct()
+  }
+
+  /** Drop contaminated docs: [[contaminatedIds]] → left_anti by id
+    * (broadcast-able when the contaminated fraction is small, shuffle-
+    * keyed otherwise — never a driver collect). */
+  def decontaminate(docs: DataFrame, idCol: String, textCol: String,
+                    bench: DataFrame, benchTextCol: String, n: Int = 13): DataFrame = {
+    val bad = contaminatedIds(docs, idCol, textCol, bench, benchTextCol, n)
+      .select(col("doc_id").as(s"__contam_$idCol"))
+    docs.join(bad, docs(idCol) === bad(s"__contam_$idCol"), "left_anti")
+  }
+
+  // --- cross-doc duplicated-window statistics (substring-level dup) ---
+
+  /** Per-document duplicated-window statistics — the substring-level
+    * duplication signal of Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better" (exact-substring dedup): duplication
+    * that survives doc-level AND paragraph-level dedup because only a
+    * SPAN repeats. A window is a word n-gram; a window is DUPLICATED
+    * iff its gram occurs more than once corpus-wide (in another doc or
+    * repeated within the same one).
+    * Output: (idCol, n_windows, n_dup_windows, dup_window_frac); docs
+    * shorter than n words report 0 windows / 0.0.
+    *
+    * Scale shape: grams hash to 64 bits at the explode; then two
+    * map-side-combinable groupBys — per-(doc, gram) counts, per-gram
+    * totals — and ONE join keyed by the gram hash. The join's left side
+    * is one row per (doc, gram), so a corpus-hot gram (boilerplate
+    * phrase in 10^8 docs) is 10^8 uniform-keyed rows, not one hot
+    * window partition; nothing is collected or windowed. */
+  def duplicatedWindowStats(docs: DataFrame, idCol: String, textCol: String,
+                            n: Int = 8): DataFrame = {
+    val grams = docs
+      .select(col(idCol), explode(TextOps.shingles(col(textCol), n)).as("gram"))
+      .select(col(idCol), xxhash64(col("gram")).as("g"))
+    val perDoc = grams.groupBy(col(idCol), col("g")).agg(count(lit(1)).as("c"))
+    val totals = perDoc.groupBy(col("g")).agg(sum(col("c")).as("tot"))
+    val stats = perDoc.join(totals, "g")
+      .groupBy(col(idCol)).agg(
+        sum(col("c")).as("n_windows"),
+        sum(when(col("tot") > 1, col("c")).otherwise(0L)).as("n_dup_windows"))
+    docs.select(col(idCol)).join(stats, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"))
+      .withColumn("dup_window_frac",
+        when(col("n_windows") > 0,
+          round(col("n_dup_windows").cast("double") / col("n_windows"), 4)).otherwise(0.0))
+  }
+
   // --- bucket → candidate pairs (shared by all three LSH variants) ---
 
   private val pairTagSeq = new java.util.concurrent.atomic.AtomicLong(0)

@@ -1,0 +1,67 @@
+package graft.sample
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, cluster-size-independent sampling for training-data
+  * curation (the standard knob for rebalancing a crawl: keep 10% of
+  * English, 100% of low-resource languages, 1% of boilerplate-heavy
+  * hosts). The keep/drop decision is a pure function of (key, salt) —
+  * no RNG, no partition-index dependence — so membership is identical
+  * across retries, repartitioning, AQE re-plans, and cluster sizes, and
+  * two pipelines sampling the same keys at the same rate select the
+  * SAME rows (composable splits). Spark's own `df.sample`/`sampleBy`
+  * are per-partition-seeded: membership changes whenever partitioning
+  * does, which at 10^10 rows it always eventually does.
+  *
+  * Mechanism: keep a row iff the first 8 hex digits of
+  * md5(key || salt) compare lexicographically below
+  * floor(rate · 16^8) rendered as 8 lowercase hex digits. md5 prefixes
+  * are uniform, so P(keep) = rate to within 2^-32; any engine with md5
+  * recomputes the identical decision (the DuckDB oracle does exactly
+  * that), and the filter is a single codegen'd expression the scan can
+  * evaluate — no join, no shuffle, no extra pass. */
+object Sampling {
+
+  /** Hex threshold for a rate: keep iff md5-prefix < this. Rates ≥ 1
+    * map to "g", which is lexicographically above every hex digit, so
+    * every row is kept; rate 0 maps to "00000000", below every prefix. */
+  def rateToHex(rate: Double): String = {
+    require(rate >= 0.0 && !rate.isNaN, s"rate must be a number >= 0, got $rate")
+    if (rate >= 1.0) "g" else f"${(rate * 4294967296.0).toLong}%08x"
+  }
+
+  private def keepExpr(keyCol: Column, thresholdHex: Column, salt: String): Column =
+    substring(md5(concat(keyCol.cast("string"), lit(salt)).cast("binary")), 1, 8) < thresholdHex
+
+  /** Uniform deterministic sample: keep ~`rate` of rows, keyed by
+    * `keyCol` (same key ⇒ same decision, also across tables — sampling
+    * documents and their chunks by the same doc key keeps them aligned). */
+  def sampleBy(df: DataFrame, keyCol: Column, rate: Double, salt: String = ""): DataFrame =
+    df.filter(keepExpr(keyCol, lit(rateToHex(rate)), salt))
+
+  /** Stratified deterministic sample: per-stratum rates with a default
+    * for strata absent from the map. The thresholds fold into one CASE
+    * expression — a single codegen'd filter, no join, no per-stratum
+    * pass over the data. */
+  def stratifiedSample(df: DataFrame, keyCol: Column, strataCol: Column,
+                       rates: Map[String, Double], defaultRate: Double,
+                       salt: String = ""): DataFrame = {
+    require(rates.nonEmpty, "rates must be non-empty (use sampleBy for a uniform rate)")
+    val sorted = rates.toSeq.sortBy(_._1) // deterministic plan for a given map
+    val first = when(strataCol === sorted.head._1, lit(rateToHex(sorted.head._2)))
+    val threshold = sorted.tail.foldLeft(first) {
+      case (acc, (k, r)) => acc.when(strataCol === k, lit(rateToHex(r)))
+    }.otherwise(lit(rateToHex(defaultRate)))
+    df.filter(keepExpr(keyCol, threshold, salt))
+  }
+
+  /** Driver-side twin of the column expression, for tests and for
+    * admitting single records outside Spark (e.g. a streaming gate). */
+  def keepScala(key: String, salt: String, rate: Double): Boolean = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest((key + salt).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val prefix = d.take(4).map(b => f"$b%02x").mkString
+    prefix < rateToHex(rate)
+  }
+}

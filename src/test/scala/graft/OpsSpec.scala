@@ -493,4 +493,123 @@ class OpsSpec extends AnyFunSuite {
     val fps = df.select(TextOps.fingerprint64(col("text"))).collect().map(_.getLong(0))
     assert(fps(0) == fps(1))
   }
+
+  test("decontamination flags exactly the docs sharing a 13-gram with the eval set") {
+    import spark.implicits._
+    val w = (0 until 40).map(i => s"w$i")
+    val evalText = w.slice(10, 23).mkString(" ") // words 10..22 — exactly one 13-gram
+    val docs = Seq(
+      (1L, w.take(30).mkString(" ")),                          // contains words 10..22
+      (2L, (w.slice(10, 22) :+ "other").mkString(" ")),        // only a 12-word overlap
+      (3L, "pre " + evalText + " post"),                       // gram embedded mid-doc
+      (4L, w.slice(23, 40).mkString(" ")),                     // disjoint vocabulary
+      (5L, evalText.toUpperCase)                               // case-insensitive match
+    ).toDF("doc_id", "text")
+    val bench = Seq(Tuple1(evalText)).toDF("bench_text")
+    val got = Dedup.contaminatedIds(docs, "doc_id", "text", bench, "bench_text", n = 13)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 3L, 5L), s"got $got")
+    val kept = Dedup.decontaminate(docs, "doc_id", "text", bench, "bench_text", n = 13)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 4L))
+  }
+
+  test("duplicated-window stats match a sequential recomputation on random corpora") {
+    import spark.implicits._
+    val n = 5
+    val rnd = new scala.util.Random(7)
+    val base = (0 until 30).map { i =>
+      val len = rnd.nextInt(20)
+      (i.toLong, (0 until len).map(_ => s"t${rnd.nextInt(8)}").mkString(" "))
+    }
+    val corpus = base :+ (100L -> base(3)._2) // one exact clone guarantees cross-doc dups
+    val got = Dedup.duplicatedWindowStats(corpus.toDF("doc_id", "text"), "doc_id", "text", n)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+
+    def gramsOf(t: String): Seq[String] = {
+      val ws = t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      if (ws.size < n) Seq.empty else ws.sliding(n).map(_.mkString(" ")).toSeq
+    }
+    val totals = corpus.flatMap(d => gramsOf(d._2))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    corpus.foreach { case (id, t) =>
+      val gs = gramsOf(t)
+      val nw = gs.size.toLong
+      val nd = gs.count(g => totals(g) > 1).toLong
+      val frac = if (nw > 0) BigDecimal(nd.toDouble / nw)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble else 0.0
+      assert(got(id) == ((nw, nd, frac)), s"doc $id: ${got(id)} vs ($nw, $nd, $frac)")
+    }
+    assert(got(100L)._3 == 1.0) // the clone's every window repeats
+  }
+
+  test("deterministic sampling: partition-invariant membership, scala-twin agreement, nesting") {
+    import spark.implicits._
+    import graft.sample.Sampling
+    val df = (0 until 2000).map(i =>
+      (i.toLong, if (i % 3 == 0) "en" else if (i % 3 == 1) "de" else "xx")).toDF("id", "lang")
+    val rates = Map("en" -> 0.5, "de" -> 0.25)
+    def ids(d: org.apache.spark.sql.DataFrame): Set[Long] =
+      d.select("id").collect().map(_.getLong(0)).toSet
+    val a = ids(Sampling.stratifiedSample(df.repartition(1), col("id"), col("lang"), rates, 0.1, "salt1"))
+    val b = ids(Sampling.stratifiedSample(df.repartition(13), col("id"), col("lang"), rates, 0.1, "salt1"))
+    assert(a == b) // membership independent of partitioning/cluster size
+    val expected = (0 until 2000).filter { i =>
+      val rate = if (i % 3 == 0) 0.5 else if (i % 3 == 1) 0.25 else 0.1
+      Sampling.keepScala(i.toString, "salt1", rate)
+    }.map(_.toLong).toSet
+    assert(a == expected)
+    // per-stratum rates approximately honored (667 keys/stratum)
+    assert(math.abs(a.count(_ % 3 == 0) / 667.0 - 0.5) < 0.08)
+    assert(math.abs(a.count(_ % 3 == 1) / 667.0 - 0.25) < 0.08)
+    assert(math.abs(a.count(_ % 3 == 2) / 666.0 - 0.1) < 0.08)
+    // rate edges
+    assert(Sampling.sampleBy(df, col("id"), 0.0, "s").count() == 0)
+    assert(Sampling.sampleBy(df, col("id"), 1.0, "s").count() == 2000)
+    // salt changes membership; lower rate at the same salt NESTS
+    val c = ids(Sampling.sampleBy(df, col("id"), 0.5, "sX"))
+    assert(c != ids(Sampling.sampleBy(df, col("id"), 0.5, "sY")))
+    assert(ids(Sampling.sampleBy(df, col("id"), 0.25, "sX")).subsetOf(c))
+  }
+
+  test("pagerank matches a sequential power iteration on random graphs") {
+    import spark.implicits._
+    import graft.graph.LinkGraph
+    val rnd = new scala.util.Random(11)
+    for (trial <- 0 until 3) {
+      val nNodes = 12 + rnd.nextInt(8)
+      val edges = (0 until 60).map(_ => (rnd.nextInt(nNodes).toLong, rnd.nextInt(nNodes).toLong))
+      val got = LinkGraph.pagerank(edges.toDF("src", "dst"), "src", "dst", iters = 4)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val e = edges.filter(p => p._1 != p._2).distinct
+      val nodes = e.flatMap(p => Seq(p._1, p._2)).distinct
+      val out = e.groupBy(_._1).view.mapValues(_.size).toMap
+      val d = 0.85
+      var r = nodes.map(_ -> 1.0).toMap
+      for (_ <- 1 to 4) {
+        val inflow = scala.collection.mutable.Map[Long, Double]().withDefaultValue(0.0)
+        e.foreach { case (u, v) => inflow(v) += r(u) / out(u) }
+        r = nodes.map(v => v -> ((1.0 - d) + d * inflow(v))).toMap
+      }
+      assert(got.keySet == r.keySet, s"trial $trial")
+      r.foreach { case (k, v) =>
+        assert(math.abs(got(k) - v) < 1e-9, s"trial $trial node $k: ${got(k)} vs $v")
+      }
+    }
+  }
+
+  test("pagerank invariants: cycle is rank-1 everywhere; hub outranks leaves; indegree") {
+    import spark.implicits._
+    import graft.graph.LinkGraph
+    val cycle = (0 until 10).map(i => (i.toLong, ((i + 1) % 10).toLong)).toDF("src", "dst")
+    LinkGraph.pagerank(cycle, "src", "dst", iters = 5).collect()
+      .foreach(r => assert(math.abs(r.getDouble(1) - 1.0) < 1e-12))
+    val star = (1 until 8).map(i => (i.toLong, 0L)).toDF("src", "dst")
+    val pr = LinkGraph.pagerank(star, "src", "dst", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pr(0L) > pr(1L) * 4, s"hub ${pr(0L)} vs leaf ${pr(1L)}")
+    val ind = LinkGraph.indegree(star, "src", "dst")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(ind == Map(0L -> 7L))
+  }
 }
