@@ -457,6 +457,30 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- f9: temperature-scaled source mixing (XLM-R/mT5 q ∝ p^α).
+    // Rates are computed IN-PLAN from the input's own per-lang counts
+    // (budget = 0.5·N), so DuckDB re-derives counts, weights,
+    // normalizer, hex thresholds, and the per-row md5 gate — an exact
+    // membership check at any sf. ----
+    "f9_temperature_mix" -> ((s, dir) => {
+      graft.sample.Sampling.temperatureMix(pq(s, dir, "documents"),
+          col("doc_id"), col("lang"), alpha = 0.3, budgetFrac = 0.5, salt = "m7")
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- w8: token-budget sequence packing (contiguous-fill bins of
+    // 500 tokens per lang partition). Pure integer window arithmetic —
+    // DuckDB recomputes every offset and bin from the raw text. ----
+    "w8_pack_budget" -> ((s, dir) => {
+      graft.pack.Packing.packByBudget(
+          pq(s, dir, "documents").select(col("doc_id"), col("lang"), col("text")),
+          "doc_id", "lang", "text", budget = 500L)
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          col("pack_offset"), col("pack_bin"))
+        .orderBy("doc_id")
+    }),
+
     // ---- l1: link-graph PageRank (the frontier-priority signal a
     // production crawl ranks by; feeds F3/W1). Edge set derived from
     // doc ids alone (functional graph + a planted hub at node 0), so
@@ -579,6 +603,18 @@ object SparkEntry {
     // the raw text independently.
     "t6_repetition" -> ((s, dir) => {
       TextOps.repetitionSignals(pq(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // ---- t7: CCNet-style fluency scoring — char-bigram LM surprisal.
+    // The "clean" training corpus is derived from the input itself
+    // (docs with doc_id % 4 == 1), so DuckDB retrains the identical
+    // model from the raw strings and recomputes every smoothed bigram
+    // probability and per-doc bits independently.
+    "t7_fluency" -> ((s, dir) => {
+      val docs = pq(s, dir, "documents")
+      TextOps.fluencyScore(docs, "doc_id", "text",
+          docs.filter(col("doc_id") % 4 === 1), "text")
         .orderBy("doc_id")
     }),
 
@@ -840,6 +876,16 @@ object SparkEntry {
 
     "st2_throttle_state" -> ((s, dir) => {
       graft.streaming.ThrottleStream.runBounded(s, dir, "events.parquet")
+    }),
+
+    // ---- st3: streaming exact dedup — flatMapGroupsWithState keyed by
+    // content fingerprint emits each fingerprint's keep row exactly once;
+    // clones planted inside the stream (doc_id % 6 -> id+1000000) are
+    // suppressed. Single AvailableNow batch => keep_id is the group min,
+    // so DuckDB recomputes the full output; the cross-batch suppression
+    // contract is pinned in StreamingSpec with forced batch boundaries.
+    "st3_stream_dedup" -> ((s, dir) => {
+      graft.streaming.StreamDedup.runBounded(s, dir, "documents.parquet")
     }),
 
     // ---- multimodal decode (real PPM/WAV/GVID parsing; deterministic
@@ -1247,6 +1293,38 @@ object SparkEntry {
         |            WHEN 'fr' THEN 'g' ELSE '19999999' END
         |ORDER BY doc_id""".stripMargin,
 
+    // f9: DuckDB re-derives per-lang counts, temperature weights, the
+    // normalizer, the hex thresholds (same association order as the
+    // Spark plan: ((((nn*0.5)*w)/z)/n)), and the per-row md5 gate.
+    "f9_temperature_mix" ->
+      """WITH cnt AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS DOUBLE) AS nn FROM cnt),
+        |w AS (SELECT lang, n, nn, pow(CAST(n AS DOUBLE) / nn, 0.3) AS wgt
+        |      FROM cnt CROSS JOIN tot),
+        |z AS (SELECT sum(wgt) AS z FROM w),
+        |thr AS (SELECT lang,
+        |    CASE WHEN least(1.0, nn * 0.5 * wgt / z / CAST(n AS DOUBLE)) >= 1.0 THEN 'g'
+        |         ELSE printf('%08x', CAST(floor(least(1.0, nn * 0.5 * wgt / z
+        |                / CAST(n AS DOUBLE)) * 4294967296.0) AS BIGINT)) END AS th
+        |  FROM w CROSS JOIN z)
+        |SELECT d.doc_id, d.lang FROM documents d JOIN thr USING (lang)
+        |WHERE substr(md5(CAST(d.doc_id AS VARCHAR) || 'm7'), 1, 8) < th
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // w8: offsets and bins recomputed with the same window frame
+    // (preceding-rows sum per lang, ordered by doc_id) on raw text.
+    "w8_pack_budget" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+        |  FROM documents)
+        |SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pack_offset,
+        |  CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 500 AS BIGINT) AS pack_bin
+        |FROM t ORDER BY doc_id""".stripMargin,
+
     // l1: DuckDB re-derives the edge set from doc ids and recomputes
     // THREE damped power iterations as unrolled CTEs — rank values are
     // checked, not just graph shape.
@@ -1415,6 +1493,53 @@ object SparkEntry {
         |    AS top_bigram_frac
         |FROM uni_sig u LEFT JOIN bg_sig b USING (doc_id)
         |ORDER BY u.doc_id""".stripMargin,
+
+    // t7: DuckDB retrains the char-bigram LM from the same doc_id%4=1
+    // subset (bigram counts, prefix counts, alphabet size) and
+    // recomputes every doc's add-one-smoothed surprisal — model and
+    // scores both independently re-derived from raw strings.
+    "t7_fluency" ->
+      """WITH norm AS (
+        |  SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t
+        |  FROM documents),
+        |ridx AS (SELECT t, unnest(range(1, length(t))) AS i
+        |         FROM norm WHERE doc_id % 4 = 1 AND length(t) >= 2),
+        |bc AS (SELECT substr(t, i, 2) AS bg, count(*) AS bcnt FROM ridx GROUP BY 1),
+        |pc AS (SELECT substr(bg, 1, 1) AS p, sum(bcnt) AS pcnt FROM bc GROUP BY 1),
+        |alpha AS (SELECT count(DISTINCT ch) AS v FROM (
+        |  SELECT substr(bg, 1, 1) AS ch FROM bc
+        |  UNION SELECT substr(bg, 2, 1) FROM bc)),
+        |didx AS (SELECT doc_id, t, unnest(range(1, length(t))) AS i
+        |         FROM norm WHERE length(t) >= 2),
+        |dcnt AS (SELECT doc_id, substr(t, i, 2) AS bg, count(*) AS c
+        |         FROM didx GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+        |    sum(c * -log2(CASE WHEN pc.pcnt IS NOT NULL
+        |          THEN (coalesce(bc.bcnt, 0) + 1.0) / (pc.pcnt + alpha.v)
+        |          ELSE 1.0 / alpha.v END)) / sum(c) AS bits
+        |  FROM dcnt
+        |  LEFT JOIN bc USING (bg)
+        |  LEFT JOIN pc ON pc.p = substr(dcnt.bg, 1, 1)
+        |  CROSS JOIN alpha
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(s.n_bigrams, 0) AS n_bigrams,
+        |  coalesce(round(s.bits, 4), 0.0) AS bits_per_gram
+        |FROM (SELECT DISTINCT doc_id FROM documents) d
+        |LEFT JOIN scored s USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // st3: the planted-clone corpus rebuilt in SQL; keep_id = group min,
+    // n_copies = group size over the t4-proven md5 content fingerprint.
+    "st3_stream_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 6 = 0),
+        |fps AS (SELECT md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS fp, doc_id
+        |        FROM corpus)
+        |SELECT fp, min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies
+        |FROM fps GROUP BY fp ORDER BY fp""".stripMargin,
 
     "c6_chunk_text_variants" ->
       // Independent: the probe builds its own corpus (doc i = 10+7i

@@ -454,7 +454,15 @@ object CrawlJob {
           else spark.read.parquet(assignedPath)
             .filter(col("batch_no") === batchIdx).drop("batch_no")
             .select(batchCols.map(col): _*)
-        val nBatchRows = batchDf0.count() // partition-pruned metadata count
+        // single-batch epoch (maxBatch == 0 — every epoch of a
+        // budget-unbound crawl): the batch IS the whole assigned table,
+        // whose row count already rode the assign write's Observation —
+        // skip the per-round count job (pure driver latency, the kind
+        // that caps low-core scaling efficiency)
+        val nBatchRows =
+          if (assignedTotal == 0) 0L
+          else if (maxBatch == 0 && batchIdx == 0) assignedTotal
+          else batchDf0.count() // partition-pruned metadata count
         // FAST PATH: the epoch was assigned at THIS round's boundary
         // (epoch block above, or the previous round's commit-time
         // assignment) and there is no carry — the batch is already

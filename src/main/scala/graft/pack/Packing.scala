@@ -1,0 +1,41 @@
+package graft.pack
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Token-budget sequence packing for pretraining batches: assign docs
+  * to contiguous bins of ~`budget` tokens each, in a deterministic
+  * order, so a downstream trainer can concatenate each bin into one
+  * context window. The policy is contiguous-fill: docs sorted by
+  * `idCol` within a `groupCol` partition, bin = floor(preceding-token
+  * cumsum / budget) — a doc that straddles a boundary belongs to the
+  * bin its FIRST token falls in (trainers truncate or span-mask at the
+  * boundary; assignment stays pure integer arithmetic that any engine
+  * reproduces exactly).
+  *
+  * Scale shape: one window per group partition (sum over an
+  * UNBOUNDED PRECEDING frame is O(n) streaming, not O(n²)); the only
+  * shuffle is the partitionBy(groupCol) exchange. A single giant group
+  * would serialize its window — at 100 TB, pre-shard the group key
+  * (e.g. (source, xxhash64(doc_id) % k)) so each shard packs
+  * independently; bins are group-local by construction so sharding
+  * changes bin NUMBERING only, never which docs share a bin boundary
+  * within a shard. */
+object Packing {
+
+  /** Adds `n_tokens` (whitespace count of `textCol`), `pack_offset`
+    * (tokens preceding this doc in its group's fill order) and
+    * `pack_bin` (offset / budget, integer division). */
+  def packByBudget(df: DataFrame, idCol: String, groupCol: String,
+                   textCol: String, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val w = Window.partitionBy(groupCol).orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("n_tokens",
+        graft.text.TextOps.tokenCount(col(textCol)).cast("long"))
+      .withColumn("pack_offset",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("pack_bin", floor(col("pack_offset") / lit(budget)).cast("long"))
+  }
+}

@@ -56,6 +56,44 @@ object Sampling {
     df.filter(keepExpr(keyCol, threshold, salt))
   }
 
+  /** Temperature-scaled source mixing — the standard multilingual /
+    * multi-source rebalancing rule (XLM-R, mT5): target mixture
+    * q_s ∝ p_s^alpha with p_s = n_s/N, flattening the head and
+    * up-weighting the tail as alpha → 0. Realized as a deterministic
+    * per-row gate with per-source rate
+    *
+    *   rate_s = min(1, (N · budgetFrac) · q_s / n_s)
+    *
+    * i.e. an expected budgetFrac·N-row output distributed by q. The
+    * whole computation stays IN-PLAN: per-source counts → weights →
+    * normalizer → hex thresholds are a broadcast-sized chain (one row
+    * per source) joined back to the data, so the only full pass is the
+    * final codegen'd filter — no driver collect, no RNG, and the same
+    * cluster-size-independent membership contract as `sampleBy`
+    * (DuckDB recomputes the identical decision per row). */
+  def temperatureMix(df: DataFrame, keyCol: Column, sourceCol: Column,
+                     alpha: Double, budgetFrac: Double,
+                     salt: String = ""): DataFrame = {
+    require(alpha > 0.0 && budgetFrac > 0.0, "alpha and budgetFrac must be > 0")
+    val srcName = "_tm_src"
+    val cnt = df.groupBy(sourceCol.as(srcName)).agg(count(lit(1)).as("_n"))
+    val tot = cnt.agg(sum("_n").cast("double").as("_nn"))
+    val w = cnt.crossJoin(broadcast(tot))
+      .withColumn("_w", pow(col("_n").cast("double") / col("_nn"), alpha))
+    val z = w.agg(sum("_w").as("_z"))
+    // threshold arithmetic must be reproducible verbatim by the oracle:
+    // ((((nn * budgetFrac) * w) / z) / n), floor(rate * 2^32) as 8 hex
+    val rates = w.crossJoin(broadcast(z))
+      .withColumn("_rate", least(lit(1.0),
+        col("_nn") * budgetFrac * col("_w") / col("_z") / col("_n").cast("double")))
+      .withColumn("_th", when(col("_rate") >= 1.0, lit("g"))
+        .otherwise(lower(lpad(hex(floor(col("_rate") * 4294967296.0).cast("long")), 8, "0"))))
+      .select(col(srcName), col("_th"))
+    df.join(broadcast(rates), sourceCol === col(srcName))
+      .filter(keepExpr(keyCol, col("_th"), salt))
+      .drop(srcName, "_th")
+  }
+
   /** Driver-side twin of the column expression, for tests and for
     * admitting single records outside Spark (e.g. a streaming gate). */
   def keepScala(key: String, salt: String, rate: Double): Boolean = {

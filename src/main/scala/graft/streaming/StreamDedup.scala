@@ -1,0 +1,85 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** Streaming exact dedup: the batch `Dedup.exactDedup` (doc-level
+  * keep-min-id over a content fingerprint) re-expressed for a document
+  * STREAM — the shape a continuously-ingesting crawl takes when pages
+  * arrive as micro-batches and the "seen content" set must persist
+  * across them. `flatMapGroupsWithState` keyed by fingerprint emits a
+  * keep row exactly once, on the batch where the fingerprint is FIRST
+  * seen; later copies (same batch or any later batch) only update the
+  * state's copy counter. State is the reference's request-cache seen
+  * set (core/cache.py seen-URL snapshot semantics) applied to content
+  * hashes instead of URLs.
+  *
+  * Scale shape: state is one (fingerprint -> (keepId, n)) entry per
+  * DISTINCT document, hash-partitioned by Spark's state store across
+  * executors — the same sharding story as the batch seen set. Nothing
+  * is windowed or collected; each micro-batch shuffles only its own
+  * rows. For an unbounded stream, bound the store with a TTL timeout
+  * (the batch analogue is `seenTtlRounds`); the bounded probe uses
+  * NoTimeout.
+  *
+  * Within one micro-batch the group's iterator order is arrival order,
+  * not a total order — keepId is the group MIN id (order-independent),
+  * so a single-batch AvailableNow run is deterministic and
+  * DuckDB-checkable. Across batches "first seen" depends on batch
+  * slicing by construction (that IS streaming dedup semantics);
+  * StreamingSpec pins the cross-batch contract with forced boundaries. */
+object StreamDedup {
+
+  final case class DocRow(fp: String, doc_id: Long)
+  final case class SeenState(keepId: Long, n: Long)
+  final case class KeepRow(fp: String, keep_id: Long, n_copies: Long)
+
+  def updateState(fp: String, rows: Iterator[DocRow],
+                  state: GroupState[SeenState]): Iterator[KeepRow] = {
+    var n = 0L
+    var mn = Long.MaxValue
+    rows.foreach { r => n += 1; if (r.doc_id < mn) mn = r.doc_id }
+    state.getOption match {
+      case Some(s) =>
+        state.update(SeenState(s.keepId, s.n + n)) // dup in a later batch: suppress
+        Iterator.empty
+      case None =>
+        state.update(SeenState(mn, n))
+        Iterator.single(KeepRow(fp, mn, n))
+    }
+  }
+
+  def dedupStream(docs: Dataset[DocRow]): Dataset[KeepRow] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.fp)
+      .flatMapGroupsWithState[SeenState, KeepRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout())(updateState)
+  }
+
+  /** Run the dedup over a bounded documents stream (memory sink,
+    * AvailableNow). Clones are planted INSIDE the stream (doc_id % 6 == 0
+    * re-emitted at id+1000000) so the probe exercises suppression, and
+    * the fingerprint is the md5 content hash t4 already proves. */
+  def runBounded(spark: SparkSession, dir: String, globFile: String): DataFrame = {
+    import spark.implicits._
+    val schema = spark.read.option("pathGlobFilter", globFile).parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", globFile).parquet(dir)
+      .select(col("doc_id"), col("text"),
+        when(col("doc_id") % 6 === 0, array(lit(0L), lit(1000000L)))
+          .otherwise(array(lit(0L))).as("_offs"))
+      .select(explode(col("_offs")).as("_off"), col("doc_id"), col("text"))
+      .select(
+        md5(regexp_replace(trim(col("text")), "\\s+", " ").cast("binary")).as("fp"),
+        (col("doc_id") + col("_off")).as("doc_id"))
+      .as[DocRow]
+    val out = dedupStream(stream)
+    val qname = "stream_dedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = out.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(qname)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(qname).orderBy("fp")
+  }
+}

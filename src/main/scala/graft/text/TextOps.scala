@@ -129,6 +129,70 @@ object TextOps {
     graft.functions.GraftFunctions.url64(norm)
   }
 
+  /** Character bigrams of the lowercased, whitespace-collapsed text as
+    * an array column; empty when the normalized text has < 2 chars
+    * (guarded: Spark's `sequence(1, 0)` would DESCEND, not return []). */
+  def charBigrams(text: Column): Column = {
+    val t = lower(regexp_replace(trim(text), "\\s+", " "))
+    when(length(t) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), length(t) - 1), i => t.substr(i, lit(2))))
+  }
+
+  /** CCNet-style fluency scoring: a character-bigram language model
+    * trained on a "clean" reference corpus, then every document scored
+    * by its average surprisal under that model — bits per bigram,
+    * `avg(-log2 P(c2|c1))` with add-one smoothing over the training
+    * alphabet. High bits = disfluent (gibberish, boilerplate soup,
+    * wrong-language text); CCNet buckets a crawl corpus by exactly this
+    * signal (with a wordpiece 5-gram LM; the bigram LM is the same
+    * pipeline shape at toy model size).
+    *
+    *   P(c2|c1) = (count(c1c2) + 1) / (count(c1·) + V)   seen prefix c1
+    *            = 1 / V                                   unseen prefix
+    *
+    * Output: (idCol, n_bigrams, bits_per_gram); docs whose normalized
+    * text has < 2 chars get (0, 0.0).
+    *
+    * Scale shape: training is explode → groupBy(bigram) — map-side
+    * combinable, keys bounded by alphabet² — and the model is a
+    * broadcast join (a char-bigram table is KBs; a production wordpiece
+    * LM is MBs — still broadcast range). Scoring aggregates per
+    * (doc, bigram) BEFORE the model join, so join input is distinct
+    * bigrams per doc, not total chars; the final groupBy is keyed by
+    * doc id with no corpus-level hot key. Nothing is collected. */
+  def fluencyScore(docs: DataFrame, idCol: String, textCol: String,
+                   ref: DataFrame, refTextCol: String): DataFrame = {
+    val bc = ref.select(explode(charBigrams(col(refTextCol))).as("_bg"))
+      .groupBy("_bg").agg(count(lit(1)).as("_bc"))
+    val pc = bc.groupBy(col("_bg").substr(1, 1).as("_p"))
+      .agg(sum("_bc").as("_pc"))
+    // training alphabet size V — chars seen in ANY bigram position;
+    // kept in-plan (1-row broadcast) instead of a driver action
+    val alpha = bc
+      .select(explode(array(col("_bg").substr(1, 1), col("_bg").substr(2, 1))).as("_ch"))
+      .agg(count_distinct(col("_ch")).as("_v"))
+
+    val perDocGram = docs
+      .select(col(idCol), explode(charBigrams(col(textCol))).as("_bg"))
+      .groupBy(col(idCol), col("_bg")).agg(count(lit(1)).as("_c"))
+    val scored = perDocGram
+      .join(broadcast(bc), Seq("_bg"), "left")
+      .join(broadcast(pc), perDocGram("_bg").substr(1, 1) === pc("_p"), "left")
+      .crossJoin(broadcast(alpha))
+      .withColumn("_prob",
+        when(col("_pc").isNotNull,
+          (coalesce(col("_bc"), lit(0L)) + 1).cast("double") / (col("_pc") + col("_v")))
+          .otherwise(lit(1.0) / col("_v")))
+      .groupBy(col(idCol)).agg(
+        sum("_c").cast("long").as("n_bigrams"),
+        (sum(col("_c") * -log2(col("_prob"))) / sum("_c")).as("_bits"))
+    docs.select(col(idCol)).distinct()
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(round(col("_bits"), 4), lit(0.0)).as("bits_per_gram"))
+  }
+
   /** Word w-shingles as an array column (for n-gram Jaccard / MinHash). */
   def shingles(text: Column, w: Int): Column = {
     val words = split(lower(trim(text)), "\\s+")

@@ -381,6 +381,66 @@ class OpsSpec extends AnyFunSuite {
     assert(r2.getLong(1) == 1 && r2.getDouble(4) == 0.0 && r2.getDouble(5) == 0.0)
   }
 
+  test("temperatureMix: membership = driver recomputation; tail source clamps to keep-all") {
+    import spark.implicits._
+    // 80/16/4 split, alpha=0.5, budgetFrac=0.5 -> rates ~0.374 / 0.836 /
+    // 1.67 (fr clamps to 1.0: every fr doc kept)
+    val docs = ((0 until 80).map(i => (i.toLong, "en")) ++
+      (80 until 96).map(i => (i.toLong, "de")) ++
+      (96 until 100).map(i => (i.toLong, "fr"))).toDF("doc_id", "lang")
+    val kept = graft.sample.Sampling.temperatureMix(
+        docs, col("doc_id"), col("lang"), alpha = 0.5, budgetFrac = 0.5, salt = "t")
+      .select("doc_id", "lang").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // same association order as the plan: ((((nn*bf)*w)/z)/n)
+    val n = Map("en" -> 80.0, "de" -> 16.0, "fr" -> 4.0)
+    val wgt = n.map { case (l, c) => l -> math.pow(c / 100.0, 0.5) }
+    val z = wgt.values.sum
+    val rate = n.map { case (l, c) => l -> math.min(1.0, 100.0 * 0.5 * wgt(l) / z / c) }
+    val expected = (0 until 100).map { i =>
+      val l = if (i < 80) "en" else if (i < 96) "de" else "fr"
+      (i.toLong, l)
+    }.filter { case (id, l) => graft.sample.Sampling.keepScala(id.toString, "t", rate(l)) }.toSet
+    assert(kept == expected)
+    assert((96L until 100L).forall(i => kept.contains((i, "fr"))), "clamped source keeps all")
+    assert(rate("fr") == 1.0 && rate("de") < 1.0 && rate("en") < rate("de"))
+  }
+
+  test("packByBudget: hand-computed offsets and bins; empty text packs as zero tokens") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a", "x x x"), (2L, "a", "y y"), (3L, "a", "z z z z"), (4L, "a", "w"),
+      (5L, "b", "u u"), (6L, "b", "   ")).toDF("doc_id", "lang", "text")
+    val out = graft.pack.Packing.packByBudget(docs, "doc_id", "lang", "text", budget = 5L)
+      .select("doc_id", "n_tokens", "pack_offset", "pack_bin")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(out == Seq(
+      (1L, 3L, 0L, 0L), (2L, 2L, 3L, 0L), (3L, 4L, 5L, 1L), (4L, 1L, 9L, 1L),
+      (5L, 2L, 0L, 0L), (6L, 0L, 2L, 0L)))
+  }
+
+  test("fluency: hand-computed char-bigram surprisal, smoothing and normalization") {
+    import spark.implicits._
+    // training "aaab": bigrams {aa:2, ab:1}, prefix a->3, alphabet V=2
+    // ('b' appears only in SECOND bigram position — V must scan both)
+    val docs = Seq(
+      (0L, "aab"),    // (-log2(3/5) - log2(2/5)) / 2          = 1.0294
+      (1L, "aaab"),   // (2*-log2(3/5) - log2(2/5)) / 3        = 0.9320
+      (2L, "ba"),     // unseen prefix 'b': -log2(1/2)         = 1.0
+      (3L, "ac"),     // seen prefix, unseen bigram: -log2(1/5) = 2.3219
+      (4L, "x"),      // < 2 chars: no bigrams
+      (5L, "  AaB "), // lower + trim + collapse -> "aab"
+      (6L, "a b")     // space is a char: ("a ", " b") = (-log2(1/5)+1)/2
+    ).toDF("doc_id", "text")
+    val out = TextOps.fluencyScore(docs, "doc_id", "text",
+        docs.filter(col("doc_id") === 1), "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(out == Seq(
+      (0L, 2L, 1.0294), (1L, 3L, 0.932), (2L, 1L, 1.0), (3L, 1L, 2.3219),
+      (4L, 0L, 0.0), (5L, 2L, 1.0294), (6L, 2L, 1.661)))
+  }
+
   test("multimodal: batch feature extraction is deterministic and typed") {
     val media = graft.multimodal.Multimodal.synthMedia(spark, 90, 4)
     val feats = graft.multimodal.Multimodal.extractFeatures(media)

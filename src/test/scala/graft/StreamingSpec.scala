@@ -140,4 +140,33 @@ class StreamingSpec extends AnyFunSuite {
       s"h2 must update 0 (success reset) then 1; got $got")
     assert(ThrottleStream.backoffSec(3) == 8.0, "throttle.py:150-160 backoff at 3 errors")
   }
+
+  test("flatMapGroupsWithState dedup: first-sight emission, cross-batch suppression") {
+    import spark.implicits._
+    import graft.streaming.StreamDedup
+    val dir = Files.createTempDirectory("graft_stream_dd").toString
+    // batch 1: fx seen twice (keep = min id), fy once
+    addFile(Seq(("fx", 5L), ("fx", 1L), ("fy", 2L)).toDF("fp", "doc_id"),
+      dir, "f1.parquet", 1000L)
+    // batch 2: fx AGAIN (must be suppressed by carried state), fz new
+    addFile(Seq(("fx", 3L), ("fz", 4L)).toDF("fp", "doc_id"),
+      dir, "f2.parquet", 2000L)
+
+    val schema = spark.read.parquet(s"$dir/f1.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+      .as[StreamDedup.DocRow]
+    val out = StreamDedup.dedupStream(stream)
+    val qname = "dd_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName(qname)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val got = spark.table(qname).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(("fx", 1L, 2L), ("fy", 2L, 1L), ("fz", 4L, 1L)),
+      s"fx emits once with batch-1 min id 1 and in-batch count 2; batch-2 fx " +
+        s"(doc 3) must be suppressed by carried state; got $got")
+  }
 }
