@@ -498,6 +498,25 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // ---- l2: inbound anchor-text aggregation (top-k anchor strings
+    // per link target — the link-graph text signal used for title
+    // synthesis / retrieval pairs). Links + anchors derived from doc
+    // ids alone (with planted case/whitespace variants and blank
+    // anchors), so DuckDB rebuilds the link table and recomputes every
+    // normalized count and rank. ----
+    "l2_anchor_topk" -> ((s, dir) => {
+      val docs = pq(s, dir, "documents")
+      val links = docs.select(
+        (col("doc_id") * 7 % 101).as("dst"),
+        when(col("doc_id") % 11 === 0, lit("  "))
+          .otherwise(concat(
+            element_at(array(lit("Guide to"), lit("see"), lit("the  page")),
+              (col("doc_id") % 3 + 1).cast("int")),
+            lit(" "), (col("doc_id") % 5).cast("string"))).as("anchor"))
+      graft.graph.LinkGraph.anchorTopK(links, "dst", "anchor", k = 3)
+        .orderBy("dst", "anchor_rank")
+    }),
+
     // ---- A4 cache stats (cache.py:598-649: hit rate + top-5 url
     // patterns via Counter.most_common(5); tie-break count DESC,
     // pattern ASC — deterministic where Counter insertion order is not).
@@ -1342,6 +1361,27 @@ object SparkEntry {
          |${pagerankIterCtes(3)}
          |SELECT CAST(node AS BIGINT) AS node, round(rank, 6) AS rank FROM r3 ORDER BY node""".stripMargin,
 
+    // l2: DuckDB rebuilds the derived link table (same variant/blank
+    // rules), renormalizes anchors, and recomputes counts + ranks.
+    "l2_anchor_topk" ->
+      """WITH links AS (
+        |  SELECT (doc_id * 7) % 101 AS dst,
+        |    CASE WHEN doc_id % 11 = 0 THEN '  '
+        |         ELSE (CASE (doc_id % 3) WHEN 0 THEN 'Guide to'
+        |               WHEN 1 THEN 'see' ELSE 'the  page' END)
+        |              || ' ' || CAST(doc_id % 5 AS VARCHAR) END AS anchor
+        |  FROM documents),
+        |norm AS (SELECT dst,
+        |    lower(regexp_replace(trim(anchor), '\s+', ' ', 'g')) AS anchor FROM links),
+        |cnt AS (SELECT dst, anchor, count(*) AS n_inlinks FROM norm
+        |        WHERE length(anchor) > 0 GROUP BY 1, 2),
+        |rk AS (SELECT dst, anchor, CAST(n_inlinks AS BIGINT) AS n_inlinks,
+        |       CAST(row_number() OVER (PARTITION BY dst
+        |         ORDER BY n_inlinks DESC, anchor) AS INTEGER) AS anchor_rank
+        |       FROM cnt)
+        |SELECT dst, anchor, n_inlinks, anchor_rank FROM rk
+        |WHERE anchor_rank <= 3 ORDER BY dst, anchor_rank""".stripMargin,
+
     "d3_simhash" ->
       """WITH base AS (SELECT doc_id, text FROM documents),
         |corpus AS (SELECT doc_id, text FROM base
@@ -1396,60 +1436,33 @@ object SparkEntry {
         |) AS t(doc_id, score) ORDER BY score DESC, doc_id
         |""".stripMargin.trim,
 
+    // INDEPENDENT oracle (was a pinned golden through r4-early): the
+    // vocabulary is first-seen order over ascending doc_id, which is
+    // fully derivable — min (doc_id, pos) per token, ordered, LIMIT
+    // maxFeatures. DuckDB rebuilds the vocab from raw text and
+    // recomputes f0 = count(vocab[0]) / l2norm(vocab counts) per doc.
+    // (The row/char scan caps don't bind at test sf; a capped corpus
+    // is covered by PipelineOpsSpec.)
     "e2_count_embedding" ->
-      """SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(f0 AS DOUBLE) AS f0, CAST(dim AS INTEGER) AS dim FROM (VALUES
-        |(0, 0.223607, 31),
-        |(1, 0.1905, 31),
-        |(2, 0.0, 31),
-        |(3, 0.0, 31),
-        |(4, 0.0, 31),
-        |(5, 0.164399, 31),
-        |(6, 0.0, 31),
-        |(7, 0.184637, 31),
-        |(8, 0.0, 31),
-        |(9, 0.255031, 31),
-        |(10, 0.108465, 31),
-        |(11, 0.298142, 31),
-        |(12, 0.067574, 31),
-        |(13, 0.069673, 31),
-        |(14, 0.052778, 31),
-        |(15, 0.29277, 31),
-        |(16, 0.213201, 31),
-        |(17, 0.233682, 31),
-        |(18, 0.130466, 31),
-        |(19, 0.0, 31),
-        |(20, 0.135457, 31),
-        |(21, 0.311086, 31),
-        |(22, 0.109599, 31),
-        |(23, 0.0, 31),
-        |(24, 0.150566, 31),
-        |(25, 0.1, 31),
-        |(26, 0.267261, 31),
-        |(27, 0.360844, 31),
-        |(28, 0.14825, 31),
-        |(29, 0.125, 31),
-        |(30, 0.26968, 31),
-        |(31, 0.102598, 31),
-        |(32, 0.053683, 31),
-        |(33, 0.0, 31),
-        |(34, 0.0, 31),
-        |(35, 0.325875, 31),
-        |(36, 0.154303, 31),
-        |(37, 0.0, 31),
-        |(38, 0.109109, 31),
-        |(39, 0.0, 31),
-        |(40, 0.0, 31),
-        |(41, 0.431889, 31),
-        |(42, 0.077615, 31),
-        |(43, 0.154303, 31),
-        |(44, 0.0, 31),
-        |(45, 0.173205, 31),
-        |(46, 0.102869, 31),
-        |(47, 0.109764, 31),
-        |(48, 0.0, 31),
-        |(49, 0.283473, 31)
-        |) AS t(doc_id, f0, dim) ORDER BY doc_id
-        |""".stripMargin.trim,
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS tok,
+        |    generate_subscripts(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> ''), 1) AS pos
+        |  FROM documents),
+        |first_seen AS (SELECT tok, min(doc_id * 1000000 + pos) AS ord FROM toks GROUP BY tok),
+        |vocab AS (SELECT tok, row_number() OVER (ORDER BY ord) AS vid
+        |          FROM first_seen ORDER BY ord LIMIT 256),
+        |cnt AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+        |vc AS (SELECT c.doc_id, v.vid, c.c FROM cnt c JOIN vocab v USING (tok)),
+        |nrm AS (SELECT doc_id, sqrt(sum(CAST(c AS DOUBLE) * c)) AS nrm FROM vc GROUP BY 1),
+        |f0v AS (SELECT doc_id, CAST(c AS DOUBLE) AS c0 FROM vc WHERE vid = 1)
+        |SELECT d.doc_id,
+        |  round(coalesce(f.c0 / n.nrm, 0.0), 6) AS f0,
+        |  CAST((SELECT count(*) FROM vocab) AS INTEGER) AS dim
+        |FROM documents d
+        |LEFT JOIN nrm n USING (doc_id)
+        |LEFT JOIN f0v f USING (doc_id)
+        |ORDER BY d.doc_id LIMIT 50""".stripMargin,
 
     "t5_fingerprint64" ->
       // Independent: ws_stable is provably 1 for any input (see the

@@ -59,6 +59,36 @@ object LinkGraph {
     ranks
   }
 
+  /** Inbound anchor-text aggregation: for every link target, the top-k
+    * distinct anchor strings by inbound frequency — the classic
+    * link-graph text signal (how the web DESCRIBES a page; search
+    * engines index it, crawl pipelines use it for title synthesis and
+    * as retrieval training pairs). One row per kept (dst, anchor) with
+    * its count and rank; ties break on anchor ASC so the output is a
+    * deterministic set.
+    *
+    * Scale shape: anchors are normalized then counted with a map-side-
+    * combinable groupBy(dst, anchor) — a mega-hub's million in-links
+    * collapse in the partial aggregate before any shuffle concentrates
+    * them. The top-k is a window ONLY over the already-aggregated
+    * (dst, distinct-anchor) rows — bounded by distinct anchor TEXTS per
+    * target, not by in-degree — so the hot key a rank-over-raw-links
+    * window would create never materializes. Empty/whitespace anchors
+    * are dropped. */
+  def anchorTopK(links: DataFrame, dstCol: String, anchorCol: String,
+                 k: Int = 3): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val norm = lower(regexp_replace(trim(col(anchorCol)), "\\s+", " "))
+    val counts = links
+      .select(col(dstCol).as("dst"), norm.as("anchor"))
+      .filter(length(col("anchor")) > 0)
+      .groupBy("dst", "anchor").agg(count(lit(1)).as("n_inlinks"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("dst").orderBy(desc("n_inlinks"), asc("anchor"))
+    counts.withColumn("anchor_rank", row_number().over(w))
+      .filter(col("anchor_rank") <= k)
+  }
+
   /** In-degree per node over deduped edges — the cheap importance
     * signal (one aggregate) when PageRank's iterations aren't worth it,
     * e.g. for a first-round frontier before any ranks exist. */

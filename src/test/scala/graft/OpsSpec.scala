@@ -381,6 +381,22 @@ class OpsSpec extends AnyFunSuite {
     assert(r2.getLong(1) == 1 && r2.getDouble(4) == 0.0 && r2.getDouble(5) == 0.0)
   }
 
+  test("anchorTopK: normalization folds variants, ties break on anchor, blanks drop") {
+    import spark.implicits._
+    val links = Seq(
+      ("a", "Home"), ("a", " home "), ("a", "home"), // one anchor after norm
+      ("a", "docs"), ("a", "docs"),
+      ("a", "blog"), ("a", "faq"),                   // tied at 1: blog < faq
+      ("a", "  "),                                   // blank: dropped
+      ("b", "x")).toDF("dst", "anchor")
+    val out = graft.graph.LinkGraph.anchorTopK(links, "dst", "anchor", k = 3)
+      .orderBy("dst", "anchor_rank").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3))).toSeq
+    assert(out == Seq(
+      ("a", "home", 3L, 1), ("a", "docs", 2L, 2), ("a", "blog", 1L, 3),
+      ("b", "x", 1L, 1)))
+  }
+
   test("temperatureMix: membership = driver recomputation; tail source clamps to keep-all") {
     import spark.implicits._
     // 80/16/4 split, alpha=0.5, budgetFrac=0.5 -> rates ~0.374 / 0.836 /
