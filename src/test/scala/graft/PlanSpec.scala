@@ -66,6 +66,34 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("hashpartitioning(user_id"), p.take(900))
   }
 
+  test("t7/f9: in-plan model/rate tables stay broadcast (no SMJ on the data path)") {
+    Seq("t7_fluency", "f9_temperature_mix").foreach { q =>
+      val p = planOf(q, execute = true)
+      assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+        s"$q plan:\n${p.take(900)}")
+      assert(!p.contains("SortMergeJoin"),
+        s"$q model/rate join degraded to SMJ:\n${p.take(900)}")
+    }
+  }
+
+  test("w8: one window, partitioned by the pack group") {
+    val p = planOf("w8_pack_budget")
+    assert(p.contains("Window"), p.take(600))
+    assert(p.contains("hashpartitioning(lang"), p.take(900))
+  }
+
+  test("l2: anchors aggregate BEFORE the top-k window (partial agg, window on grouped rows)") {
+    val p = planOf("l2_anchor_topk")
+    // the top-k rank must consume the aggregate's output, not raw links:
+    // in plan text the Window appears ABOVE (before, textually) the
+    // HashAggregate pair that collapses per-(dst, anchor) counts
+    val wi = p.indexOf("Window")
+    val ai = p.indexOf("HashAggregate")
+    assert(wi >= 0 && ai >= 0 && wi < ai,
+      s"window/aggregate order wrong (window@$wi agg@$ai):\n${p.take(1200)}")
+    assert(p.contains("hashpartitioning(dst"), p.take(900))
+  }
+
   test("crawl fetch path: pages scan prunes the expected-text column") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("plan_site").toString
