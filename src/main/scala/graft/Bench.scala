@@ -141,6 +141,35 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val headlineRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+
+    // Probe-only mode for iteration: SPARK_GRAFT_BENCH_ONLY="t7_fluency,..."
+    // (or "all") times just the named probes — warmup + timed second run,
+    // fresh session, same protocol as the official probe loop — without
+    // the 3-crawl headline cells. Never set by the driver; the official
+    // JSON shape is unchanged when unset.
+    sys.env.get("SPARK_GRAFT_BENCH_ONLY").foreach { sel =>
+      val wanted = sel.split(",").map(_.trim).filter(_.nonEmpty).toSet
+      val probeSpark = CrawlJob.session(cpus, "graft-bench-probes")
+      val (llcA, dramA) = memLatNs()
+      val out = scala.collection.mutable.LinkedHashMap[String, Double]()
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (n, _) => wanted.contains("all") || wanted.contains(n) }
+        .foreach { case (name, fn) =>
+          def once(): Boolean = try { fn(probeSpark, sfDir).count(); true } catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] query $name FAILED: ${e.getMessage}"); false
+          }
+          val warm = once()
+          val t0 = System.nanoTime()
+          out(name) = if (warm && once()) (System.nanoTime() - t0) / 1e9 else -1.0
+        }
+      val (llcB, dramB) = memLatNs()
+      val qs = out.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+      println(s"""{"metric":"probe_only","memlat_llc_ns":[${f"$llcA%.1f"},${f"$llcB%.1f"}],"memlat_dram_ns":[${f"$dramA%.1f"},${f"$dramB%.1f"}],"cpus":$cpus,"queries":$qs,"sf":"$sfDir"}""")
+      probeSpark.stop()
+      return
+    }
+
     val spark = CrawlJob.session(cpus, "graft-bench")
 
     // headline: crawl throughput, median of N fresh runs. High politeness
