@@ -57,6 +57,64 @@ object StreamDedup {
         OutputMode.Append(), GroupStateTimeout.NoTimeout())(updateState)
   }
 
+  final case class DocTsRow(fp: String, doc_id: Long, ts: java.sql.Timestamp)
+
+  /** TTL variant for UNBOUNDED streams — the streaming analogue of the
+    * batch crawl's `seenTtlRounds` recrawl window (S6): a fingerprint's
+    * state expires once the watermark passes first-sight + ttl, so (a)
+    * the state store is bounded by the distinct docs of one TTL window,
+    * not the stream's lifetime, and (b) a re-arrival AFTER expiry is
+    * re-emitted — exactly the TTL-recrawl semantics. The TTL anchors at
+    * first sight (duplicates do not extend it), matching the batch seen
+    * set's insertion-anchored window. */
+  final case class SeenTtlState(keepId: Long, n: Long, deadlineMs: Long)
+
+  def updateStateTtl(ttlMs: Long)(fp: String, rows: Iterator[DocTsRow],
+                                  state: GroupState[SeenTtlState]): Iterator[KeepRow] = {
+    if (state.hasTimedOut) { state.remove(); Iterator.empty }
+    else {
+      var n = 0L
+      var mn = Long.MaxValue
+      var tsMax = Long.MinValue
+      rows.foreach { r =>
+        n += 1
+        if (r.doc_id < mn) mn = r.doc_id
+        if (r.ts.getTime > tsMax) tsMax = r.ts.getTime
+      }
+      // Spark CLEARS a key's timeout on every invocation of this
+      // function, so the insertion-anchored deadline must live in the
+      // state and be RE-ARMED whenever a duplicate arrives — without
+      // this, one in-window dup would immortalize the key. The deadline
+      // is clamped strictly above the current watermark (Spark rejects
+      // earlier timestamps); a dup racing its own expiry in the same
+      // batch is therefore suppressed and the key expires next batch.
+      def arm(deadline: Long): Long = {
+        val d = math.max(state.getCurrentWatermarkMs + 1000L, deadline)
+        state.setTimeoutTimestamp(d)
+        d
+      }
+      state.getOption match {
+        case Some(s) =>
+          arm(s.deadlineMs)
+          state.update(SeenTtlState(s.keepId, s.n + n, s.deadlineMs))
+          Iterator.empty
+        case None =>
+          val d = arm(tsMax + ttlMs)
+          state.update(SeenTtlState(mn, n, d))
+          Iterator.single(KeepRow(fp, mn, n))
+      }
+    }
+  }
+
+  def dedupStreamTtl(docs: Dataset[DocTsRow], ttlMs: Long,
+                     delay: String = "0 seconds"): Dataset[KeepRow] = {
+    import docs.sparkSession.implicits._
+    docs.withWatermark("ts", delay)
+      .groupByKey(_.fp)
+      .flatMapGroupsWithState[SeenTtlState, KeepRow](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(updateStateTtl(ttlMs))
+  }
+
   /** Run the dedup over a bounded documents stream (memory sink,
     * AvailableNow). Clones are planted INSIDE the stream (doc_id % 6 == 0
     * re-emitted at id+1000000) so the probe exercises suppression, and

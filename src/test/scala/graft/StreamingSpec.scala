@@ -169,4 +169,40 @@ class StreamingSpec extends AnyFunSuite {
       s"fx emits once with batch-1 min id 1 and in-batch count 2; batch-2 fx " +
         s"(doc 3) must be suppressed by carried state; got $got")
   }
+
+  test("TTL stream dedup: in-window dup suppressed, state expires, re-arrival re-emits") {
+    import spark.implicits._
+    import graft.streaming.StreamDedup
+    val dir = Files.createTempDirectory("graft_stream_ttl").toString
+    def rows(rs: Seq[(String, Long, String)]): DataFrame =
+      rs.map { case (fp, id, t) => (fp, id, ts(t)) }.toDF("fp", "doc_id", "ts")
+    // ttl = 10 min, watermark delay 0: fx first seen 10:00 -> expires at
+    // watermark > 10:10
+    addFile(rows(Seq(("fx", 1L, "10:00"))), dir, "f1.parquet", 1000L)
+    // 10:05 dup is INSIDE the window -> suppressed; 10:20 advances the
+    // watermark past fx's 10:10 deadline
+    addFile(rows(Seq(("fx", 9L, "10:05"), ("fy", 2L, "10:20"))), dir, "f2.parquet", 2000L)
+    // fx gets no data this batch -> its timeout fires, state removed
+    addFile(rows(Seq(("fz", 4L, "10:40"))), dir, "f3.parquet", 3000L)
+    // fresh arrival after expiry -> RE-EMITTED (TTL-recrawl semantics)
+    addFile(rows(Seq(("fx", 5L, "10:50"))), dir, "f4.parquet", 4000L)
+
+    val schema = spark.read.parquet(s"$dir/f1.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+      .select(col("fp"), col("doc_id"), col("ts").cast("timestamp").as("ts"))
+      .as[StreamDedup.DocTsRow]
+    val out = StreamDedup.dedupStreamTtl(stream, ttlMs = 10 * 60 * 1000L)
+    val qname = "ttl_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName(qname)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val got = spark.table(qname).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    assert(got == Seq(("fx", 1L, 1L), ("fx", 5L, 1L), ("fy", 2L, 1L), ("fz", 4L, 1L)),
+      s"fx: first sight emits (1), the 10:05 in-window dup is suppressed, and the " +
+        s"post-expiry 10:50 arrival re-emits (5); got $got")
+  }
 }
