@@ -458,10 +458,11 @@ object SparkEntry {
     }),
 
     // ---- f9: temperature-scaled source mixing (XLM-R/mT5 q ∝ p^α).
-    // Rates are computed IN-PLAN from the input's own per-lang counts
-    // (budget = 0.5·N), so DuckDB re-derives counts, weights,
-    // normalizer, hex thresholds, and the per-row md5 gate — an exact
-    // membership check at any sf. ----
+    // Rates derive from the input's own per-lang counts (budget =
+    // 0.5·N; thresholds computed driver-side in a fixed order and
+    // rounded to 6 decimals — see temperatureThresholds), so DuckDB
+    // re-derives counts, weights, normalizer, hex thresholds, and the
+    // per-row md5 gate — an exact membership check at any sf. ----
     "f9_temperature_mix" -> ((s, dir) => {
       graft.sample.Sampling.temperatureMix(pq(s, dir, "documents"),
           col("doc_id"), col("lang"), alpha = 0.3, budgetFrac = 0.5, salt = "m7")
@@ -1313,8 +1314,10 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
 
     // f9: DuckDB re-derives per-lang counts, temperature weights, the
-    // normalizer, the hex thresholds (same association order as the
-    // Spark plan: ((((nn*0.5)*w)/z)/n)), and the per-row md5 gate.
+    // normalizer, the hex thresholds, and the per-row md5 gate. The
+    // rate is rounded to 6 decimals on BOTH sides before hexing (see
+    // Sampling.temperatureThresholds) so each engine's float summation
+    // order / libm cannot flip a threshold's last hex digit.
     "f9_temperature_mix" ->
       """WITH cnt AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
         |tot AS (SELECT CAST(sum(n) AS DOUBLE) AS nn FROM cnt),
@@ -1322,9 +1325,10 @@ object SparkEntry {
         |      FROM cnt CROSS JOIN tot),
         |z AS (SELECT sum(wgt) AS z FROM w),
         |thr AS (SELECT lang,
-        |    CASE WHEN least(1.0, nn * 0.5 * wgt / z / CAST(n AS DOUBLE)) >= 1.0 THEN 'g'
-        |         ELSE printf('%08x', CAST(floor(least(1.0, nn * 0.5 * wgt / z
-        |                / CAST(n AS DOUBLE)) * 4294967296.0) AS BIGINT)) END AS th
+        |    CASE WHEN round(least(1.0, nn * 0.5 * wgt / z / CAST(n AS DOUBLE)), 6) >= 1.0
+        |         THEN 'g'
+        |         ELSE printf('%08x', CAST(floor(round(least(1.0, nn * 0.5 * wgt / z
+        |                / CAST(n AS DOUBLE)), 6) * 4294967296.0) AS BIGINT)) END AS th
         |  FROM w CROSS JOIN z)
         |SELECT d.doc_id, d.lang FROM documents d JOIN thr USING (lang)
         |WHERE substr(md5(CAST(d.doc_id AS VARCHAR) || 'm7'), 1, 8) < th

@@ -99,18 +99,35 @@ object Dedup {
     * shuffle carries (id, long) rather than (id, thirteen words); the
     * bench side (eval sets are ~10^5 docs; grams deduped first) is an
     * aggregate AQE can broadcast, and the LEFT SEMI join never widens
-    * the doc side. A 64-bit collision can only FLAG an extra doc —
-    * conservative in the removal direction — never miss a real overlap.
+    * the doc side. Before any exchange, the doc-side gram stream is
+    * pruned by a broadcast Bloom sketch of the bench grams — the
+    * standard trick when the eval set is tiny vs the corpus: ~all of
+    * the corpus's grams are ruled out map-side at ~`bloomFpp` false-
+    * positive cost, so the shuffle (or broadcast-probe) carries only
+    * the rare maybe-matches; the exact semi join remains the
+    * correctness backstop, so the result is IDENTICAL with or without
+    * the sketch. A 64-bit gram-hash collision can only FLAG an extra
+    * doc — conservative in the removal direction — never miss a real
+    * overlap.
     */
   def contaminatedIds(docs: DataFrame, idCol: String, textCol: String,
-                      bench: DataFrame, benchTextCol: String, n: Int = 13): DataFrame = {
+                      bench: DataFrame, benchTextCol: String, n: Int = 13,
+                      bloomFpp: Double = 0.01): DataFrame = {
     val docGrams = docs
       .select(col(idCol).as("doc_id"), explode(TextOps.shingles(col(textCol), n)).as("gram"))
       .select(col("doc_id"), xxhash64(col("gram")).as("g"))
+    // materialize the deduped bench grams ONCE (they feed both the Bloom
+    // build and the exact join); eval sets are small by definition
     val benchGrams = bench
       .select(explode(TextOps.shingles(col(benchTextCol), n)).as("gram"))
       .select(xxhash64(col("gram")).as("g")).distinct()
-    docGrams.join(benchGrams, Seq("g"), "left_semi")
+      .localCheckpoint(true)
+    val nBench = benchGrams.count()
+    val bf = benchGrams.stat.bloomFilter("g", math.max(nBench, 1000L), bloomFpp)
+    val bcast = docs.sparkSession.sparkContext.broadcast(bf)
+    val mightContain = udf((h: Long) => bcast.value.mightContainLong(h))
+    docGrams.filter(mightContain(col("g")))
+      .join(benchGrams, Seq("g"), "left_semi")
       .select(col("doc_id")).distinct()
   }
 

@@ -70,22 +70,41 @@ object LinkGraph {
     * Scale shape: anchors are normalized then counted with a map-side-
     * combinable groupBy(dst, anchor) — a mega-hub's million in-links
     * collapse in the partial aggregate before any shuffle concentrates
-    * them. The top-k is a window ONLY over the already-aggregated
-    * (dst, distinct-anchor) rows — bounded by distinct anchor TEXTS per
-    * target, not by in-degree — so the hot key a rank-over-raw-links
-    * window would create never materializes. Empty/whitespace anchors
-    * are dropped. */
+    * them. The top-k then runs TWO-LEVEL: a partial top-k per
+    * (dst, hash-shard-of-anchor) window, then the final k over the
+    * ≤ shards·k survivors per dst. Organic in-degree skew already
+    * collapsed in the aggregate; the shard level additionally bounds
+    * the ADVERSARIAL case — a link-spam target with millions of
+    * DISTINCT anchor texts — to 1/shards of its rows per window
+    * partition, so no single task ever serializes a flood. Every
+    * global top-k row is a within-shard top-k row, so the two-level
+    * result is exactly the single-window result. `shards = 1` opts
+    * back into the single window (one fewer exchange) when inputs are
+    * trusted. Empty/whitespace anchors are dropped. */
   def anchorTopK(links: DataFrame, dstCol: String, anchorCol: String,
-                 k: Int = 3): DataFrame = {
+                 k: Int = 3, shards: Int = 16): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
+    require(shards > 0, s"shards must be positive, got $shards")
     val norm = lower(regexp_replace(trim(col(anchorCol)), "\\s+", " "))
     val counts = links
       .select(col(dstCol).as("dst"), norm.as("anchor"))
       .filter(length(col("anchor")) > 0)
       .groupBy("dst", "anchor").agg(count(lit(1)).as("n_inlinks"))
-    val w = org.apache.spark.sql.expressions.Window
+    val wFinal = org.apache.spark.sql.expressions.Window
       .partitionBy("dst").orderBy(desc("n_inlinks"), asc("anchor"))
-    counts.withColumn("anchor_rank", row_number().over(w))
+    val preTopK =
+      if (shards == 1) counts
+      else {
+        val wShard = org.apache.spark.sql.expressions.Window
+          .partitionBy("dst", "_anchor_shard")
+          .orderBy(desc("n_inlinks"), asc("anchor"))
+        counts
+          .withColumn("_anchor_shard", pmod(xxhash64(col("anchor")), lit(shards.toLong)))
+          .withColumn("_shard_rank", row_number().over(wShard))
+          .filter(col("_shard_rank") <= k)
+          .drop("_anchor_shard", "_shard_rank")
+      }
+    preTopK.withColumn("anchor_rank", row_number().over(wFinal))
       .filter(col("anchor_rank") <= k)
   }
 

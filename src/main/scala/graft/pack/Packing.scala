@@ -17,25 +17,40 @@ import org.apache.spark.sql.functions._
   * Scale shape: one window per group partition (sum over an
   * UNBOUNDED PRECEDING frame is O(n) streaming, not O(n²)); the only
   * shuffle is the partitionBy(groupCol) exchange. A single giant group
-  * would serialize its window — at 100 TB, pre-shard the group key
-  * (e.g. (source, xxhash64(doc_id) % k)) so each shard packs
+  * would serialize its window — pass `shards` to pre-shard the group
+  * key as (group, xxhash64(id) % shards) so each shard packs
   * independently; bins are group-local by construction so sharding
-  * changes bin NUMBERING only, never which docs share a bin boundary
-  * within a shard. */
+  * changes bin NUMBERING only (bins are per (group, shard)), never
+  * which docs share a bin boundary within a shard. */
 object Packing {
 
   /** Adds `n_tokens` (whitespace count of `textCol`), `pack_offset`
     * (tokens preceding this doc in its group's fill order) and
-    * `pack_bin` (offset / budget, integer division). */
+    * `pack_bin` (offset div budget — LONG integer division, so the
+    * "pure integer arithmetic any engine reproduces exactly" contract
+    * holds at any cumsum magnitude, not just below 2^53 where a
+    * double quotient stays exact). With `shards` set, also adds
+    * `pack_shard` and packs each (group, shard) independently — the
+    * safe shape when one group can exceed a single task's row budget
+    * (10^10-doc corpora with few sources). */
   def packByBudget(df: DataFrame, idCol: String, groupCol: String,
-                   textCol: String, budget: Long): DataFrame = {
+                   textCol: String, budget: Long,
+                   shards: Option[Int] = None): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
-    val w = Window.partitionBy(groupCol).orderBy(idCol)
+    require(shards.forall(_ > 0), s"shards must be positive, got $shards")
+    val (withShard, partCols) = shards match {
+      case Some(s) =>
+        (df.withColumn("pack_shard",
+          pmod(xxhash64(col(idCol)), lit(s.toLong)).cast("int")),
+          Seq(col(groupCol), col("pack_shard")))
+      case None => (df, Seq(col(groupCol)))
+    }
+    val w = Window.partitionBy(partCols: _*).orderBy(idCol)
       .rowsBetween(Window.unboundedPreceding, -1)
-    df.withColumn("n_tokens",
+    withShard.withColumn("n_tokens",
         graft.text.TextOps.tokenCount(col(textCol)).cast("long"))
       .withColumn("pack_offset",
         coalesce(sum(col("n_tokens")).over(w), lit(0L)))
-      .withColumn("pack_bin", floor(col("pack_offset") / lit(budget)).cast("long"))
+      .withColumn("pack_bin", expr(s"pack_offset div ${budget}L"))
   }
 }

@@ -56,6 +56,35 @@ object Sampling {
     df.filter(keepExpr(keyCol, threshold, salt))
   }
 
+  /** Per-source hex thresholds for [[temperatureMix]], computed with a
+    * FIXED evaluation order (sources sorted ascending; sums and pow on
+    * the driver, mirroring [[keepScala]]'s side of the contract): a
+    * distributed float sum's partition order — and libm pow vs another
+    * engine's — can flip the last hex digit of a threshold, breaking
+    * the exact-membership contract for boundary rows. The rate is
+    * additionally rounded to 6 decimals before hexing so a 1-ulp
+    * disagreement with an independent recomputation (the DuckDB
+    * oracle) is absorbed unless the true rate sits within ~1e-16 of a
+    * rounding boundary.
+    *
+    *   rate_s = min(1, (N · budgetFrac) · q_s / n_s),  q_s ∝ (n_s/N)^alpha
+    */
+  def temperatureThresholds(counts: Seq[(String, Long)], alpha: Double,
+                            budgetFrac: Double): Seq[(String, String)] = {
+    require(counts.nonEmpty, "counts must be non-empty")
+    val sorted = counts.sortBy(_._1)
+    require(sorted.map(_._1).distinct.size == sorted.size, "duplicate source in counts")
+    val nn = sorted.map(_._2).sum.toDouble
+    val w = sorted.map { case (s, n) => (s, n, math.pow(n / nn, alpha)) }
+    val z = w.map(_._3).sum
+    w.map { case (s, n, wgt) =>
+      val rate = math.min(1.0, nn * budgetFrac * wgt / z / n.toDouble)
+      val rounded = java.math.BigDecimal.valueOf(rate)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      (s, rateToHex(rounded))
+    }
+  }
+
   /** Temperature-scaled source mixing — the standard multilingual /
     * multi-source rebalancing rule (XLM-R, mT5): target mixture
     * q_s ∝ p_s^alpha with p_s = n_s/N, flattening the head and
@@ -64,34 +93,43 @@ object Sampling {
     *
     *   rate_s = min(1, (N · budgetFrac) · q_s / n_s)
     *
-    * i.e. an expected budgetFrac·N-row output distributed by q. The
-    * whole computation stays IN-PLAN: per-source counts → weights →
-    * normalizer → hex thresholds are a broadcast-sized chain (one row
-    * per source) joined back to the data, so the only full pass is the
-    * final codegen'd filter — no driver collect, no RNG, and the same
-    * cluster-size-independent membership contract as `sampleBy`
-    * (DuckDB recomputes the identical decision per row). */
+    * i.e. an expected budgetFrac·N-row output distributed by q.
+    *
+    * Per-source counts are collected to the driver (bounded: one row
+    * per SOURCE — a corpus label like language or provenance, config-
+    * scale cardinality, never per-document) and folded into literal
+    * thresholds via [[temperatureThresholds]], so the data-side plan is
+    * ONE codegen'd CASE filter the scan evaluates — no join, no helper
+    * columns injected into the user's schema, and the same cluster-
+    * size-independent membership contract as `sampleBy` (DuckDB
+    * recomputes the identical decision per row).
+    *
+    * At 100 TB the counts pass is the only extra scan; callers that
+    * already track per-source counts (a curation pipeline always does)
+    * pass them via `counts` and the whole operator is a single scan.
+    * With injected counts, rows whose source is absent from `counts`
+    * are dropped (rate 0) — inject complete counts. */
   def temperatureMix(df: DataFrame, keyCol: Column, sourceCol: Column,
                      alpha: Double, budgetFrac: Double,
-                     salt: String = ""): DataFrame = {
+                     salt: String = "",
+                     counts: Option[Seq[(String, Long)]] = None): DataFrame = {
     require(alpha > 0.0 && budgetFrac > 0.0, "alpha and budgetFrac must be > 0")
-    val srcName = "_tm_src"
-    val cnt = df.groupBy(sourceCol.as(srcName)).agg(count(lit(1)).as("_n"))
-    val tot = cnt.agg(sum("_n").cast("double").as("_nn"))
-    val w = cnt.crossJoin(broadcast(tot))
-      .withColumn("_w", pow(col("_n").cast("double") / col("_nn"), alpha))
-    val z = w.agg(sum("_w").as("_z"))
-    // threshold arithmetic must be reproducible verbatim by the oracle:
-    // ((((nn * budgetFrac) * w) / z) / n), floor(rate * 2^32) as 8 hex
-    val rates = w.crossJoin(broadcast(z))
-      .withColumn("_rate", least(lit(1.0),
-        col("_nn") * budgetFrac * col("_w") / col("_z") / col("_n").cast("double")))
-      .withColumn("_th", when(col("_rate") >= 1.0, lit("g"))
-        .otherwise(lower(lpad(hex(floor(col("_rate") * 4294967296.0).cast("long")), 8, "0"))))
-      .select(col(srcName), col("_th"))
-    df.join(broadcast(rates), sourceCol === col(srcName))
-      .filter(keepExpr(keyCol, col("_th"), salt))
-      .drop(srcName, "_th")
+    val cnts = counts.getOrElse {
+      df.groupBy(sourceCol.cast("string").as("src"))
+        .agg(count(lit(1)).as("n")).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+    }
+    require(cnts.size <= 100000,
+      s"${cnts.size} distinct sources — temperatureMix folds thresholds into a " +
+        "CASE expression; at that cardinality the 'source' column is not a " +
+        "mixture label (aggregate it first)")
+    val th = temperatureThresholds(cnts, alpha, budgetFrac)
+    val src = sourceCol.cast("string")
+    val first = when(src === th.head._1, lit(th.head._2))
+    val thExpr = th.tail.foldLeft(first) {
+      case (acc, (s, h)) => acc.when(src === s, lit(h))
+    }.otherwise(lit("00000000")) // unknown source (injected counts only): rate 0
+    df.filter(keepExpr(keyCol, thExpr, salt))
   }
 
   /** Driver-side twin of the column expression, for tests and for

@@ -138,6 +138,17 @@ object StreamDedup {
       .format("memory").queryName(qname)
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    // The oracle equivalence (keep_id = group MIN id, n_copies = total
+    // group size) is single-batch semantics: if the file source ever
+    // splits the corpus (e.g. maxFilesPerTrigger leaking in from session
+    // defaults), keep_id/n_copies would reflect first-arrival order, the
+    // oracle would mismatch nondeterministically, and the failure would
+    // look like a dedup bug. Make the assumption explicit instead.
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    require(dataBatches == 1,
+      s"runBounded expects the whole corpus in ONE micro-batch (single-batch " +
+        s"min-id semantics); source produced $dataBatches data batches — check " +
+        "maxFilesPerTrigger/maxBytesPerTrigger session defaults")
     spark.table(qname).orderBy("fp")
   }
 }

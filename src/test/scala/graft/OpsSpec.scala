@@ -397,6 +397,26 @@ class OpsSpec extends AnyFunSuite {
       ("b", "x", 1L, 1)))
   }
 
+  test("anchorTopK: adversarial distinct-anchor flood — sharded result equals single-window") {
+    import spark.implicits._
+    // one spam target carrying 10^5 DISTINCT anchors (each count 1, so
+    // the aggregate cannot collapse them) + an organic target
+    val spam = spark.range(100000L)
+      .select(lit("victim").as("dst"), concat(lit("spam anchor "), col("id")).as("anchor"))
+    val organic = Seq(("page", "home"), ("page", "home"), ("page", "docs")).toDF("dst", "anchor")
+    val links = spam.unionByName(organic)
+    val sharded = graft.graph.LinkGraph.anchorTopK(links, "dst", "anchor", k = 3, shards = 16)
+    // the flood is cut per (dst, shard): the partial top-k window is
+    // partitioned by the anchor shard, so no task serializes 10^5 rows
+    val p = sharded.queryExecution.executedPlan.toString
+    assert("hashpartitioning\\(dst#\\d+, _anchor_shard".r.findFirstIn(p).isDefined, p.take(1200))
+    val single = graft.graph.LinkGraph.anchorTopK(links, "dst", "anchor", k = 3, shards = 1)
+    val a = sharded.orderBy("dst", "anchor_rank").collect().map(_.toSeq).toSeq
+    val b = single.orderBy("dst", "anchor_rank").collect().map(_.toSeq).toSeq
+    assert(a == b, "two-level top-k must equal the single-window result")
+    assert(a.count(_.head == "victim") == 3 && a.count(_.head == "page") == 2)
+  }
+
   test("temperatureMix: membership = driver recomputation; tail source clamps to keep-all") {
     import spark.implicits._
     // 80/16/4 split, alpha=0.5, budgetFrac=0.5 -> rates ~0.374 / 0.836 /
@@ -407,11 +427,14 @@ class OpsSpec extends AnyFunSuite {
     val kept = graft.sample.Sampling.temperatureMix(
         docs, col("doc_id"), col("lang"), alpha = 0.5, budgetFrac = 0.5, salt = "t")
       .select("doc_id", "lang").collect().map(r => (r.getLong(0), r.getString(1))).toSet
-    // same association order as the plan: ((((nn*bf)*w)/z)/n)
+    // independent recomputation (rounded to 6 decimals like the operator)
     val n = Map("en" -> 80.0, "de" -> 16.0, "fr" -> 4.0)
     val wgt = n.map { case (l, c) => l -> math.pow(c / 100.0, 0.5) }
     val z = wgt.values.sum
-    val rate = n.map { case (l, c) => l -> math.min(1.0, 100.0 * 0.5 * wgt(l) / z / c) }
+    val rate = n.map { case (l, c) =>
+      l -> java.math.BigDecimal.valueOf(math.min(1.0, 100.0 * 0.5 * wgt(l) / z / c))
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    }
     val expected = (0 until 100).map { i =>
       val l = if (i < 80) "en" else if (i < 96) "de" else "fr"
       (i.toLong, l)
@@ -419,6 +442,19 @@ class OpsSpec extends AnyFunSuite {
     assert(kept == expected)
     assert((96L until 100L).forall(i => kept.contains((i, "fr"))), "clamped source keeps all")
     assert(rate("fr") == 1.0 && rate("de") < 1.0 && rate("en") < rate("de"))
+    // injected-counts path (the single-scan 100 TB shape) selects the
+    // SAME rows as the self-counting path
+    val keptInjected = graft.sample.Sampling.temperatureMix(
+        docs, col("doc_id"), col("lang"), alpha = 0.5, budgetFrac = 0.5, salt = "t",
+        counts = Some(Seq("en" -> 80L, "de" -> 16L, "fr" -> 4L)))
+      .select("doc_id", "lang").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(keptInjected == kept)
+    // a pre-existing column named like an internal helper must survive
+    // (the operator injects NO helper columns — regression guard)
+    val withTh = docs.withColumn("_th", lit("user data")).withColumn("_tm_src", lit(1))
+    val cols = graft.sample.Sampling.temperatureMix(
+      withTh, col("doc_id"), col("lang"), alpha = 0.5, budgetFrac = 0.5, salt = "t").columns
+    assert(cols.contains("_th") && cols.contains("_tm_src"))
   }
 
   test("packByBudget: hand-computed offsets and bins; empty text packs as zero tokens") {
@@ -433,6 +469,29 @@ class OpsSpec extends AnyFunSuite {
     assert(out == Seq(
       (1L, 3L, 0L, 0L), (2L, 2L, 3L, 0L), (3L, 4L, 5L, 1L), (4L, 1L, 9L, 1L),
       (5L, 2L, 0L, 0L), (6L, 0L, 2L, 0L)))
+  }
+
+  test("packByBudget shards: within a shard, bins equal packing that shard alone") {
+    import spark.implicits._
+    // one giant group — the shape shards exist for
+    val docs = (0L until 300L).map(i => (i, "web", s"tok ${"x " * (i % 9).toInt}trail"))
+      .toDF("doc_id", "lang", "text")
+    val sharded = graft.pack.Packing.packByBudget(
+        docs, "doc_id", "lang", "text", budget = 20L, shards = Some(4))
+      .select("doc_id", "pack_shard", "pack_offset", "pack_bin").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(sharded.map(_._2).distinct.length == 4, "expected all 4 shards populated")
+    // invariance: packing ONLY the members of shard s (unsharded call)
+    // reproduces that shard's offsets and bin boundaries exactly
+    sharded.groupBy(_._2).foreach { case (s, rows) =>
+      val ids = rows.map(_._1).toSet
+      val alone = graft.pack.Packing.packByBudget(
+          docs.filter(col("doc_id").isin(ids.toSeq: _*)), "doc_id", "lang", "text", 20L)
+        .select("doc_id", "pack_offset", "pack_bin").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+      assert(alone.toSeq == rows.map(r => (r._1, r._3, r._4)).sortBy(_._1).toSeq,
+        s"shard $s diverged from packing it alone")
+    }
   }
 
   test("fluency: hand-computed char-bigram surprisal, smoothing and normalization") {

@@ -66,14 +66,30 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("hashpartitioning(user_id"), p.take(900))
   }
 
-  test("t7/f9: in-plan model/rate tables stay broadcast (no SMJ on the data path)") {
-    Seq("t7_fluency", "f9_temperature_mix").foreach { q =>
-      val p = planOf(q, execute = true)
-      assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
-        s"$q plan:\n${p.take(900)}")
-      assert(!p.contains("SortMergeJoin"),
-        s"$q model/rate join degraded to SMJ:\n${p.take(900)}")
-    }
+  test("t7: in-plan model table stays broadcast (no SMJ on the data path)") {
+    val p = planOf("t7_fluency", execute = true)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"t7 plan:\n${p.take(900)}")
+    assert(!p.contains("SortMergeJoin"),
+      s"t7 model join degraded to SMJ:\n${p.take(900)}")
+  }
+
+  test("f9: data path is a single scan + codegen'd CASE filter, no join") {
+    // thresholds fold into literals driver-side; the returned plan must
+    // be join-free (the counts pass is a separate bounded aggregate)
+    val p = planOf("f9_temperature_mix")
+    assert(!p.contains("Join"), s"f9 data path grew a join:\n${p.take(900)}")
+    assert("Scan parquet".r.findAllIn(p).size == 1, s"f9 expects one scan:\n${p.take(900)}")
+  }
+
+  test("f9: injected counts → the whole operator is ONE scan, zero exchanges") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val mixed = graft.sample.Sampling.temperatureMix(docs, col("doc_id"), col("lang"),
+      alpha = 0.3, budgetFrac = 0.5, salt = "m7",
+      counts = Some(Seq("en" -> 100L, "de" -> 40L, "fr" -> 20L)))
+    val p = mixed.queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(p).size == 1, p.take(900))
+    assert(!p.contains("Exchange") && !p.contains("Join"), p.take(900))
   }
 
   test("w8: one window, partitioned by the pack group") {
@@ -82,16 +98,24 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("hashpartitioning(lang"), p.take(900))
   }
 
-  test("l2: anchors aggregate BEFORE the top-k window (partial agg, window on grouped rows)") {
+  test("l2: aggregate below the windows; shard-level partial top-k below the final") {
     val p = planOf("l2_anchor_topk")
-    // the top-k rank must consume the aggregate's output, not raw links:
-    // in plan text the Window appears ABOVE (before, textually) the
-    // HashAggregate pair that collapses per-(dst, anchor) counts
-    val wi = p.indexOf("Window")
-    val ai = p.indexOf("HashAggregate")
-    assert(wi >= 0 && ai >= 0 && wi < ai,
-      s"window/aggregate order wrong (window@$wi agg@$ai):\n${p.take(1200)}")
-    assert(p.contains("hashpartitioning(dst"), p.take(900))
+    // anchored to the LOWEST window's input subtree (toString prints a
+    // node before its children): the (dst, anchor) count aggregate must
+    // sit BELOW the deepest Window, i.e. every window consumes
+    // aggregated rows, never raw links — a global indexOf("Window") <
+    // indexOf("HashAggregate") check can pass/fail on unrelated
+    // aggregates elsewhere in the plan (r4 ADVICE)
+    val lastW = p.lastIndexOf("Window")
+    assert(lastW >= 0, p.take(900))
+    assert(p.indexOf("HashAggregate", lastW) > lastW,
+      s"no aggregate below the deepest window:\n${p.take(1200)}")
+    // two-level shape: partial top-k partitioned by (dst, anchor shard),
+    // final top-k by dst alone
+    assert("hashpartitioning\\(dst#\\d+L?, _anchor_shard".r.findFirstIn(p).isDefined,
+      p.take(1200))
+    assert("hashpartitioning\\(dst#\\d+L?, \\d".r.findFirstIn(p).isDefined,
+      s"final window not partitioned by dst alone:\n${p.take(1200)}")
   }
 
   test("crawl fetch path: pages scan prunes the expected-text column") {
@@ -180,6 +204,30 @@ class PlanSpec extends AnyFunSuite {
     assert(!pp.contains("CartesianProduct") && !pp.contains("BroadcastNestedLoopJoin"), pp.take(800))
     assert(!pp.matches("(?s).*Window \\[[^\\]]*\\]$.*") || pp.contains("partitionBy"),
       "window in pair generation must be partitioned")
+  }
+
+  test("d12: bench-gram Bloom prunes the doc gram stream BELOW the exchange") {
+    // force the shuffle shape (AQE would broadcast the tiny bench side at
+    // this sf, hiding the exchange the 100 TB plan has) and check the
+    // Bloom UDF filter sits in the doc-side subtree under its Exchange —
+    // i.e. grams are ruled out map-side before any shuffle moves them
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val docs = spark.read.parquet(s"$sf/documents.parquet")
+      val bench = docs.filter(col("doc_id") % 17 === 3)
+        .select(col("text").as("bench_text"))
+      val ids = graft.dedup.Dedup.contaminatedIds(docs, "doc_id", "text", bench, "bench_text")
+      val p = ids.queryExecution.executedPlan.toString
+      assert(p.contains("LeftSemi"), p.take(900))
+      val ex = p.indexOf("Exchange")
+      val udfFilter = p.indexOf("UDF(")
+      assert(ex >= 0 && udfFilter > ex,
+        s"bloom prefilter not below the exchange (exchange@$ex udf@$udfFilter):\n${p.take(1500)}")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
   }
 
   test("q1: partial aggregation before the shuffle (map-side combine)") {
