@@ -16,19 +16,32 @@ import graft.synth.SyntheticWeb
   * configured crawl-delay (the politeness SEMANTICS are verified in
   * CrawlParitySpec at reference budgets).
   *
-  * Trust protocol (r2 lesson: the official BENCH_r02 headline recorded
-  * 265 urls/s while the identical harness reproduces at ~1,990 — one
-  * stalled round on a shared VM contaminated the whole number):
+  * Trust protocol (r2 lesson: a stalled round contaminated the official
+  * number; r4 lesson: a SUSTAINED degraded-LLC host window understated
+  * the official headline 4.5× and only a judge re-run caught it —
+  * median-of-N absorbs episodic noise, not sustained windows):
   *   - the headline crawl runs `headlineRuns`× on FRESH work dirs and
   *     reports the MEDIAN elapsed run, so a single bad window cannot
-  *     become the round's official number; per-run times are emitted too;
+  *     become the round's official number; per-run times are emitted;
+  *   - ENFORCED window gate: before each headline run the LLC pointer-
+  *     chase probe must read below `SPARK_GRAFT_GATE_LLC_NS` (default
+  *     60 ns; healthy ≈ 25) — the harness waits, bounded by
+  *     `SPARK_GRAFT_BENCH_WAIT_SEC`, instead of measuring into a stolen
+  *     cache; every run is stamped with its before/after probe and
+  *     flagged contaminated above `SPARK_GRAFT_QUARANTINE_LLC_NS`
+  *     (default 90). The median prefers healthy runs; if none exist the
+  *     JSON carries `"quarantined": true` — an official artifact now
+  *     self-identifies;
+  *   - the headline runs the BUCKETED pages layout (the 10^10-honest
+  *     fetch path, measured faster at sandbox scale too since r4); the
+  *     broadcast path stays as a comparison cell;
   *   - sf0.1 uses a 480k-page corpus (4× r2's) so rounds are data-bound
   *     rather than round-overhead-bound;
   *   - a separate `crawl_r1cfg` cell re-measures under the ROUND-1
   *     workload configuration (120k pages, rps=400, depth 3, capped
   *     sitemaps) so cross-round engine speedups stay attributable —
-  *     the headline's config changes (rps/depth/sitemaps) are disclosed
-  *     in BENCH.md and this cell isolates them.
+  *     the headline's config changes (rps/depth/sitemaps/layout) are
+  *     disclosed in BENCH.md and this cell isolates them.
   *
   * The `queries` map additionally times every SparkEntry probe on the sf
   * tables. */
@@ -116,25 +129,63 @@ object Bench {
     (chase(2 << 20, 20_000_000), chase(16 << 20, 10_000_000))
   }
 
-  /** Repeat a crawl on fresh work dirs; returns (per-run results with
-    * absorbed host-steal seconds, the median run by elapsed time). Work
+  /** The enforced memory-window gate (r4 lesson: the official BENCH_r04
+    * headline was a 4.5×-understated artifact of a sustained degraded-
+    * LLC window — the instrument recorded it, but nothing acted on it
+    * and the median-of-3 protocol cannot absorb a SUSTAINED window).
+    * Before each headline run, poll the LLC chase latency and wait
+    * (bounded by a shared budget) until it drops below `thresholdNs`;
+    * consume from `waitBudgetSec` so a never-recovering host cannot
+    * stall the driver. Returns seconds actually waited. */
+  final class WindowGate(thresholdNs: Double, var waitBudgetSec: Double) {
+    var waitedSec: Double = 0.0
+    def await(): Unit = {
+      var llc = memLatNs()._1
+      while (llc > thresholdNs && waitBudgetSec > 0) {
+        val napSec = math.min(45.0, waitBudgetSec)
+        Thread.sleep((napSec * 1000).toLong)
+        waitBudgetSec -= napSec
+        waitedSec += napSec
+        llc = memLatNs()._1
+      }
+    }
+  }
+
+  final case class GatedRun(fetched: Long, chunks: Long, sec: Double,
+                            stealSec: Double, llcBefore: Double, llcAfter: Double,
+                            contaminated: Boolean)
+
+  /** Repeat a crawl on fresh work dirs behind the window gate; each run
+    * is stamped with its before/after LLC chase latency and flagged
+    * contaminated when either probe exceeds `quarantineNs`. The median
+    * is taken over HEALTHY runs when any exist (quarantined = false);
+    * only if every run was contaminated does the median fall back to
+    * all runs with quarantined = true — the official JSON then
+    * self-identifies instead of silently recording an artifact. Work
     * dirs are deleted between runs so repeated multi-GB crawls cannot
     * exhaust /dev/shm. */
-  def medianCrawl(spark: SparkSession, siteDir: String, runs: Int,
-                  rps: Double, maxDepth: Int)
-      : (Seq[(Long, Long, Double, Double)], (Long, Long, Double)) = {
+  def medianCrawlGated(spark: SparkSession, siteDir: String, runs: Int,
+                       rps: Double, maxDepth: Int, gate: WindowGate,
+                       quarantineNs: Double,
+                       bucketedTable: Option[String] = None)
+      : (Seq[GatedRun], (Long, Long, Double), Boolean) = {
     val results = (1 to runs).map { i =>
+      gate.await()
       val wd = java.nio.file.Files
         .createTempDirectory(java.nio.file.Paths.get("/dev/shm"), s"graft_bench_crawl$i").toString
+      val llc0 = memLatNs()._1
       val s0 = stealTicks()
-      val r = crawlBench(spark, siteDir, wd, rps, maxDepth)
+      val r = crawlBench(spark, siteDir, wd, rps, maxDepth, bucketedTable = bucketedTable)
       val stealSec = (stealTicks() - s0) / 100.0
+      val llc1 = memLatNs()._1
       deleteRecursively(wd)
-      (r._1, r._2, r._3, stealSec)
+      GatedRun(r._1, r._2, r._3, stealSec, llc0, llc1,
+        contaminated = math.max(llc0, llc1) > quarantineNs)
     }
-    (results, results.sortBy(_._3).apply((runs - 1) / 2) match {
-      case (f, c, s, _) => (f, c, s)
-    })
+    val healthy = results.filter(!_.contaminated)
+    val pool = if (healthy.nonEmpty) healthy else results
+    val med = pool.sortBy(_.sec).apply((pool.size - 1) / 2)
+    (results, (med.fetched, med.chunks, med.sec), healthy.isEmpty)
   }
 
   def main(args: Array[String]): Unit = {
@@ -172,17 +223,37 @@ object Bench {
 
     val spark = CrawlJob.session(cpus, "graft-bench")
 
-    // headline: crawl throughput, median of N fresh runs. High politeness
-    // budget + uncapped depth so the crawl covers the whole corpus in a
-    // few BFS rounds and the measurement is engine throughput, not the
-    // configured crawl-delay or depth-3 reachability of the random link
-    // graph (politeness/depth SEMANTICS are asserted in CrawlParitySpec
-    // at reference budgets).
+    // Enforced window gate (r4 verdict #1): probe before every headline
+    // run, wait (bounded) while the LLC chase says the shared cache is
+    // stolen, flag runs that straddled a degraded window, and stamp the
+    // JSON with an explicit quarantined field — an official number can
+    // no longer silently be a host-contamination artifact.
+    val gateNs = sys.env.getOrElse("SPARK_GRAFT_GATE_LLC_NS", "60").toDouble
+    val quarantineNs = sys.env.getOrElse("SPARK_GRAFT_QUARANTINE_LLC_NS", "90").toDouble
+    val waitBudget = sys.env.getOrElse("SPARK_GRAFT_BENCH_WAIT_SEC", "600").toDouble
+    val gate = new WindowGate(gateNs, waitBudget)
+
+    // headline: crawl throughput, median of N fresh gated runs, on the
+    // BUCKETED pages layout — the 10^10-honest fetch path (no broadcast,
+    // no big-side shuffle) which r4 measured FASTER than the broadcast
+    // path at this corpus size too, so the headline and the scale story
+    // are now the same plan. High politeness budget + uncapped depth so
+    // the crawl covers the whole corpus in a few BFS rounds and the
+    // measurement is engine throughput, not the configured crawl-delay
+    // (politeness/depth SEMANTICS are asserted in CrawlParitySpec at
+    // reference budgets). Layout creation is the one-time ingest job,
+    // reported separately, never folded into crawl throughput.
     val rps = 8000.0
     val (llc0, dram0) = memLatNs()
     val siteDir = ensureBenchSite(spark, sfDir, cpus, rps)
-    val (runsAll, (fetched, chunks, crawlSec)) =
-      medianCrawl(spark, siteDir, headlineRuns, rps, maxDepth = 99)
+    val bkTable = "bench_pages_bucketed"
+    val tBk0 = System.nanoTime()
+    graft.sources.BucketedPages.createBucketedTable(
+      spark, s"$siteDir/pages.parquet", bkTable, buckets = cpus)
+    val bkLayoutSec = (System.nanoTime() - tBk0) / 1e9
+    val (runsAll, (fetched, chunks, crawlSec), quarantined) =
+      medianCrawlGated(spark, siteDir, headlineRuns, rps, maxDepth = 99,
+        gate, quarantineNs, bucketedTable = Some(bkTable))
     val urlsPerSec = if (crawlSec > 0) fetched / crawlSec else 0.0
 
     // attribution cell: the ROUND-1 workload configuration (120k pages,
@@ -190,36 +261,34 @@ object Bench {
     // engine-only speedup vs r1's 601 urls/s is directly comparable.
     val r1Site = ensureBenchSite(spark, sfDir, cpus, rps = 400.0,
       pagesOverride = Some(120000L), sitemapCapOverride = Some(200))
+    gate.await()
+    val r1Llc0 = memLatNs()._1
     val r1Wd = java.nio.file.Files
       .createTempDirectory(java.nio.file.Paths.get("/dev/shm"), "graft_bench_r1cfg").toString
     val (r1Fetched, _, r1Sec) = crawlBench(spark, r1Site, r1Wd, rps = 400.0, maxDepth = 3)
     deleteRecursively(r1Wd)
+    val r1Llc1 = memLatNs()._1
     val r1UrlsPerSec = if (r1Sec > 0) r1Fetched / r1Sec else 0.0
 
-    // bucketed-fetch cell: the 10^10 fetch layout (pages as a
-    // url-bucketed catalog table — no big-side shuffle/sort, no
-    // broadcast hint) run END-TO-END on the headline corpus. Layout
-    // creation is the one-time ingest job, reported separately as
-    // bucketed_layout_sec, never folded into crawl throughput.
-    val bkTable = "bench_pages_bucketed"
-    val tBk0 = System.nanoTime()
-    graft.sources.BucketedPages.createBucketedTable(
-      spark, s"$siteDir/pages.parquet", bkTable, buckets = cpus)
-    val bkLayoutSec = (System.nanoTime() - tBk0) / 1e9
-    val bkWd = java.nio.file.Files
-      .createTempDirectory(java.nio.file.Paths.get("/dev/shm"), "graft_bench_bucketed").toString
-    val (bkFetched, _, bkSec) = crawlBench(spark, siteDir, bkWd, rps,
-      maxDepth = 99, bucketedTable = Some(bkTable))
-    deleteRecursively(bkWd)
-    val bkUrlsPerSec = if (bkSec > 0) bkFetched / bkSec else 0.0
+    // comparison cell: the broadcast-batch fetch path (the pre-r5
+    // headline) — kept so the bucketed-vs-broadcast trade stays a
+    // measured number and cross-round headlines remain interpretable.
+    gate.await()
+    val bcLlc0 = memLatNs()._1
+    val bcWd = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("/dev/shm"), "graft_bench_broadcast").toString
+    val (bcFetched, _, bcSec) = crawlBench(spark, siteDir, bcWd, rps, maxDepth = 99)
+    deleteRecursively(bcWd)
+    val bcLlc1 = memLatNs()._1
+    val bcUrlsPerSec = if (bcSec > 0) bcFetched / bcSec else 0.0
 
     // per-query timings (includes the crawl as "crawl_pipeline");
     // a failed query records -1, never a fake "fast" time.
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     results("crawl_pipeline") = crawlSec
-    runsAll.zipWithIndex.foreach { case ((_, _, sec, _), i) => results(s"crawl_run${i + 1}") = sec }
+    runsAll.zipWithIndex.foreach { case (r, i) => results(s"crawl_run${i + 1}") = r.sec }
     results("crawl_r1cfg") = r1Sec
-    results("crawl_bucketed") = bkSec
+    results("crawl_broadcast") = bcSec
     results("bucketed_layout") = bkLayoutSec
 
     // Probes run in a FRESH session, each timed on its SECOND run (first
@@ -251,7 +320,14 @@ object Bench {
     // memlat_*: pointer-chase ns/hop at LLC(8MB)/DRAM(64MB) working sets,
     // before and after the timed cells — healthy ≈ 25/100; a window at
     // 130+/250+ understates crawl throughput ~2.5-3× (see BENCH.md).
-    println(s"""{"metric":"urls_fetched_extracted_per_sec","value":${f"$urlsPerSec%.1f"},"unit":"urls/sec","urls_fetched":$fetched,"chunks":$chunks,"crawl_sec":${f"$crawlSec%.1f"},"crawl_runs_sec":[${runsAll.map(r => f"${r._3}%.1f").mkString(",")}],"crawl_runs_steal_sec":[${runsAll.map(r => f"${r._4}%.1f").mkString(",")}],"r1cfg_urls_per_sec":${f"$r1UrlsPerSec%.1f"},"r1cfg_urls":$r1Fetched,"bucketed_urls_per_sec":${f"$bkUrlsPerSec%.1f"},"bucketed_urls":$bkFetched,"bucketed_layout_sec":${f"$bkLayoutSec%.1f"},"memlat_llc_ns":[${f"$llc0%.1f"},${f"$llc1%.1f"}],"memlat_dram_ns":[${f"$dram0%.1f"},${f"$dram1%.1f"}],"cpus":$cpus,"queries":$qs,"sf":"$sfDir"}""")
+    // quarantined: true ⇔ EVERY headline run straddled a window whose
+    // LLC probe exceeded quarantine_ns (the gate waited up to its budget
+    // first); the value then understates the engine — see BENCH.md.
+    val runsSec = runsAll.map(r => f"${r.sec}%.1f").mkString(",")
+    val runsSteal = runsAll.map(r => f"${r.stealSec}%.1f").mkString(",")
+    val runsLlc = runsAll.map(r => s"[${f"${r.llcBefore}%.1f"},${f"${r.llcAfter}%.1f"}]").mkString(",")
+    val runsContaminated = runsAll.map(_.contaminated).mkString(",")
+    println(s"""{"metric":"urls_fetched_extracted_per_sec","value":${f"$urlsPerSec%.1f"},"unit":"urls/sec","headline_path":"bucketed","quarantined":$quarantined,"urls_fetched":$fetched,"chunks":$chunks,"crawl_sec":${f"$crawlSec%.1f"},"crawl_runs_sec":[$runsSec],"crawl_runs_steal_sec":[$runsSteal],"crawl_runs_llc_ns":[$runsLlc],"crawl_runs_contaminated":[$runsContaminated],"memlat_gate":{"threshold_ns":$gateNs,"quarantine_ns":$quarantineNs,"waited_sec":${f"${gate.waitedSec}%.1f"}},"bucketed_urls_per_sec":${f"$urlsPerSec%.1f"},"bucketed_layout_sec":${f"$bkLayoutSec%.1f"},"broadcast_urls_per_sec":${f"$bcUrlsPerSec%.1f"},"broadcast_urls":$bcFetched,"broadcast_llc_ns":[${f"$bcLlc0%.1f"},${f"$bcLlc1%.1f"}],"r1cfg_urls_per_sec":${f"$r1UrlsPerSec%.1f"},"r1cfg_urls":$r1Fetched,"r1cfg_llc_ns":[${f"$r1Llc0%.1f"},${f"$r1Llc1%.1f"}],"memlat_llc_ns":[${f"$llc0%.1f"},${f"$llc1%.1f"}],"memlat_dram_ns":[${f"$dram0%.1f"},${f"$dram1%.1f"}],"cpus":$cpus,"queries":$qs,"sf":"$sfDir"}""")
     probeSpark.stop()
   }
 }

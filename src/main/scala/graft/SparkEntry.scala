@@ -518,6 +518,37 @@ object SparkEntry {
         .orderBy("dst", "anchor_rank")
     }),
 
+    // ---- w9: link-graph rank FEEDING the politeness schedule — the
+    // integration seam the crawl uses (CrawlJob re-scores frontier
+    // priority from LinkGraph between epochs, then Scheduler.rankSelect
+    // consumes it; CrawlParitySpec holds full-crawl trace parity, this
+    // probe pins the rank→priority→selection semantics against DuckDB).
+    // Graph + frontier derived from doc ids alone; priority = indegree
+    // (exact integer counts — no float drift); selection = the REAL
+    // rankSelect (budget = floor(0.6·5) = 3 per host). ----
+    "w9_linkrank_priority" -> ((s, dir) => {
+      import s.implicits._
+      val docs = pq(s, dir, "documents")
+      def urlOf(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        concat(lit("https://h"), (c % 7).cast("string"), lit(".example/p"), c.cast("string"))
+      val edges = docs.select(
+          (col("doc_id") % 40).as("sn"), ((col("doc_id") * 3 + 1) % 40).as("dn"))
+        .unionByName(docs.filter(col("doc_id") % 4 === 0)
+          .select((col("doc_id") % 40).as("sn"), lit(5L).as("dn")))
+        .select(urlOf(col("sn")).as("src"), urlOf(col("dn")).as("dst"))
+      val ranks = graft.graph.LinkGraph.indegree(edges, "src", "dst")
+        .select(col("node").as("url"), col("in_degree").cast("double").as("priority"))
+      val frontier = docs.select((col("doc_id") % 40).as("n")).distinct()
+        .select(urlOf(col("n")).as("url"),
+          concat(lit("h"), (col("n") % 7).cast("string"), lit(".example")).as("host"))
+        .join(ranks, Seq("url"), "left")
+      val limits = Seq.empty[(String, Double)].toDF("pattern", "rps")
+      graft.frontier.Scheduler.rankSelect(frontier,
+          limits, graft.frontier.Scheduler.Config(defaultRps = 0.6, roundSeconds = 5.0))
+        .select(col("url"), col("host"), col("priority"), col("rank").cast("int").as("rank"))
+        .orderBy("host", "rank")
+    }),
+
     // ---- A4 cache stats (cache.py:598-649: hit rate + top-5 url
     // patterns via Counter.most_common(5); tie-break count DESC,
     // pattern ASC — deterministic where Counter insertion order is not).
@@ -1385,6 +1416,32 @@ object SparkEntry {
         |       FROM cnt)
         |SELECT dst, anchor, n_inlinks, anchor_rank FROM rk
         |WHERE anchor_rank <= 3 ORDER BY dst, anchor_rank""".stripMargin,
+
+    // w9: DuckDB re-derives the edge set and frontier from doc ids,
+    // recomputes indegree (deduped edges, self-loops dropped) and the
+    // per-host politeness selection (priority DESC NULLS LAST, url ASC,
+    // rank <= 3) — the full rank→priority→schedule chain re-derived.
+    "w9_linkrank_priority" ->
+      """WITH e0 AS (
+        |  SELECT doc_id % 40 AS sn, ((doc_id * 3 + 1) % 40) AS dn FROM documents
+        |  UNION ALL
+        |  SELECT doc_id % 40, 5 FROM documents WHERE doc_id % 4 = 0),
+        |e AS (SELECT DISTINCT
+        |    'https://h' || CAST(sn % 7 AS VARCHAR) || '.example/p' || CAST(sn AS VARCHAR) AS src,
+        |    'https://h' || CAST(dn % 7 AS VARCHAR) || '.example/p' || CAST(dn AS VARCHAR) AS dst
+        |  FROM e0 WHERE sn <> dn),
+        |deg AS (SELECT dst AS url, CAST(count(*) AS DOUBLE) AS priority FROM e GROUP BY 1),
+        |f AS (SELECT DISTINCT
+        |    'https://h' || CAST((doc_id % 40) % 7 AS VARCHAR) || '.example/p'
+        |      || CAST(doc_id % 40 AS VARCHAR) AS url,
+        |    'h' || CAST((doc_id % 40) % 7 AS VARCHAR) || '.example' AS host
+        |  FROM documents),
+        |rk AS (SELECT f.url, f.host, deg.priority,
+        |    CAST(row_number() OVER (PARTITION BY f.host
+        |      ORDER BY deg.priority DESC NULLS LAST, f.url ASC) AS INTEGER) AS rank
+        |  FROM f LEFT JOIN deg ON deg.url = f.url)
+        |SELECT url, host, priority, rank FROM rk WHERE rank <= 3
+        |ORDER BY host, rank""".stripMargin,
 
     "d3_simhash" ->
       """WITH base AS (SELECT doc_id, text FROM documents),

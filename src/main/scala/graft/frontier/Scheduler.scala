@@ -50,7 +50,20 @@ object Scheduler {
       // politeness-bounded batch moves. None = plain parquet read with
       // batch-broadcast fetch (fine when each round's batch fits in a
       // broadcast).
-      bucketedPagesTable: Option[String] = None)
+      bucketedPagesTable: Option[String] = None,
+      // Link-graph frontier re-scoring: every `linkPriorityEvery`
+      // rounds, the priority of EVERY frontier row is replaced by the
+      // page's link-graph rank ("indegree" — exact, integer-valued — or
+      // "pagerank", rounded to 6 decimals) computed over the outlink
+      // edges of all pages fetched so far. This is how a production
+      // crawl actually feeds its priority queue (the reference ranks by
+      // sitemap-declared priority, scraper.py W1/sitemap_utils.py:255-266;
+      // at 10^10 urls the declared signal runs out and the link graph
+      // IS the importance signal). Unranked urls (no inbound edge yet)
+      // rank NULLS LAST, url ASC — same as link-discovered rows today.
+      linkPriorityMode: Option[String] = None,
+      linkPriorityEvery: Int = 4,
+      linkPriorityIters: Int = 3)
 
   object Config {
     /** Layered config (the reference's env/YAML/JSON layering,
@@ -78,7 +91,11 @@ object Scheduler {
         expireBeyondTtl = c.getOption("spark.graft.expireBeyondTtl")
           .map(_.toBoolean).getOrElse(base.expireBeyondTtl),
         bucketedPagesTable = c.getOption("spark.graft.bucketedPagesTable")
-          .orElse(base.bucketedPagesTable))
+          .orElse(base.bucketedPagesTable),
+        linkPriorityMode = c.getOption("spark.graft.linkPriorityMode")
+          .orElse(base.linkPriorityMode),
+        linkPriorityEvery = i("linkPriorityEvery", base.linkPriorityEvery),
+        linkPriorityIters = i("linkPriorityIters", base.linkPriorityIters))
     }
   }
 

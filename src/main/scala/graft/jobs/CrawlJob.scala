@@ -252,11 +252,50 @@ object CrawlJob {
       }
   }
 
+  /** Link-graph rank per url over the outlink edges of every page
+    * fetched in committed rounds < `upToRound` — the frontier's
+    * importance signal when `cfg.linkPriorityMode` is set (W1/F3 fed by
+    * the graph instead of sitemap declarations). "indegree" is exact
+    * (integer counts — bit-identical across engines and runs);
+    * "pagerank" ranks are rounded to 6 decimals so the float value a
+    * priority comparison sees is stable across partition orders.
+    *
+    * Scale shape: one flat multi-path read of the results tables
+    * pruned to (url, outlinks), canonicalization at the explode, then
+    * [[graft.graph.LinkGraph]]'s skew-safe aggregates; the rank table
+    * is one row per discovered url, equi-joined back onto the epoch's
+    * frontier input (AQE broadcasts it while small). */
+  private def linkRanks(spark: SparkSession, store: SnapshotStore,
+                        upToRound: Int, cfg: Scheduler.Config): DataFrame = {
+    import graft.graph.LinkGraph
+    val paths = (0 until upToRound).filterNot(store.isExpired)
+      .map(v => store.manifest(v).tables("results").path)
+    val ranked = if (paths.isEmpty) {
+      emptyFrontier(spark).select(col("url"), lit(0.0).as("link_rank")).limit(0)
+    } else {
+      val raw = spark.read.parquet(paths: _*)
+        .select(col("url").as("src_url"), explode(col("outlinks")).as("raw_url"))
+      val edges = Frontier.withFrontierKeys(raw, "raw_url")
+        .select(col("src_url").as("src"), col("url").as("dst"))
+      cfg.linkPriorityMode.get match {
+        case "indegree" => LinkGraph.indegree(edges, "src", "dst")
+          .select(col("node").as("url"), col("in_degree").cast("double").as("link_rank"))
+        case "pagerank" => LinkGraph.pagerank(edges, "src", "dst", cfg.linkPriorityIters)
+          .select(col("node").as("url"), round(col("rank"), 6).as("link_rank"))
+      }
+    }
+    ranked
+  }
+
   /** Run (or resume) the crawl. Returns the final snapshot version. */
   def run(spark: SparkSession, siteDir: String, workDir: String,
           cfg: Scheduler.Config = Scheduler.Config(),
           maxRounds: Int = 50,
           bloomThreshold: Long = 100000L): Int = {
+    require(cfg.linkPriorityMode.forall(Set("indegree", "pagerank")),
+      s"linkPriorityMode must be indegree|pagerank, got ${cfg.linkPriorityMode}")
+    require(cfg.linkPriorityEvery > 0,
+      s"linkPriorityEvery must be positive, got ${cfg.linkPriorityEvery}")
     val store = new SnapshotStore(workDir)
     // pages source: plain parquet, or the bucketed catalog table (the
     // Iceberg storage-partitioned stand-in) when cfg asks for it — the
@@ -401,7 +440,17 @@ object CrawlJob {
       var epochDenied: DataFrame = null
       var epochGate: DataFrame = null
       var nEpochDenied = 0L
-      if (assignedPath == null || batchIdx > maxBatch || carryCount > (assignedTotal - consumed)) {
+      // Link-graph re-scoring cadence: at rounds ≡ 0 (mod every) the
+      // WHOLE frontier's priority is replaced by the link-graph rank
+      // over edges accumulated so far, which forces an epoch boundary
+      // (the ranking key changes, so batches must be re-cut). Between
+      // re-score rounds the key is fixed and the epoch-batch stability
+      // argument above holds unchanged; RefCrawl mirrors the same
+      // cadence, so CrawlParitySpec can hold trace parity through it.
+      val rescoreDue = cfg.linkPriorityMode.isDefined && round > 0 &&
+        round % cfg.linkPriorityEvery == 0
+      if (assignedPath == null || batchIdx > maxBatch ||
+          carryCount > (assignedTotal - consumed) || rescoreDue) {
         val input =
           if (round == 0) initialFrontier(spark, siteDir, rules)
           // assignedTotal == 0 → the assigned dir is a zero-row
@@ -421,13 +470,24 @@ object CrawlJob {
           nEpochDenied = den.count()
           alw
         } else fresh
+        val toAssign =
+          if (rescoreDue) {
+            // replace (not merge) priority: once the link graph drives
+            // the frontier, rank IS the signal — urls without an inbound
+            // edge yet fall back to NULL (ranked last, url ASC), exactly
+            // like link-discovered rows between re-scores
+            allowed.drop("priority")
+              .join(linkRanks(spark, store, round, cfg), Seq("url"), "left")
+              .withColumnRenamed("link_rank", "priority")
+              .select(frontierCols.map(col): _*)
+          } else allowed
         val path = s"${store.root}/data/v$round/assigned"
         // row count + max batch ride the write job as an Observation —
         // no read-back job, and the zero-row case (no part files, no
         // inferable schema) falls out as (0, null) instead of an
         // AnalysisException
         val asgObs = org.apache.spark.sql.Observation(s"assign_epoch_r$round")
-        Scheduler.assignBatches(allowed, limits, cfg)
+        Scheduler.assignBatches(toAssign, limits, cfg)
           .observe(asgObs, count(lit(1)).as("n"), max("batch_no").as("mb"))
           .write.partitionBy("batch_no").mode("overwrite").parquet(path)
         val asgM = asgObs.get
@@ -643,11 +703,18 @@ object CrawlJob {
           // budget-unbound crawl. (Budget-BOUND crawls keep the carry
           // path: their epoch amortizes over many rounds.)
           val epochExhausted = batchIdx >= maxBatch
+          // …but not when the NEXT round re-scores priorities from the
+          // link graph: a pre-assignment under the stale ranking key
+          // would be thrown away at the boundary. Write the carry and
+          // let the boundary block re-score + assign.
+          val nextIsRescore = cfg.linkPriorityMode.isDefined &&
+            (round + 1) % cfg.linkPriorityEvery == 0
+          val preAssignNext = epochExhausted && !nextIsRescore
           var nextAssignedPath: String = null
           var nextTotal = 0L
           var nextMax = -1
           val carryPath = s"${store.root}/data/v$round/carry"
-          if (epochExhausted) {
+          if (preAssignNext) {
             nextAssignedPath = s"${store.root}/data/v$round/assigned_next"
             // stats ride the write job (see the epoch-assign Observation)
             val nxObs = org.apache.spark.sql.Observation(s"assign_next_r$round")
@@ -666,7 +733,7 @@ object CrawlJob {
 
           val elapsed = (System.nanoTime() - t0) / 1e9
           val (committedEpochStart, committedTotal, committedConsumed, committedMax) =
-            if (epochExhausted) (round + 1, nextTotal, 0L, nextMax)
+            if (preAssignNext) (round + 1, nextTotal, 0L, nextMax)
             else (epochStart, assignedTotal, consumed + nBatchRows, maxBatch)
           store.commit(spark, round,
             Map.empty,
@@ -691,11 +758,11 @@ object CrawlJob {
               "chunks" -> nChunks,
               "trace" -> nScheduled,
               "assigned" -> committedTotal) ++
-              (if (epochExhausted) Map("carry" -> 0L) else Map.empty),
+              (if (preAssignNext) Map("carry" -> 0L) else Map.empty),
             preWritten = Map("results" -> resultsPath,
               "visited" -> visitedPath,
-              "assigned" -> (if (epochExhausted) nextAssignedPath else assignedPath)) ++
-              (if (epochExhausted) Map.empty else Map("carry" -> carryPath)),
+              "assigned" -> (if (preAssignNext) nextAssignedPath else assignedPath)) ++
+              (if (preAssignNext) Map.empty else Map("carry" -> carryPath)),
             knownLineage = Map("trace" -> traceLineage),
             // chunks = merge-on-read view over results: the chunk rows
             // are already materialized (nested) in the results parquet —
@@ -704,13 +771,13 @@ object CrawlJob {
               "chunks" -> (resultsPath, "explode_chunks"),
               "seen_delta" -> (visitedPath, "seen_from_visited"),
               "trace" -> (visitedPath, "trace_from_visited")) ++
-              (if (epochExhausted) Map("carry" -> (visitedPath, "empty_frontier"))
+              (if (preAssignNext) Map("carry" -> (visitedPath, "empty_frontier"))
                else Map.empty))
           phase("commit")
 
           // advance state from the committed manifest
           val m = store.manifest(round)
-          if (epochExhausted) {
+          if (preAssignNext) {
             assignedPath = nextAssignedPath
             epochStart = round + 1
             assignedTotal = nextTotal

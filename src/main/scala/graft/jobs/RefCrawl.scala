@@ -39,7 +39,15 @@ object RefCrawl {
       // TTL/recrawl semantics (cache.py:211-311): a url seen at round r0
       // blocks re-entry only while round - r0 <= ttl; after expiry a
       // link-rediscovery re-fetches it.
-      seenTtlRounds: Option[Int] = None): Result = {
+      seenTtlRounds: Option[Int] = None,
+      // Link-graph priority re-scoring mirror (CrawlJob.linkRanks): at
+      // rounds ≡ 0 (mod k), EVERY frontier entry's priority is replaced
+      // by linkRankOf(edges so far) — edges are (fetched url, canonical
+      // outlink) pairs accumulated from all fetched pages, raw
+      // (undeduped); the rank function owns dedup/self-loop semantics
+      // so the spec can inject the exact twin of the distributed rank.
+      linkRankEvery: Option[Int] = None,
+      linkRankOf: Seq[(String, String)] => Map[String, Double] = _ => Map.empty): Result = {
 
     def rpsOf(host: String): Double =
       limits.getOrElse(host,
@@ -103,9 +111,21 @@ object RefCrawl {
       }
     }
 
+    val edges = mutable.ListBuffer.empty[(String, String)]
+
     var round = 0
     var progress = true
     while (frontier.nonEmpty && round < maxRounds && progress) {
+      // link-graph priority re-score (same cadence as CrawlJob)
+      linkRankEvery.foreach { k =>
+        if (round > 0 && round % k == 0) {
+          val ranks = linkRankOf(edges.toList)
+          frontier.keys.toList.foreach { u =>
+            val (d, _) = frontier(u)
+            frontier(u) = (d, ranks.get(u))
+          }
+        }
+      }
       // robots gate
       val (allowed, denied) = frontier.toSeq.partition { case (url, _) =>
         val host = UrlCanonical.hostOf(url)
@@ -145,8 +165,16 @@ object RefCrawl {
         pages.get(url).foreach { html =>
           val md = graft.html.DocRender.toMarkdown(Doc.fromHtml(html, url))
           chunkCount += Chunker.semanticChunks(md, url, "t", chunkSize, chunkOverlap).size
+          val links = Doc.extractLinks(html, url)
+          // edge accumulation matches CrawlJob's results-table explode:
+          // EVERY fetched page's outlinks, canonicalized, regardless of
+          // the frontier depth cap (a max-depth page still votes)
+          if (linkRankEvery.isDefined) links.foreach { l =>
+            val k = Frontier.canonicalKey(l)
+            if (k != null) edges += ((url, k))
+          }
           if (depth + 1 <= maxDepth)
-            Doc.extractLinks(html, url).foreach(l => addFrontier(l, depth + 1, None))
+            links.foreach(l => addFrontier(l, depth + 1, None))
         }
       }
       if (batch.nonEmpty || denied.nonEmpty) round += 1

@@ -104,6 +104,41 @@ class CrawlParitySpec extends AnyFunSuite {
       s"default-location sitemap fallback (S2) fed nothing into round 0: ${v0Host2.toSeq}")
   }
 
+  test("link-graph priority feeds the frontier: indegree re-scoring parity with reference") {
+    val (pages, robots, sitemaps, limits, seeds) = collectSite()
+    // exact sequential twin of LinkGraph.indegree: dedup (src,dst),
+    // drop self-loops, count inbound per node — integer-valued, so the
+    // distributed and sequential ranks are bit-identical
+    def refIndegree(edges: Seq[(String, String)]): Map[String, Double] =
+      edges.filter(e => e._1 != e._2).distinct
+        .groupBy(_._2).map { case (d, es) => d -> es.size.toDouble }
+    val every = 2
+    val ref = RefCrawl.run(pages, robots, sitemaps, limits, seeds,
+      linkRankEvery = Some(every), linkRankOf = refIndegree)
+    // the wiring must be LIVE: rank-ordered fetch order differs from the
+    // sitemap-priority order on this site
+    val refPlain = RefCrawl.run(pages, robots, sitemaps, limits, seeds)
+    assert(ref.trace != refPlain.trace,
+      "indegree re-scoring changed nothing — the parity case would not exercise the seam")
+    // (no seen-set equality vs the plain crawl: under a depth cap, fetch
+    // ORDER changes which depth a page is first discovered at, so
+    // re-scoring can legitimately shift the reachable frontier edge —
+    // the parity contract is spark == reference UNDER THE SAME ranking,
+    // asserted below.)
+
+    val workDir = java.nio.file.Files.createTempDirectory("graft_crawl_lp").toString
+    val cfg = graft.frontier.Scheduler.Config(
+      linkPriorityMode = Some("indegree"), linkPriorityEvery = every)
+    val last = CrawlJob.run(spark, siteDir, workDir, cfg, bloomThreshold = 100L)
+    val got = sparkTrace(workDir, last)
+    val want = ref.trace.map(t => (t.round, t.host, t.rank, t.url)).sortBy(t => (t._1, t._2, t._3))
+    assert(got.size == want.size, s"trace size: spark=${got.size} ref=${want.size}")
+    got.zip(want).zipWithIndex.foreach { case ((g, w), i) =>
+      assert(g == w, s"trace row $i differs: spark=$g ref=$w")
+    }
+    assert(sparkSeen(workDir, last) == ref.seen)
+  }
+
   test("re-invoking run() on a completed workDir is a no-op returning the final version") {
     val workDir = java.nio.file.Files.createTempDirectory("graft_rerun").toString
     val last = runSparkCrawl(workDir)
