@@ -401,7 +401,15 @@ object CrawlJob {
           bloomCap = math.max(seenCount * 4, bloomCap)
           bloom = Some(Frontier.buildBloom(seen, bloomCap))
         } else {
-          bloom.get.mergeInPlace(Frontier.buildBloom(delta, bloomCap))
+          // merge INTO the fresh delta sketch and republish the var —
+          // never mutate the already-published object: in local mode a
+          // broadcast can alias it, and bloomAdd now runs concurrently
+          // with the next-epoch job whose plan captured the pre-delta
+          // sketch (OR-only mutation would still be read-safe, but
+          // no-shared-mutation needs no such argument)
+          val merged = Frontier.buildBloom(delta, bloomCap)
+          merged.mergeInPlace(bloom.get)
+          bloom = Some(merged)
         }
       case None => ()
     }
@@ -556,10 +564,10 @@ object CrawlJob {
         // the groupBy result IS the complete lineage; only a >10k-host
         // round pays a second pass for the bounded top-N + rollup
         val maxLineageParts = 10000
-        val hostRows = selected.groupBy("host").count()
-          .limit(maxLineageParts + 1).collect()
-          .map(r => (r.getString(0), r.getLong(1)))
-        val (nScheduled, traceLineage) =
+        def lineageAndCount(): (Long, Map[String, Long]) = {
+          val hostRows = selected.groupBy("host").count()
+            .limit(maxLineageParts + 1).collect()
+            .map(r => (r.getString(0), r.getLong(1)))
           if (hostRows.length <= maxLineageParts)
             (hostRows.map(_._2).sum, hostRows.toMap)
           else {
@@ -571,6 +579,27 @@ object CrawlJob {
             val m = top.toMap
             val counted = top.map(_._2).sum
             (n, if (n > counted) m + ("<other>" -> (n - counted)) else m)
+          }
+        }
+        // Fast path: the scheduled count is KNOWN analytically (the whole
+        // pruned batch, min'd with the W4 cap), so the lineage groupBy —
+        // the only remaining pre-fetch action on `selected` — runs
+        // CONCURRENTLY with the extract write and is awaited at commit.
+        // This removes the last serialized scheduling job from the
+        // budget-unbound round (the shape whose fixed per-round latency
+        // caps low-core scaling efficiency). General path: the ranked
+        // count requires the job anyway, so it stays synchronous.
+        val (nScheduled, lineageF) =
+          if (epochFresh) {
+            val n = cfg.globalBudget.map(g => math.min(g, nBatchRows)).getOrElse(nBatchRows)
+            val f =
+              if (n == 0) scala.concurrent.Future.successful(Map.empty[String, Long])
+              else scala.concurrent.Future(lineageAndCount()._2)(
+                scala.concurrent.ExecutionContext.global)
+            (n, f)
+          } else {
+            val (n, m) = lineageAndCount()
+            (n, scala.concurrent.Future.successful(m))
           }
         // A4 cache-stats accounting (cache.py:598-649 analogue): requests
         // entering this round vs requests skipped by the seen set (Bloom
@@ -695,6 +724,26 @@ object CrawlJob {
             visited.write.mode("overwrite").parquet(visitedPath)
           }(scala.concurrent.ExecutionContext.global)
 
+          // Seen-set + Bloom maintenance CHAINED onto the visited write
+          // and overlapped with the epoch-next assign below (it was the
+          // last serialized job of every round). Safe because (a) the
+          // main thread does not touch seenMeta/seen/seenCount/bloom
+          // between this launch and the Await (commit + state advance
+          // read neither), (b) this round's in-flight plans captured
+          // their own references to the PRE-delta sketch, which bloomAdd
+          // never mutates (the merge path now merges INTO the fresh
+          // delta sketch and republishes the var; the sharded path's
+          // publish is generation-fenced), and (c) the await below
+          // happens-before every next-round read of these vars.
+          val thisRound = round
+          val bloomF = visitedF.map { _ =>
+            val nDen = visitObs.get("n_denied").asInstanceOf[Long]
+            seenMeta = seenMeta :+ ((thisRound, visitedPath, nScheduled + nDen))
+            seen = seenDfAt(thisRound)
+            seenCount += nScheduled + nDen
+            bloomAdd(spark.read.parquet(visitedPath))
+          }(scala.concurrent.ExecutionContext.global)
+
           // Epoch fast-path: this round consumed the LAST assigned batch,
           // so next round would re-epoch from (∅ remaining ∪ carry).
           // Assign the next epoch NOW and commit it directly — the
@@ -763,7 +812,8 @@ object CrawlJob {
               "visited" -> visitedPath,
               "assigned" -> (if (preAssignNext) nextAssignedPath else assignedPath)) ++
               (if (preAssignNext) Map.empty else Map("carry" -> carryPath)),
-            knownLineage = Map("trace" -> traceLineage),
+            knownLineage = Map("trace" -> scala.concurrent.Await.result(
+              lineageF, scala.concurrent.duration.Duration.Inf)),
             // chunks = merge-on-read view over results: the chunk rows
             // are already materialized (nested) in the results parquet —
             // a second flat write would double the round's largest write
@@ -790,11 +840,10 @@ object CrawlJob {
             carryDf = store.readTable(spark, round, "carry")
             consumed += nBatchRows
           }
-          val sdPath = m.tables("seen_delta").path
-          seenMeta = seenMeta :+ ((round, sdPath, nScheduled + nDenied))
-          seen = seenDfAt(round)
-          seenCount += nScheduled + nDenied
-          bloomAdd(spark.read.parquet(sdPath))
+          // seen-window advance + sketch add ran on the bloomF thread,
+          // overlapped with the epoch-next assign and the commit; this
+          // await publishes those var writes to every later read
+          scala.concurrent.Await.result(bloomF, scala.concurrent.duration.Duration.Inf)
           phase("bloom")
 
           // retention: rounds that left the TTL window hold no table any
