@@ -48,23 +48,29 @@ steal_ticks() { # sum of the steal field over cores 0..N-1
     if (c < n) s += $9 } END { print s+0 }' /proc/stat
 }
 
-run_at() { # one pinned run; echoes "<urls_per_sec> <sec> <results> <steal_sec>"
+llc_now() { # current LLC chase ns (dev/memlat.sh), for per-run window stamps
+  dev/memlat.sh | python3 -c "import json,sys; print(json.load(sys.stdin)['llc_ns'])"
+}
+
+run_at() { # one pinned run; echoes "<urls_per_sec> <sec> <results> <steal_sec> <llc0> <llc1>"
   local cpus=$1
   local mask="0-$((cpus - 1))"
   local work
   work=$(mktemp -d /dev/shm/graft_pinned_${cpus}_XXXX)
-  local s0 s1 line
+  local s0 s1 line l0 l1
+  l0=$(llc_now)
   s0=$(steal_ticks "$cpus")
   line=$(SPARK_DRIVER_MEM=${SPARK_DRIVER_MEM:-24g} \
     GRAFT_JAVA_OPTS="-Dspark.graft.defaultRps=$RPS -Dspark.graft.maxDepth=99 -Dspark.graft.roundSeconds=5" \
     taskset -c "$mask" sbt -batch "runMain graft.jobs.CrawlJob $SITE $work $cpus" \
     | grep "crawl complete")
   s1=$(steal_ticks "$cpus")
+  l1=$(llc_now)
   rm -rf "$work"
-  python3 - "$line" "$s0" "$s1" <<'EOF'
+  python3 - "$line" "$s0" "$s1" "$l0" "$l1" <<'EOF'
 import re, sys
 m = lambda k: float(re.search(k + r'=([0-9.]+)', sys.argv[1]).group(1))
-print(f"{m('urls_per_sec')} {m('sec')} {int(m('results'))} {(int(sys.argv[3])-int(sys.argv[2]))/100.0:.1f}")
+print(f"{m('urls_per_sec')} {m('sec')} {int(m('results'))} {(int(sys.argv[3])-int(sys.argv[2]))/100.0:.1f} {sys.argv[4]} {sys.argv[5]}")
 EOF
 }
 
@@ -86,12 +92,16 @@ lo, hi = rows[:runs], rows[runs:]
 assert len({int(r[2]) for r in rows}) == 1, f"runs diverged in fetched urls: {rows}"
 def cell(rs):
     best = max(rs, key=lambda r: r[0])
-    return best, [{"urls_per_sec": r[0], "sec": r[1], "steal_sec": r[3]} for r in rs]
+    return best, [{"urls_per_sec": r[0], "sec": r[1], "steal_sec": r[3],
+                   "llc_ns": [r[4], r[5]]} for r in rs]
 (bl, lruns), (bh, hruns) = cell(lo), cell(hi)
 eff = (bh[0] / bl[0]) / (high / low)
+# window health stamped per run (dev/memlat.sh LLC chase before/after):
+# a cell whose probe exceeds ~90 ns straddled a degraded window and the
+# pair should be quarantined per BENCH.md's 130+/250+ rule of thumb.
 print(json.dumps({"scaling_pinned": {
     "low_cpus": low, "high_cpus": high, "urls": int(bl[2]),
-    "protocol": "best-of-%d per width (episodic host CPU steal; per-run steal shown)" % runs,
+    "protocol": "best-of-%d per width (episodic host CPU steal; per-run steal + LLC chase window shown)" % runs,
     "low_runs": lruns, "high_runs": hruns,
     "thr_low": bl[0], "thr_high": bh[0],
     "speedup": round(bh[0] / bl[0], 2), "efficiency": round(eff, 3)}}))

@@ -8,21 +8,40 @@
 # LLC chase latency and only starts the measurement once it drops below
 # the threshold (healthy ~25 ns; 60 is "mostly recovered").
 #
-# Usage: dev/scaling_when_healthy.sh [llc_threshold_ns] [max_checks]
+# An oscillating window (r5-a: fired at LLC 50.3 ns, collapsed to
+# 53–114 mid-pair) defeats a single-probe trigger, so the sentinel now
+# requires TWO consecutive healthy probes 60 s apart, on BOTH the LLC
+# chase and the DRAM chase — firing into a momentary dip of a churning
+# window is the main residual failure mode.
+#
+# Usage: dev/scaling_when_healthy.sh [llc_threshold_ns] [max_checks] [dram_threshold_ns] [out_log]
 #   polls every 10 min; logs to /tmp/window_watch.log; pair output in
-#   /tmp/scaling_r4_healthy.log (scaling_pinned.sh JSON on the last line)
+#   $out_log (default /tmp/scaling_r4_healthy.log; scaling_pinned.sh
+#   JSON on the last line)
 set -e
 cd "$(dirname "$0")/.."
 THRESH=${1:-60}
 CHECKS=${2:-18}
+DRAM_THRESH=${3:-130}
+OUT=${4:-/tmp/scaling_r4_healthy.log}
+probe_ok() { # one memlat probe; logs it; exit 0 iff both chases healthy
+  local js llc dram
+  js=$(dev/memlat.sh)
+  llc=$(echo "$js" | python3 -c "import json,sys; print(json.load(sys.stdin)['llc_ns'])")
+  dram=$(echo "$js" | python3 -c "import json,sys; print(json.load(sys.stdin)['dram_ns'])")
+  echo "$(date -u +%H:%M:%S) llc_ns=$llc dram_ns=$dram" >> /tmp/window_watch.log
+  python3 -c "import sys; sys.exit(0 if $llc < $THRESH and $dram < $DRAM_THRESH else 1)"
+}
 for i in $(seq 1 "$CHECKS"); do
-  llc=$(dev/memlat.sh | python3 -c "import json,sys; print(json.load(sys.stdin)['llc_ns'])")
-  echo "$(date -u +%H:%M:%S) llc_ns=$llc" >> /tmp/window_watch.log
-  if python3 -c "import sys; sys.exit(0 if $llc < $THRESH else 1)"; then
-    echo "$(date -u +%H:%M:%S) healthy window - starting pinned pair" >> /tmp/window_watch.log
-    RUNS=1 dev/scaling_pinned.sh > /tmp/scaling_r4_healthy.log 2>/tmp/scaling_r4_healthy.err
-    echo "$(date -u +%H:%M:%S) pair done" >> /tmp/window_watch.log
-    exit 0
+  if probe_ok; then
+    sleep 60
+    if probe_ok; then
+      echo "$(date -u +%H:%M:%S) healthy window (2 consecutive probes) - starting pinned pair" >> /tmp/window_watch.log
+      RUNS=1 dev/scaling_pinned.sh > "$OUT" 2>"${OUT%.log}.err"
+      echo "$(date -u +%H:%M:%S) pair done" >> /tmp/window_watch.log
+      exit 0
+    fi
+    echo "$(date -u +%H:%M:%S) second probe failed - window churning, back to polling" >> /tmp/window_watch.log
   fi
   sleep 600
 done
