@@ -955,6 +955,68 @@ object SparkEntry {
 
     "m2_modality_stats" -> ((s, dir) => {
       Multimodal.modalityStats(Multimodal.extractFeatures(Multimodal.synthMedia(s, 600, 8)))
+    }),
+
+    // ---- t8: line-frequency boilerplate removal (CCNet/RefinedWeb line
+    // dedup). The probe plants two universal footer lines per source
+    // (doc frequency 100% → dropped) plus one 1-in-7 line that must
+    // survive the ≥50% gate; DuckDB recomputes doc frequencies, the
+    // boilerplate set, and every reassembled clean_text from the raw
+    // strings — exact string equality per document. ----
+    "t8_boilerplate" -> ((s, dir) => {
+      val corpus = pq(s, dir, "documents").select(col("doc_id"), col("source"),
+        concat(col("text"),
+          lit("\nHome | About | Contact"),
+          lit("\n(c) 2026 "), col("source"), lit(" media group"),
+          when(col("doc_id") % 7 === 0, lit("\nSubscribe to our newsletter"))
+            .otherwise(lit(""))).as("text"))
+      graft.text.Boilerplate.removeBoilerplate(corpus, "doc_id", "source", "text")
+        .orderBy("doc_id")
+    }),
+
+    // ---- f10: deterministic split assignment — train/val/test as a
+    // total partition of the md5-prefix space, composable with f8's
+    // sampling gate (same prefix, same boundaries). Exact per-row
+    // membership recomputed by DuckDB at any sf. ----
+    "f10_split_assign" -> ((s, dir) => {
+      graft.sample.Sampling.assignSplits(pq(s, dir, "documents"), col("doc_id"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "r5")
+        .select(col("doc_id"), col("split")).orderBy("doc_id")
+    }),
+
+    // ---- a9: corpus manifest — the per-(source, lang) data card
+    // (docs, token/char volume, exact distinct-fingerprint count, mean
+    // length); every aggregate recomputed by DuckDB from raw text. ----
+    "a9_corpus_manifest" -> ((s, dir) => {
+      graft.stats.CorpusStats.manifest(pq(s, dir, "documents"), "source", "lang", "text")
+        .orderBy("source", "lang")
+    }),
+
+    // ---- u1: URL-shape quality signals over a synthesized frontier
+    // (path depth, query params, digit ratio, tracking params,
+    // composite score) — pure string arithmetic DuckDB recomputes,
+    // including the unrounded-ratio score formula. ----
+    "u1_url_quality" -> ((s, dir) => {
+      import graft.url.UrlQuality
+      val urls = pq(s, dir, "documents").select(col("doc_id"),
+        concat(lit("https://"), col("source"), lit(".example/"),
+          expr("repeat('sec/', CAST(doc_id % 4 AS INT))"),
+          lit("page-"), col("doc_id"),
+          when(col("doc_id") % 3 === 0, lit("?id=9&utm_source=feed"))
+            .otherwise(when(col("doc_id") % 5 === 0, lit("?q=x"))
+              .otherwise(lit("")))).as("url"))
+      // digit_ratio / url_score stay UNROUNDED: both engines compute the
+      // identical IEEE double from the same op order, and a round(x, 4)
+      // here can disagree on decimal ties (Spark HALF_UP on the shortest
+      // repr vs DuckDB's rounding of the same binary double) — the
+      // driver's compare rounds both sides' identical doubles to 6.
+      urls.select(col("doc_id"),
+          UrlQuality.pathDepth(col("url")).cast("long").as("depth"),
+          UrlQuality.queryParamCount(col("url")).cast("long").as("n_params"),
+          UrlQuality.digitRatio(col("url")).as("digit_ratio"),
+          UrlQuality.hasTrackingParam(col("url")).cast("long").as("tracked"),
+          UrlQuality.qualityScore(col("url")).as("url_score"))
+        .orderBy("doc_id")
     })
   )
 
@@ -1973,6 +2035,99 @@ ORDER BY id_a""",
         |FROM events
         |WHERE time_bucket(INTERVAL '5 minutes', ts) + INTERVAL '5 minutes' + INTERVAL '10 minutes'
         |      <= (SELECT max(ts) FROM events)
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // t8: DuckDB rebuilds the planted-footer corpus, recomputes each
+    // (source, normalized line) doc frequency and the group doc counts,
+    // derives the identical boilerplate set (≥3 docs AND ≥50% of the
+    // source's docs), and reassembles every clean_text string in
+    // original line order — exact string comparison per document.
+    "t8_boilerplate" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, source,
+        |    text || chr(10) || 'Home | About | Contact'
+        |         || chr(10) || '(c) 2026 ' || source || ' media group'
+        |         || CASE WHEN doc_id % 7 = 0
+        |                 THEN chr(10) || 'Subscribe to our newsletter' ELSE '' END AS text
+        |  FROM documents),
+        |lines AS (
+        |  SELECT doc_id, source,
+        |    unnest(string_split(text, chr(10))) AS line,
+        |    generate_subscripts(string_split(text, chr(10)), 1) AS pos
+        |  FROM corpus),
+        |norm AS (
+        |  SELECT *, lower(regexp_replace(trim(line), '\s+', ' ', 'g')) AS nrm FROM lines),
+        |gd AS (SELECT source, count(DISTINCT doc_id) AS gdocs FROM corpus GROUP BY 1),
+        |docfreq AS (
+        |  SELECT source, nrm, count(DISTINCT doc_id) AS dfreq
+        |  FROM norm WHERE length(nrm) > 0 GROUP BY 1, 2),
+        |boiler AS (
+        |  SELECT docfreq.source, docfreq.nrm FROM docfreq JOIN gd USING (source)
+        |  WHERE dfreq >= 3 AND CAST(dfreq AS DOUBLE) / gdocs >= 0.5),
+        |flag AS (
+        |  SELECT n.doc_id, n.pos, n.line, b.nrm IS NOT NULL AS bp
+        |  FROM norm n LEFT JOIN boiler b ON n.source = b.source AND n.nrm = b.nrm)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(coalesce(sum(CASE WHEN bp THEN 1 END), 0) AS BIGINT) AS n_dropped,
+        |  coalesce(string_agg(CASE WHEN NOT bp THEN line END, chr(10) ORDER BY pos), '')
+        |    AS clean_text
+        |FROM flag GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // f10: boundaries are cum fractions rounded to 6 decimals then
+    // hexed (0.8 → cccccccc, 0.9 → e6666666) — DuckDB recomputes the
+    // identical per-row bucket from the same md5 prefix f8 uses.
+    "f10_split_assign" ->
+      """SELECT doc_id,
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'r5'), 1, 8) < 'cccccccc' THEN 'train'
+        |       WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'r5'), 1, 8) < 'e6666666' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // a9: every manifest aggregate recomputed from raw text — token
+    // count via the t1 formula, fingerprints via the t4 normalization,
+    // integer sums exact in both engines so avg is bit-identical.
+    "a9_corpus_manifest" ->
+      """SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS BIGINT) AS n_tokens,
+        |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+        |  CAST(count(DISTINCT md5(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS BIGINT)
+        |    AS n_unique,
+        |  round(avg(length(text)), 4) AS avg_chars
+        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // u1: DuckDB rebuilds the synthetic frontier URLs and recomputes
+    // every signal from the same string arithmetic; ratio and score are
+    // deliberately unrounded — the same IEEE ops in the same order give
+    // bit-identical doubles, which the driver rounds to 6 on both sides
+    // (an explicit round(x, 4) can disagree on decimal ties).
+    "u1_url_quality" ->
+      """WITH urls AS (
+        |  SELECT doc_id,
+        |    'https://' || source || '.example/' || repeat('sec/', CAST(doc_id % 4 AS INT))
+        |      || 'page-' || doc_id
+        |      || CASE WHEN doc_id % 3 = 0 THEN '?id=9&utm_source=feed'
+        |              WHEN doc_id % 5 = 0 THEN '?q=x' ELSE '' END AS url
+        |  FROM documents),
+        |parts AS (
+        |  SELECT doc_id, url,
+        |    regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS p,
+        |    regexp_extract(url, '\?([^#]*)', 1) AS q
+        |  FROM urls),
+        |sig AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split(p, '/'), x -> len(x) > 0)) AS BIGINT) AS depth,
+        |    CAST(CASE WHEN len(q) = 0 THEN 0 ELSE len(string_split(q, '&')) END AS BIGINT)
+        |      AS n_params,
+        |    CASE WHEN len(url) = 0 THEN 0.0
+        |         ELSE CAST(len(url) - len(regexp_replace(url, '[0-9]', '', 'g')) AS DOUBLE)
+        |              / len(url) END AS dr,
+        |    CAST(CASE WHEN regexp_matches(q, '(^|&)(utm_[a-z]+|gclid|fbclid|ref)=')
+        |         THEN 1 ELSE 0 END AS BIGINT) AS tracked
+        |  FROM parts)
+        |SELECT doc_id, depth, n_params, dr AS digit_ratio, tracked,
+        |  greatest(0.0,
+        |    1.0 - 0.08 * depth - 0.05 * n_params - 0.6 * dr - 0.15 * tracked) AS url_score
+        |FROM sig ORDER BY doc_id""".stripMargin
   )
 }

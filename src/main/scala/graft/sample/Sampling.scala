@@ -132,6 +132,50 @@ object Sampling {
     df.filter(keepExpr(keyCol, thExpr, salt))
   }
 
+  /** Deterministic train/val/test split assignment: every row gets
+    * exactly one split label, a pure function of (key, salt) — the
+    * same contract as [[sampleBy]] (partitioning/cluster-size/retry
+    * invariant), extended from a keep/drop gate to a total partition
+    * of the key space. The md5 prefix is bucketed against cumulative
+    * split boundaries, so splits are disjoint and exhaustive by
+    * construction, and COMPOSABLE with sampling: `sampleBy(rate = f1)`
+    * with the same key and salt selects exactly the first split's
+    * rows (both compare the same prefix against the same boundary) —
+    * a training subsample can never leak the held-out split.
+    *
+    * Boundaries are computed driver-side in the given order and
+    * rounded to 6 decimals before hexing (same drift guard as
+    * [[temperatureThresholds]]: 0.8 + 0.1 is 0.9000000000000001 in
+    * binary, and an engine recomputing the boundary from exact
+    * decimals must land on the identical hex literal). The data-side
+    * plan is one codegen'd CASE over the md5 prefix — no join, no
+    * shuffle, evaluated at the scan. */
+  def assignSplits(df: DataFrame, keyCol: Column,
+                   splits: Seq[(String, Double)], salt: String = "",
+                   outCol: String = "split"): DataFrame = {
+    require(splits.size >= 2, "need at least two splits (use sampleBy for a gate)")
+    require(splits.map(_._1).distinct.size == splits.size, "duplicate split name")
+    require(splits.forall { case (_, f) => f > 0.0 && !f.isNaN },
+      "every split fraction must be > 0")
+    val total = splits.map(_._2).sum
+    require(math.abs(total - 1.0) < 1e-6,
+      s"split fractions must sum to 1 (got $total) — splits partition the corpus")
+    val cums = splits.map(_._2).scanLeft(0.0)(_ + _).tail.map { c =>
+      java.math.BigDecimal.valueOf(c)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    }
+    val prefix =
+      substring(md5(concat(keyCol.cast("string"), lit(salt)).cast("binary")), 1, 8)
+    // first n-1 splits gate on their cumulative boundary; the last is
+    // the `otherwise` so float residue at the top can never drop a row
+    val gates = splits.init.map(_._1).zip(cums.init)
+    val chain = gates.tail.foldLeft(
+      when(prefix < lit(rateToHex(gates.head._2)), lit(gates.head._1))) {
+      case (acc, (name, cum)) => acc.when(prefix < lit(rateToHex(cum)), lit(name))
+    }.otherwise(lit(splits.last._1))
+    df.withColumn(outCol, chain)
+  }
+
   /** Driver-side twin of the column expression, for tests and for
     * admitting single records outside Spark (e.g. a streaming gate). */
   def keepScala(key: String, salt: String, rate: Double): Boolean = {

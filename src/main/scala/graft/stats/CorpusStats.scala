@@ -1,0 +1,47 @@
+package graft.stats
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.text.TextOps
+
+/** Corpus manifest — the per-(source, language) data card a training
+  * run is provisioned from: document counts, token/char volume, and
+  * the exact-duplicate rate via distinct content fingerprints. The
+  * reference reports per-crawl pipeline counts (A5/A6 crawl summary,
+  * `core/scraper.py` stats dict); this is the corpus-level analogue a
+  * curation pipeline publishes with every snapshot so mixture weights
+  * (see [[graft.sample.Sampling.temperatureMix]]) and dedup budgets
+  * are decided from recorded numbers, not re-scans.
+  *
+  * Scale shape: one groupBy over a config-cardinality key
+  * (source × lang), every aggregate map-side combinable. The one
+  * exception is the distinct-fingerprint count: `exact = true` (the
+  * oracle-checkable default) plans count(DISTINCT md5) — a second
+  * shuffle of (source, lang, fp) — while `exact = false` swaps in
+  * `approx_count_distinct` (HyperLogLog++, one pass, map-side
+  * combinable, ~2% error), which is the right call at 100 TB where
+  * the manifest is telemetry rather than an invariant. Token counts
+  * reuse [[TextOps.tokenCount]] and fingerprints the t4-proven
+  * whitespace-collapse normalization, so manifest numbers agree with
+  * the quality-gate and dedup operators they provision. */
+object CorpusStats {
+
+  def manifest(df: DataFrame, srcCol: String, langCol: String,
+               textCol: String, exact: Boolean = true): DataFrame = {
+    val rows = df.select(
+      col(srcCol), col(langCol),
+      TextOps.tokenCount(col(textCol)).cast("long").as("_tok"),
+      length(col(textCol)).cast("long").as("_chars"),
+      md5(regexp_replace(trim(col(textCol)), "\\s+", " ")).as("_fp"))
+    val uniq =
+      if (exact) count_distinct(col("_fp")) else approx_count_distinct(col("_fp"))
+    rows.groupBy(col(srcCol), col(langCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("_tok")).as("n_tokens"),
+        sum(col("_chars")).as("n_chars"),
+        uniq.as("n_unique"),
+        round(avg(col("_chars")), 4).as("avg_chars"))
+  }
+}

@@ -1,0 +1,72 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Line-frequency boilerplate removal (the CCNet / RefinedWeb line
+  * dedup pass): a line that recurs across many documents of the same
+  * group (host, source feed) is navigation / footer / cookie-banner
+  * chrome, not content — the reference's converter strips the DOM-level
+  * equivalents (nav/header/footer tags, html_parser.rs main-content
+  * heuristics); this operator is the corpus-level statistical
+  * complement that catches chrome rendered as plain text.
+  *
+  * A line is boilerplate within its group when it appears in at least
+  * `minDocs` documents AND in at least `minFrac` of the group's
+  * documents (both gates together: the absolute floor keeps 2-doc
+  * groups from flagging everything at 50%, the fraction keeps a
+  * 10^6-doc host from flagging a phrase that 1000 pages legitimately
+  * share). Matching is on the whitespace-collapsed lowercased line, so
+  * indentation/casing noise doesn't split a footer's counts.
+  *
+  * Output: (idCol, n_lines, n_dropped, clean_text) — the document's
+  * lines with boilerplate removed, original order and original (raw)
+  * line text preserved.
+  *
+  * Scale shape: explode lines → distinct(group, line, doc) →
+  * groupBy(group, line) doc-frequency — map-side combinable after the
+  * distinct, keys bounded by a group's distinct lines, no corpus-level
+  * hot key (the group column shards the line space the way the host
+  * shards a crawl). The boilerplate set joins back as a plain
+  * equi-join on (group, normline) — at web scale it is the DISTINCT
+  * frequent lines per group, orders of magnitude smaller than the line
+  * stream, and skew is impossible because a (group, line) key matches
+  * at most one boilerplate row. Reassembly is one groupBy(doc) whose
+  * state is bounded by the document's own line count. Nothing is
+  * windowed over an unbounded partition; nothing is collected. */
+object Boilerplate {
+
+  def removeBoilerplate(df: DataFrame, idCol: String, groupCol: String,
+                        textCol: String, minDocs: Long = 3L,
+                        minFrac: Double = 0.5): DataFrame = {
+    val lines = df
+      .select(col(idCol), col(groupCol),
+        posexplode(split(col(textCol), "\n")).as(Seq("_pos", "_line")))
+      .withColumn("_norm", lower(regexp_replace(trim(col("_line")), "\\s+", " ")))
+
+    // doc-frequency per (group, normalized line); empty lines are never
+    // boilerplate (they are layout, and dropping them would reflow text)
+    val docFreq = lines.filter(length(col("_norm")) > 0)
+      .select(col(groupCol), col("_norm"), col(idCol)).distinct()
+      .groupBy(col(groupCol), col("_norm")).agg(count(lit(1)).as("_df"))
+    val groupDocs = df.select(col(groupCol), col(idCol)).distinct()
+      .groupBy(col(groupCol)).agg(count(lit(1)).as("_gd"))
+
+    val boiler = docFreq.join(groupDocs, Seq(groupCol))
+      .filter(col("_df") >= minDocs &&
+        col("_df").cast("double") / col("_gd") >= minFrac)
+      .select(col(groupCol), col("_norm"), lit(true).as("_bp"))
+
+    lines.join(boiler, Seq(groupCol, "_norm"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        coalesce(sum(when(col("_bp"), 1L)), lit(0L)).as("n_dropped"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("_bp").isNull, struct(col("_pos"), col("_line"))))),
+            x => x.getField("_line")),
+          "\n").as("clean_text"))
+  }
+}

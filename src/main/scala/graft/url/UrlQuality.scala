@@ -1,0 +1,65 @@
+package graft.url
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** URL-shape quality heuristics — the frontier-side prioritization
+  * signals a crawl uses BEFORE fetching anything: deep paths, long
+  * query strings, tracking parameters, and digit-heavy URLs correlate
+  * with calendar/session/faceted-navigation traps and low-value pages.
+  * The reference ranks its frontier by sitemap-declared priority only
+  * (`utils/sitemap_utils.py:255-266`); these signals are the
+  * complementary score for the (at web scale, overwhelming) URLs no
+  * sitemap declares, feeding the same `priority` column the scheduler
+  * ranks on (`Scheduler.rankSelect`), exactly like the link-graph
+  * rank in [[graft.graph.LinkGraph]].
+  *
+  * Every signal is a pure codegen'd column expression over the URL
+  * string — no fetch, no join, no UDF — so scoring 10^10 frontier
+  * rows is a single scan-stage map, and any engine recomputes the
+  * identical decision (the DuckDB oracle does). */
+object UrlQuality {
+
+  /** Path component (after authority, before ?/#). */
+  private def path(url: Column): Column =
+    regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+
+  /** Query string (between ? and #), empty when absent. */
+  private def query(url: Column): Column =
+    regexp_extract(url, "\\?([^#]*)", 1)
+
+  /** Number of non-empty path segments: /a/b/c = 3, / = 0. */
+  def pathDepth(url: Column): Column =
+    size(filter(split(path(url), "/"), s => length(s) > 0))
+
+  /** Number of &-separated query params (0 when no query string). */
+  def queryParamCount(url: Column): Column = {
+    val q = query(url)
+    when(length(q) === 0, lit(0)).otherwise(size(split(q, "&")))
+  }
+
+  /** Fraction of the URL's characters that are digits — session ids,
+    * timestamps, and calendar-trap URLs score high. */
+  def digitRatio(url: Column): Column =
+    when(length(url) === 0, lit(0.0)).otherwise(
+      (length(url) - length(regexp_replace(url, "[0-9]", "")))
+        .cast("double") / length(url).cast("double"))
+
+  /** True when the query carries an analytics/tracking param — such
+    * URLs are duplicate views of their canonical page. */
+  def hasTrackingParam(url: Column): Column =
+    query(url).rlike("(^|&)(utm_[a-z]+|gclid|fbclid|ref)=")
+
+  /** Composite frontier-priority score in [0, 1]: 1 for a shallow,
+    * clean, digit-free URL, decaying with each trap signal. The
+    * weights are a heuristic ranking function (relative order is what
+    * the scheduler consumes), clamped at 0 so pathological URLs
+    * cannot go negative and reorder below "never fetch". */
+  def qualityScore(url: Column): Column =
+    greatest(lit(0.0),
+      lit(1.0)
+        - lit(0.08) * pathDepth(url).cast("double")
+        - lit(0.05) * queryParamCount(url).cast("double")
+        - lit(0.6) * digitRatio(url)
+        - lit(0.15) * hasTrackingParam(url).cast("int").cast("double"))
+}

@@ -1,0 +1,181 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sample.Sampling
+import graft.stats.CorpusStats
+import graft.text.Boilerplate
+import graft.url.UrlQuality
+
+/** Round-5 curation operators: line-frequency boilerplate removal,
+  * deterministic split assignment, corpus manifest, URL-shape quality. */
+class CurationSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  // ---- boilerplate removal ----
+
+  /** 6 docs on host a (footer on all, rare line on one), 2 docs on
+    * host b sharing a line that is 100% of b but only 2 docs (< minDocs). */
+  private def boilerDf: DataFrame = {
+    import spark.implicits._
+    val a = (0 until 6).map { i =>
+      (i.toLong, "a", s"unique body $i line one\nmore text $i\n(C) 2026  a   media\n" +
+        (if (i == 3) "rare promo line\n" else "") + "All Rights Reserved")
+    }
+    val b = Seq(
+      (100L, "b", "b body one\nShared Pair Line"),
+      (101L, "b", "b body two\nShared Pair Line"))
+    (a ++ b).toDF("doc_id", "host", "text")
+  }
+
+  test("boilerplate: universal footer dropped, rare and unique lines kept") {
+    val out = Boilerplate.removeBoilerplate(boilerDf, "doc_id", "host", "text")
+      .orderBy("doc_id").collect()
+    val d0 = out(0)
+    // doc 0: 4 lines, footer pair dropped (both appear in 6/6 docs of a,
+    // normalized across case/extra-space differences)
+    assert(d0.getAs[Long]("n_lines") == 4L)
+    assert(d0.getAs[Long]("n_dropped") == 2L)
+    assert(d0.getAs[String]("clean_text") == "unique body 0 line one\nmore text 0")
+    // doc 3 keeps its rare promo line (1/6 < 50%)
+    val d3 = out(3)
+    assert(d3.getAs[String]("clean_text") == "unique body 3 line one\nmore text 3\nrare promo line")
+    // host b: shared line is 2/2 = 100% but dfreq 2 < minDocs 3 → kept
+    val d100 = out.find(_.getAs[Long]("doc_id") == 100L).get
+    assert(d100.getAs[Long]("n_dropped") == 0L)
+    assert(d100.getAs[String]("clean_text") == "b body one\nShared Pair Line")
+  }
+
+  test("boilerplate: normalization merges case/whitespace variants of a line") {
+    import spark.implicits._
+    val df = (0 until 4).map { i =>
+      (i.toLong, "h", s"body $i\n" + (if (i % 2 == 0) "  FOLLOW  us " else "follow us"))
+    }.toDF("doc_id", "host", "text")
+    val out = Boilerplate.removeBoilerplate(df, "doc_id", "host", "text")
+      .orderBy("doc_id").collect()
+    assert(out.forall(_.getAs[Long]("n_dropped") == 1L))
+    assert(out.forall(r => r.getAs[String]("clean_text") == s"body ${r.getAs[Long]("doc_id")}"))
+  }
+
+  test("boilerplate: all-boilerplate doc yields empty clean_text; empty lines survive") {
+    import spark.implicits._
+    val df = (0 until 3).map(i => (i.toLong, "h",
+      if (i == 0) "the footer" else s"body $i\n\nthe footer")).toDF("doc_id", "host", "text")
+    val out = Boilerplate.removeBoilerplate(df, "doc_id", "host", "text")
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[String]("clean_text") == "")
+    assert(out(0).getAs[Long]("n_dropped") == 1L)
+    // empty line between body and footer is layout, never boilerplate
+    assert(out(1).getAs[String]("clean_text") == "body 1\n")
+  }
+
+  test("boilerplate: result invariant under repartitioning") {
+    val base = Boilerplate.removeBoilerplate(boilerDf, "doc_id", "host", "text")
+    val re = Boilerplate.removeBoilerplate(boilerDf.repartition(7), "doc_id", "host", "text")
+    assert(base.exceptAll(re).isEmpty && re.exceptAll(base).isEmpty)
+  }
+
+  // ---- split assignment ----
+
+  private def keysDf: DataFrame = {
+    import spark.implicits._
+    (0L until 5000L).toDF("k")
+  }
+
+  test("assignSplits: disjoint-exhaustive, fractions near targets, deterministic") {
+    val out = Sampling.assignSplits(keysDf, col("k"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "s")
+    val counts = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 5000L) // every row exactly one split
+    assert(math.abs(counts("train") - 4000.0) < 200)
+    assert(math.abs(counts("val") - 500.0) < 120)
+    assert(math.abs(counts("test") - 500.0) < 120)
+    // same input → identical assignment (pure function of key+salt)
+    val again = Sampling.assignSplits(keysDf.repartition(13), col("k"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "s")
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+  }
+
+  test("assignSplits composes with sampleBy: rate=first fraction selects exactly the train split") {
+    val splits = Sampling.assignSplits(keysDf, col("k"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "z")
+    val train = splits.filter(col("split") === "train").select("k")
+    val sampled = Sampling.sampleBy(keysDf, col("k"), 0.8, salt = "z")
+    assert(train.exceptAll(sampled).isEmpty && sampled.exceptAll(train).isEmpty)
+  }
+
+  test("assignSplits rejects non-partitions") {
+    intercept[IllegalArgumentException] {
+      Sampling.assignSplits(keysDf, col("k"), Seq("a" -> 0.5, "b" -> 0.4))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.assignSplits(keysDf, col("k"), Seq("a" -> 0.5, "a" -> 0.5))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.assignSplits(keysDf, col("k"), Seq("a" -> 1.0))
+    }
+  }
+
+  // ---- corpus manifest ----
+
+  test("manifest: exact counts on a handcrafted corpus; approx variant agrees at small ndv") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "web", "en", "alpha beta gamma"),
+      (2L, "web", "en", "  alpha   beta gamma "), // same fingerprint as doc 1
+      (3L, "web", "en", "delta"),
+      (4L, "web", "de", ""),
+      (5L, "news", "en", "eins zwei")).toDF("doc_id", "source", "lang", "text")
+    val m = CorpusStats.manifest(df, "source", "lang", "text")
+      .orderBy("source", "lang").collect()
+    assert(m.length == 3)
+    val webEn = m.find(r => r.getString(0) == "web" && r.getString(1) == "en").get
+    assert(webEn.getAs[Long]("n_docs") == 3L)
+    assert(webEn.getAs[Long]("n_tokens") == 7L) // 3 + 3 + 1
+    assert(webEn.getAs[Long]("n_unique") == 2L) // docs 1/2 collapse
+    val webDe = m.find(r => r.getString(0) == "web" && r.getString(1) == "de").get
+    assert(webDe.getAs[Long]("n_tokens") == 0L && webDe.getAs[Long]("n_chars") == 0L)
+    val approx = CorpusStats.manifest(df, "source", "lang", "text", exact = false)
+      .orderBy("source", "lang").collect()
+    // HLL is exact at this cardinality
+    assert(approx.map(_.getAs[Long]("n_unique")).toSeq == m.map(_.getAs[Long]("n_unique")).toSeq)
+  }
+
+  // ---- URL quality ----
+
+  test("url quality signals on handcrafted URLs") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "https://ex.com/"),
+      (2L, "https://ex.com/a/b/c"),
+      (3L, "https://ex.com/a?x=1&y=2"),
+      (4L, "https://ex.com/p?utm_source=mail&id=7"),
+      (5L, "https://ex.com/2024/01/02/post-123456789")).toDF("id", "url")
+    val out = df.select(col("id"),
+      UrlQuality.pathDepth(col("url")).as("d"),
+      UrlQuality.queryParamCount(col("url")).as("p"),
+      UrlQuality.hasTrackingParam(col("url")).as("t"),
+      round(UrlQuality.digitRatio(col("url")), 4).as("r"),
+      round(UrlQuality.qualityScore(col("url")), 4).as("s"))
+      .orderBy("id").collect()
+    assert(out(0).getAs[Int]("d") == 0 && out(0).getAs[Int]("p") == 0)
+    assert(out(1).getAs[Int]("d") == 3)
+    assert(out(2).getAs[Int]("p") == 2 && !out(2).getAs[Boolean]("t"))
+    assert(out(3).getAs[Boolean]("t"))
+    // digit-heavy dated URL scores below the clean deep path
+    assert(out(4).getAs[Double]("s") < out(1).getAs[Double]("s"))
+    // clean root scores highest
+    assert(out.map(_.getAs[Double]("s")).max == out(0).getAs[Double]("s"))
+  }
+}

@@ -236,6 +236,35 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(900))
   }
 
+  test("f10/u1: split assignment and URL scoring are scan-side maps — no exchange, no join") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p1 = graft.sample.Sampling.assignSplits(docs, col("doc_id"),
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .queryExecution.executedPlan.toString
+    assert(!p1.contains("Exchange") && !p1.contains("Join"), p1.take(600))
+    val p2 = docs.select(graft.url.UrlQuality.qualityScore(
+        concat(lit("https://h.example/p/"), col("doc_id"))).as("s"))
+      .queryExecution.executedPlan.toString
+    assert(!p2.contains("Exchange") && !p2.contains("Join"), p2.take(600))
+  }
+
+  test("t8: boilerplate chain has no cartesian/nested-loop join anywhere") {
+    val df = graft.text.Boilerplate.removeBoilerplate(
+      spark.read.parquet(s"$sf/documents.parquet"), "doc_id", "source", "text")
+    df.collect() // AQE final plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(900))
+  }
+
+  test("a9: manifest is aggregate-only; approx mode keeps map-side combine") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = graft.stats.CorpusStats.manifest(docs, "source", "lang", "text", exact = false)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), p.take(600))
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(900))
+  }
+
   test("driver smoke: entry() returns rows on sf0.001") {
     val n = SparkEntry.entry(spark).count()
     assert(n > 0)
