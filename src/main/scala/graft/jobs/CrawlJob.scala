@@ -292,8 +292,8 @@ object CrawlJob {
           cfg: Scheduler.Config = Scheduler.Config(),
           maxRounds: Int = 50,
           bloomThreshold: Long = 100000L): Int = {
-    require(cfg.linkPriorityMode.forall(Set("indegree", "pagerank")),
-      s"linkPriorityMode must be indegree|pagerank, got ${cfg.linkPriorityMode}")
+    require(cfg.linkPriorityMode.forall(Set("indegree", "pagerank", "urlshape")),
+      s"linkPriorityMode must be indegree|pagerank|urlshape, got ${cfg.linkPriorityMode}")
     require(cfg.linkPriorityEvery > 0,
       s"linkPriorityEvery must be positive, got ${cfg.linkPriorityEvery}")
     val store = new SnapshotStore(workDir)
@@ -480,14 +480,23 @@ object CrawlJob {
         } else fresh
         val toAssign =
           if (rescoreDue) {
-            // replace (not merge) priority: once the link graph drives
-            // the frontier, rank IS the signal — urls without an inbound
-            // edge yet fall back to NULL (ranked last, url ASC), exactly
-            // like link-discovered rows between re-scores
-            allowed.drop("priority")
-              .join(linkRanks(spark, store, round, cfg), Seq("url"), "left")
-              .withColumnRenamed("link_rank", "priority")
-              .select(frontierCols.map(col): _*)
+            if (cfg.linkPriorityMode.contains("urlshape"))
+              // URL-shape mode needs no graph and no join: the score is
+              // a pure codegen'd function of the url string, evaluated
+              // in the same projection that feeds assignBatches — every
+              // url gets a score (no NULL fallback)
+              allowed.withColumn("priority",
+                  graft.url.UrlQuality.qualityScore(col("url")))
+                .select(frontierCols.map(col): _*)
+            else
+              // replace (not merge) priority: once the link graph drives
+              // the frontier, rank IS the signal — urls without an inbound
+              // edge yet fall back to NULL (ranked last, url ASC), exactly
+              // like link-discovered rows between re-scores
+              allowed.drop("priority")
+                .join(linkRanks(spark, store, round, cfg), Seq("url"), "left")
+                .withColumnRenamed("link_rank", "priority")
+                .select(frontierCols.map(col): _*)
           } else allowed
         val path = s"${store.root}/data/v$round/assigned"
         // row count + max batch ride the write job as an Observation —

@@ -47,7 +47,12 @@ object RefCrawl {
       // (undeduped); the rank function owns dedup/self-loop semantics
       // so the spec can inject the exact twin of the distributed rank.
       linkRankEvery: Option[Int] = None,
-      linkRankOf: Seq[(String, String)] => Map[String, Double] = _ => Map.empty): Result = {
+      linkRankOf: Seq[(String, String)] => Map[String, Double] = _ => Map.empty,
+      // URL-shape priority mirror (CrawlJob "urlshape" mode): when set,
+      // the re-score ranks every frontier url by this pure function of
+      // the url string instead of the link graph — every url gets a
+      // score (no NULL fallback), matching the distributed pure map.
+      shapeRank: Option[String => Double] = None): Result = {
 
     def rpsOf(host: String): Double =
       limits.getOrElse(host,
@@ -119,10 +124,18 @@ object RefCrawl {
       // link-graph priority re-score (same cadence as CrawlJob)
       linkRankEvery.foreach { k =>
         if (round > 0 && round % k == 0) {
-          val ranks = linkRankOf(edges.toList)
-          frontier.keys.toList.foreach { u =>
-            val (d, _) = frontier(u)
-            frontier(u) = (d, ranks.get(u))
+          shapeRank match {
+            case Some(f) =>
+              frontier.keys.toList.foreach { u =>
+                val (d, _) = frontier(u)
+                frontier(u) = (d, Some(f(u)))
+              }
+            case None =>
+              val ranks = linkRankOf(edges.toList)
+              frontier.keys.toList.foreach { u =>
+                val (d, _) = frontier(u)
+                frontier(u) = (d, ranks.get(u))
+              }
           }
         }
       }

@@ -62,4 +62,28 @@ object UrlQuality {
         - lit(0.05) * queryParamCount(url).cast("double")
         - lit(0.6) * digitRatio(url)
         - lit(0.15) * hasTrackingParam(url).cast("int").cast("double"))
+
+  /** Driver-side twin of [[qualityScore]] — same Java regexes, same
+    * arithmetic in the same order, so the sequential and distributed
+    * scores are bit-identical (the RefCrawl parity oracle ranks with
+    * this when `linkPriorityMode = "urlshape"`). Mirrors
+    * `Sampling.keepScala`'s column/driver contract. */
+  def scoreScala(url: String): Double = {
+    def extract(pattern: String): String = {
+      val m = java.util.regex.Pattern.compile(pattern).matcher(url)
+      if (m.find()) Option(m.group(1)).getOrElse("") else ""
+    }
+    val path = extract("^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)")
+    val q = extract("\\?([^#]*)")
+    val depth = path.split("/", -1).count(_.nonEmpty)
+    // split with limit -1 matches Spark's split (trailing empties kept)
+    val params = if (q.isEmpty) 0 else q.split("&", -1).length
+    val ratio =
+      if (url.isEmpty) 0.0
+      else url.count(c => c >= '0' && c <= '9').toDouble / url.length
+    val tracked =
+      if (java.util.regex.Pattern.compile("(^|&)(utm_[a-z]+|gclid|fbclid|ref)=")
+        .matcher(q).find()) 1.0 else 0.0
+    math.max(0.0, 1.0 - 0.08 * depth - 0.05 * params - 0.6 * ratio - 0.15 * tracked)
+  }
 }

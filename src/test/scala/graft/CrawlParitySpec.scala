@@ -139,6 +139,31 @@ class CrawlParitySpec extends AnyFunSuite {
     assert(sparkSeen(workDir, last) == ref.seen)
   }
 
+  test("URL-shape priority feeds the frontier: urlshape re-scoring parity with reference") {
+    val (pages, robots, sitemaps, limits, seeds) = collectSite()
+    val every = 2
+    // driver twin is bit-identical to the distributed column (same Java
+    // regexes, same IEEE op order — see UrlQuality.scoreScala), so trace
+    // parity is exact even though scores are floats
+    val ref = RefCrawl.run(pages, robots, sitemaps, limits, seeds,
+      linkRankEvery = Some(every), shapeRank = Some(graft.url.UrlQuality.scoreScala))
+    val refPlain = RefCrawl.run(pages, robots, sitemaps, limits, seeds)
+    assert(ref.trace != refPlain.trace,
+      "urlshape re-scoring changed nothing — the parity case would not exercise the seam")
+
+    val workDir = java.nio.file.Files.createTempDirectory("graft_crawl_us").toString
+    val cfg = graft.frontier.Scheduler.Config(
+      linkPriorityMode = Some("urlshape"), linkPriorityEvery = every)
+    val last = CrawlJob.run(spark, siteDir, workDir, cfg, bloomThreshold = 100L)
+    val got = sparkTrace(workDir, last)
+    val want = ref.trace.map(t => (t.round, t.host, t.rank, t.url)).sortBy(t => (t._1, t._2, t._3))
+    assert(got.size == want.size, s"trace size: spark=${got.size} ref=${want.size}")
+    got.zip(want).zipWithIndex.foreach { case ((g, w), i) =>
+      assert(g == w, s"trace row $i differs: spark=$g ref=$w")
+    }
+    assert(sparkSeen(workDir, last) == ref.seen)
+  }
+
   test("re-invoking run() on a completed workDir is a no-op returning the final version") {
     val workDir = java.nio.file.Files.createTempDirectory("graft_rerun").toString
     val last = runSparkCrawl(workDir)

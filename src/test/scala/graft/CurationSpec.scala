@@ -178,4 +178,24 @@ class CurationSpec extends AnyFunSuite {
     // clean root scores highest
     assert(out.map(_.getAs[Double]("s")).max == out(0).getAs[Double]("s"))
   }
+
+  test("url quality: driver twin is bit-identical to the column expression") {
+    import spark.implicits._
+    val urls = (0 until 200).map { i =>
+      s"https://h$i.example/" + ("sec/" * (i % 5)) + s"page-$i" +
+        (i % 3 match {
+          case 0 => s"?id=$i&utm_source=feed"
+          case 1 => "?q=x&y=2#frag"
+          case _ => ""
+        })
+    } ++ Seq("", "notaurl", "https://x.example/a//b/", "ftp://h/p?ref=1")
+    val df = urls.toDF("url")
+    val got = df.select(UrlQuality.qualityScore(col("url")).as("s"))
+      .collect().map(_.getDouble(0))
+    val want = urls.map(UrlQuality.scoreScala)
+    got.zip(want).zip(urls).foreach { case ((g, w), u) =>
+      assert(java.lang.Double.doubleToLongBits(g) == java.lang.Double.doubleToLongBits(w),
+        s"twin drift on $u: spark=$g scala=$w")
+    }
+  }
 }
