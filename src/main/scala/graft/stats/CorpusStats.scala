@@ -29,6 +29,9 @@ object CorpusStats {
 
   def manifest(df: DataFrame, srcCol: String, langCol: String,
                textCol: String, exact: Boolean = true): DataFrame = {
+    val reserved = Set("_tok", "_chars", "_fp")
+    require(!Seq(srcCol, langCol, textCol).exists(reserved),
+      s"column names $reserved are reserved by manifest")
     val rows = df.select(
       col(srcCol), col(langCol),
       TextOps.tokenCount(col(textCol)).cast("long").as("_tok"),

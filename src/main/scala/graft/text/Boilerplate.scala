@@ -39,6 +39,11 @@ object Boilerplate {
   def removeBoilerplate(df: DataFrame, idCol: String, groupCol: String,
                         textCol: String, minDocs: Long = 3L,
                         minFrac: Double = 0.5): DataFrame = {
+    val reserved = Set("_pos", "_line", "_norm", "_bp", "_df", "_gd")
+    require(!Seq(idCol, groupCol, textCol).exists(reserved),
+      s"column names $reserved are reserved by removeBoilerplate")
+    require(minDocs >= 1L && minFrac >= 0.0 && !minFrac.isNaN,
+      s"minDocs must be >= 1 and minFrac >= 0, got ($minDocs, $minFrac)")
     val lines = df
       .select(col(idCol), col(groupCol),
         posexplode(split(col(textCol), "\n")).as(Seq("_pos", "_line")))

@@ -115,6 +115,18 @@ class CurationSpec extends AnyFunSuite {
     assert(train.exceptAll(sampled).isEmpty && sampled.exceptAll(train).isEmpty)
   }
 
+  test("boilerplate/manifest reject reserved helper-column names") {
+    import spark.implicits._
+    val df = Seq((1L, "h", "x")).toDF("_norm", "host", "text")
+    intercept[IllegalArgumentException] {
+      Boilerplate.removeBoilerplate(df, "_norm", "host", "text")
+    }
+    val df2 = Seq(("a", "en", "x")).toDF("_fp", "lang", "text")
+    intercept[IllegalArgumentException] {
+      CorpusStats.manifest(df2, "_fp", "lang", "text")
+    }
+  }
+
   test("assignSplits rejects non-partitions") {
     intercept[IllegalArgumentException] {
       Sampling.assignSplits(keysDf, col("k"), Seq("a" -> 0.5, "b" -> 0.4))
