@@ -1017,6 +1017,36 @@ object SparkEntry {
           UrlQuality.hasTrackingParam(col("url")).cast("long").as("tracked"),
           UrlQuality.qualityScore(col("url")).as("url_score"))
         .orderBy("doc_id")
+    }),
+
+    // ---- x1: the END-TO-END curation chain (the d10 of the r5 ops):
+    // planted footer chrome + planted exact clones → corpus boilerplate
+    // removal → token-floor quality gate ON THE CLEANED TEXT → exact
+    // dedup (clones collapse to the min id) → deterministic split
+    // assignment → per-(split, lang) manifest. Guards the stage-to-stage
+    // column contracts, not just each stage; DuckDB recomputes the whole
+    // chain from raw strings. ----
+    "x1_curation_chain" -> ((s, dir) => {
+      val docs = pq(s, dir, "documents")
+      val corpus = docs.select(col("doc_id"), col("lang"), col("source"), col("text"))
+        .unionByName(docs.filter(col("doc_id") % 6 === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"), col("lang"),
+            col("source"), col("text")))
+        .select(col("doc_id"), col("lang"), col("source"),
+          concat(col("text"), lit("\n(c) 2026 "), col("source"),
+            lit(" media group")).as("text"))
+      val cleaned = graft.text.Boilerplate
+        .removeBoilerplate(corpus, "doc_id", "source", "text")
+        .join(corpus.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      val gated = cleaned
+        .withColumn("n_tokens", TextOps.tokenCount(col("clean_text")))
+        .filter(col("n_tokens") >= 5)
+      val deduped = Dedup.exactDedup(gated, "doc_id", "clean_text")
+      graft.sample.Sampling.assignSplits(deduped, col("doc_id"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "x1")
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+        .orderBy("split", "lang")
     })
   )
 
@@ -2128,6 +2158,62 @@ ORDER BY id_a""",
         |SELECT doc_id, depth, n_params, dr AS digit_ratio, tracked,
         |  greatest(0.0,
         |    1.0 - 0.08 * depth - 0.05 * n_params - 0.6 * dr - 0.15 * tracked) AS url_score
-        |FROM sig ORDER BY doc_id""".stripMargin
+        |FROM sig ORDER BY doc_id""".stripMargin,
+
+    // x1: the full chain recomputed in SQL from raw strings — clone
+    // planting, boilerplate set + clean_text reassembly (t8's CTEs),
+    // t1's token formula on the CLEANED text, md5 min-id dedup (d1's
+    // equivalence), f10's split bucket, final manifest aggregation.
+    "x1_curation_chain" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, lang, source,
+        |    text || chr(10) || '(c) 2026 ' || source || ' media group' AS text
+        |  FROM (SELECT doc_id, lang, source, text FROM documents
+        |        UNION ALL
+        |        SELECT doc_id + 1000000, lang, source, text
+        |        FROM documents WHERE doc_id % 6 = 0)),
+        |lines AS (
+        |  SELECT doc_id, source,
+        |    unnest(string_split(text, chr(10))) AS line,
+        |    generate_subscripts(string_split(text, chr(10)), 1) AS pos
+        |  FROM corpus),
+        |norm AS (
+        |  SELECT *, lower(regexp_replace(trim(line), '\s+', ' ', 'g')) AS nrm FROM lines),
+        |gd AS (SELECT source, count(DISTINCT doc_id) AS gdocs FROM corpus GROUP BY 1),
+        |docfreq AS (
+        |  SELECT source, nrm, count(DISTINCT doc_id) AS dfreq
+        |  FROM norm WHERE length(nrm) > 0 GROUP BY 1, 2),
+        |boiler AS (
+        |  SELECT docfreq.source, docfreq.nrm FROM docfreq JOIN gd USING (source)
+        |  WHERE dfreq >= 3 AND CAST(dfreq AS DOUBLE) / gdocs >= 0.5),
+        |flag AS (
+        |  SELECT n.doc_id, n.pos, n.line, b.nrm IS NOT NULL AS bp
+        |  FROM norm n LEFT JOIN boiler b ON n.source = b.source AND n.nrm = b.nrm),
+        |cleaned AS (
+        |  SELECT doc_id,
+        |    coalesce(string_agg(CASE WHEN NOT bp THEN line END, chr(10) ORDER BY pos), '')
+        |      AS clean_text
+        |  FROM flag GROUP BY doc_id),
+        |gated AS (
+        |  SELECT * FROM (
+        |    SELECT c.doc_id, corpus.lang, c.clean_text,
+        |      CASE WHEN length(trim(c.clean_text)) = 0 THEN 0
+        |           ELSE len(regexp_split_to_array(trim(c.clean_text), '\s+')) END AS n_tokens
+        |    FROM cleaned c JOIN corpus USING (doc_id))
+        |  WHERE n_tokens >= 5),
+        |deduped AS (
+        |  SELECT * FROM (
+        |    SELECT g.*, row_number() OVER (PARTITION BY md5(clean_text) ORDER BY doc_id) AS rn
+        |    FROM gated g)
+        |  WHERE rn = 1),
+        |assigned AS (
+        |  SELECT *,
+        |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'x1'), 1, 8) < 'cccccccc' THEN 'train'
+        |         WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'x1'), 1, 8) < 'e6666666' THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM deduped)
+        |SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+        |FROM assigned GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }
