@@ -1047,6 +1047,31 @@ object SparkEntry {
         .groupBy(col("split"), col("lang"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
         .orderBy("split", "lang")
+    }),
+
+    // ---- w10: adaptive recrawl scheduling (Cho–Garcia-Molina change-
+    // rate estimation in exact integer-rational form — no ln/exp, so
+    // both engines produce identical bits). The probe synthesizes a
+    // fetch history per document url (1–4 observations at doc-dependent
+    // gaps, a fingerprint that flips every second observation); DuckDB
+    // recomputes the lag-based change counts, the integer-division
+    // interval, the clamp, dueness, and the one-division priority. Only
+    // timestamp DIFFERENCES are emitted, so epoch-offset conventions
+    // cancel (and the session tz is pinned UTC regardless). ----
+    "w10_recrawl_due" -> ((s, dir) => {
+      val hist = pq(s, dir, "documents")
+        .select(col("doc_id"), explode(sequence(lit(0L), col("doc_id") % 4)).as("j"))
+        .select(
+          concat(lit("https://site.example/p"), col("doc_id")).as("url"),
+          expr("timestamp'2026-01-01 00:00:00' + " +
+            "make_interval(0, 0, 0, CAST(j * (1 + doc_id % 3) AS INT))").as("ts"),
+          expr("(doc_id + j) div 2").as("fp"))
+      graft.frontier.Recrawl.schedule(hist, "url", "ts", "fp",
+          expr("timestamp'2026-03-01 00:00:00'"),
+          minIntervalSec = 86400L, maxIntervalSec = 86400L * 20L)
+        .select(col("url"), col("n_obs"), col("n_changes"), col("span_sec"),
+          col("interval_sec"), col("age_sec"), col("due"), col("priority"))
+        .orderBy("url")
     })
   )
 
@@ -2214,6 +2239,43 @@ ORDER BY id_a""",
         |  FROM deduped)
         |SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens
-        |FROM assigned GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM assigned GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // w10: DuckDB rebuilds the identical synthetic fetch history and
+    // recomputes the whole schedule — lag-based change detection
+    // (ties broken by fp, matching the Spark window's order), integer-
+    // division interval with the clamp, and the single IEEE division
+    // priority. All time arithmetic is differences of epochs, so the
+    // two engines' timestamp conventions cancel exactly.
+    "w10_recrawl_due" ->
+      """WITH hist AS (
+        |  SELECT 'https://site.example/p' || doc_id AS url,
+        |    TIMESTAMP '2026-01-01 00:00:00'
+        |      + INTERVAL 1 DAY * (j * (1 + doc_id % 3)) AS ts,
+        |    (doc_id + j) // 2 AS fp
+        |  FROM documents, range(0, 4) r(j) WHERE j <= doc_id % 4),
+        |lagged AS (
+        |  SELECT url, ts, fp,
+        |    lag(fp) OVER (PARTITION BY url ORDER BY ts, fp) AS prev_fp
+        |  FROM hist),
+        |stats AS (
+        |  SELECT url, CAST(count(*) AS BIGINT) AS n_obs,
+        |    CAST(coalesce(sum(CASE WHEN prev_fp IS NOT NULL AND prev_fp <> fp
+        |                            THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_changes,
+        |    CAST(epoch(max(ts)) - epoch(min(ts)) AS BIGINT) AS span_sec,
+        |    CAST(epoch(TIMESTAMP '2026-03-01 00:00:00') - epoch(max(ts)) AS BIGINT)
+        |      AS age_sec
+        |  FROM lagged GROUP BY url),
+        |sched AS (
+        |  SELECT url, n_obs, n_changes, span_sec,
+        |    greatest(least(span_sec // (n_changes + 1), 86400 * 20),
+        |             86400) AS interval_sec,
+        |    age_sec
+        |  FROM stats)
+        |SELECT url, n_obs, n_changes, span_sec,
+        |  CAST(interval_sec AS BIGINT) AS interval_sec, age_sec,
+        |  CAST(CASE WHEN age_sec >= interval_sec THEN 1 ELSE 0 END AS BIGINT) AS due,
+        |  CAST(age_sec * (n_changes + 1) AS DOUBLE) / CAST(n_obs AS DOUBLE) AS priority
+        |FROM sched ORDER BY url""".stripMargin
   )
 }

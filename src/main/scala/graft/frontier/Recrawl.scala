@@ -1,0 +1,106 @@
+package graft.frontier
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Adaptive recrawl scheduling from observed change history (the
+  * change-frequency estimation of Cho & Garcia-Molina, "Estimating
+  * Frequency of Change", ACM TOIT 3(3) 2003, reduced to the exact
+  * integer-rational form any engine reproduces bit-identically).
+  *
+  * The reference recrawls on a FIXED ttl: `ScraperConfig.cache_max_age`
+  * (/root/reference/RAGnificent/core/config.py) expires every cached
+  * page at the same age, so a news front page and a 2009 blog post are
+  * refetched on the same clock. This module is the adaptive
+  * complement: per-URL fetch history (url, ts, content fingerprint) →
+  * change statistics → a per-URL revisit interval that shortens for
+  * frequently-changing pages and stretches (classic exponential-
+  * backoff-like growth) for static ones. It composes with the existing
+  * seen/TTL machinery: [[dueFilter]] yields the url_hashes whose
+  * adaptive interval has elapsed, a drop-in replacement for the global
+  * ttl cut when selecting recrawl candidates.
+  *
+  * Exactness contract (what the w10 oracle relies on): no
+  * transcendental functions anywhere. `interval_sec` is pure long
+  * arithmetic — `span_sec / (n_changes + 1)` with INTEGER division,
+  * clamped to [minIntervalSec, maxIntervalSec] — and `priority` is one
+  * IEEE-double division of exactly-representable longs
+  * (`age_sec * (n_changes + 1)` stays far below 2^53 for any real
+  * crawl history), so Spark and DuckDB produce identical bits.
+  *
+  * Scale shape (10^10 URLs, ~10s of observations each): the
+  * change-detection lag window partitions by url — billions of small
+  * partitions, each bounded by one URL's history, no hot key — and the
+  * follow-up groupBy(url) reuses the window's hash partitioning, so
+  * the whole operator is ONE Exchange end-to-end (PlanSpec pins this).
+  * Nothing is collected; the output is one row per URL, ready to join
+  * (or bucket-join, at seen-set scale) against the frontier. */
+object Recrawl {
+
+  /** Per-URL change statistics from a fetch-observation log.
+    * `history` columns: urlCol, tsCol (timestamp), fpCol (content
+    * fingerprint — any equality-comparable type). Output: url, n_obs,
+    * n_changes (observations whose fingerprint differs from the
+    * previous observation of the same url, in ts order), first_ts,
+    * last_ts. Ties in ts are broken by fingerprint so the lag order —
+    * and therefore n_changes — is deterministic even on same-instant
+    * duplicate observations. */
+  def changeStats(history: DataFrame, urlCol: String, tsCol: String,
+                  fpCol: String): DataFrame = {
+    val w = Window.partitionBy(col(urlCol)).orderBy(col(tsCol), col(fpCol))
+    history
+      .withColumn("_prev_fp", lag(col(fpCol), 1).over(w))
+      .groupBy(col(urlCol).as("url"))
+      .agg(
+        count(lit(1)).as("n_obs"),
+        sum(when(col("_prev_fp").isNotNull && col("_prev_fp") =!= col(fpCol), 1L)
+          .otherwise(0L)).as("n_changes"),
+        min(col(tsCol)).as("first_ts"),
+        max(col(tsCol)).as("last_ts"))
+  }
+
+  /** Change stats + the adaptive schedule as of `asOf`:
+    *  - `interval_sec  = clamp(span_sec / (n_changes + 1), min, max)`
+    *    (integer division; span = last_ts - first_ts). A page that
+    *    never changed gets its whole observed span as the interval —
+    *    each uneventful revisit stretches the next one, the
+    *    exponential-backoff shape — while a page that changed on every
+    *    visit gets its mean inter-observation gap.
+    *  - `due = age_sec >= interval_sec` where age = asOf - last_ts.
+    *  - `priority = (age_sec * (n_changes + 1)) / n_obs` as a double —
+    *    overdue, frequently-changing, little-observed pages first; the
+    *    scheduler's rank column for the recrawl batch.
+    * Rows observed once (span 0) get interval = minIntervalSec. */
+  def schedule(history: DataFrame, urlCol: String, tsCol: String, fpCol: String,
+               asOf: Column, minIntervalSec: Long = 3600L,
+               maxIntervalSec: Long = 30L * 86400L): DataFrame = {
+    require(minIntervalSec >= 0 && maxIntervalSec >= minIntervalSec,
+      s"need 0 <= minIntervalSec <= maxIntervalSec, got ($minIntervalSec, $maxIntervalSec)")
+    val stats = changeStats(history, urlCol, tsCol, fpCol)
+    val spanSec = unix_timestamp(col("last_ts")) - unix_timestamp(col("first_ts"))
+    // integer division (div), then clamp — exact long arithmetic
+    val rawInterval = expr(s"(unix_timestamp(last_ts) - unix_timestamp(first_ts)) " +
+      s"div (n_changes + 1)")
+    val interval = greatest(least(rawInterval, lit(maxIntervalSec)), lit(minIntervalSec))
+    val ageSec = unix_timestamp(asOf) - unix_timestamp(col("last_ts"))
+    stats
+      .withColumn("span_sec", spanSec)
+      .withColumn("interval_sec", interval)
+      .withColumn("age_sec", ageSec)
+      .withColumn("due", (col("age_sec") >= col("interval_sec")).cast("long"))
+      .withColumn("priority",
+        (col("age_sec") * (col("n_changes") + lit(1L))).cast("double") /
+          col("n_obs").cast("double"))
+  }
+
+  /** The url set due for recrawl as of `asOf`, ranked most-urgent
+    * first — the adaptive replacement for a fixed-ttl expiry cut when
+    * building a recrawl frontier. One row per due URL: (url, priority). */
+  def dueFilter(history: DataFrame, urlCol: String, tsCol: String, fpCol: String,
+                asOf: Column, minIntervalSec: Long = 3600L,
+                maxIntervalSec: Long = 30L * 86400L): DataFrame =
+    schedule(history, urlCol, tsCol, fpCol, asOf, minIntervalSec, maxIntervalSec)
+      .filter(col("due") === 1L)
+      .select(col("url"), col("priority"))
+}

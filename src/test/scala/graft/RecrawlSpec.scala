@@ -1,0 +1,108 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.frontier.Recrawl
+
+/** Adaptive recrawl scheduling (change-rate estimation) semantics:
+  * lag-order change counting, integer-division interval with clamps,
+  * dueness, priority — plus the single-Exchange plan contract. */
+class RecrawlSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  private val day = 86400L
+
+  private def ts(dayN: Long) =
+    new java.sql.Timestamp((1767225600L + dayN * day) * 1000L) // 2026-01-01 UTC + n days
+
+  private def hist = {
+    import spark.implicits._
+    Seq(
+      // A: 3 obs over 20 days, one change (x,x,y)
+      ("a", ts(0), "x"), ("a", ts(10), "x"), ("a", ts(20), "y"),
+      // B: observed once
+      ("b", ts(5), "p"),
+      // C: 5 obs over 20 days, never changes
+      ("c", ts(0), "s"), ("c", ts(5), "s"), ("c", ts(10), "s"),
+      ("c", ts(15), "s"), ("c", ts(20), "s"),
+      // D: changes on every revisit (3 obs, 2 changes) over 4 days
+      ("d", ts(0), "f0"), ("d", ts(2), "f1"), ("d", ts(4), "f2")
+    ).toDF("url", "ts", "fp")
+  }
+
+  private def scheduleAt(asOfDay: Long) =
+    Recrawl.schedule(hist, "url", "ts", "fp",
+        lit(ts(asOfDay)), minIntervalSec = 3600L, maxIntervalSec = 30L * day)
+      .collect().map(r => r.getString(0) -> r).toMap
+
+  test("change stats: lag-ordered change counts, spans") {
+    val m = scheduleAt(40)
+    assert(m("a").getLong(1) == 3 && m("a").getLong(2) == 1) // n_obs, n_changes
+    assert(m("b").getLong(1) == 1 && m("b").getLong(2) == 0)
+    assert(m("c").getLong(1) == 5 && m("c").getLong(2) == 0)
+    assert(m("d").getLong(1) == 3 && m("d").getLong(2) == 2)
+    assert(m("a").getAs[Long]("span_sec") == 20 * day)
+    assert(m("b").getAs[Long]("span_sec") == 0)
+  }
+
+  test("interval: integer division of span by changes+1, clamped") {
+    val m = scheduleAt(40)
+    assert(m("a").getAs[Long]("interval_sec") == 10 * day) // 20d / (1+1)
+    assert(m("b").getAs[Long]("interval_sec") == 3600L) // span 0 → min clamp
+    assert(m("c").getAs[Long]("interval_sec") == 20 * day) // static → whole span
+    // d: 4d span / 3 changes+1 → 1d 33% — floor division: 345600/3 = 115200
+    assert(m("d").getAs[Long]("interval_sec") == 4 * day / 3)
+  }
+
+  test("max clamp stretches no further than maxIntervalSec") {
+    import spark.implicits._
+    val longStatic = Seq(("e", ts(0), "s"), ("e", ts(200), "s")).toDF("url", "ts", "fp")
+    val r = Recrawl.schedule(longStatic, "url", "ts", "fp", lit(ts(300)),
+      minIntervalSec = 3600L, maxIntervalSec = 30L * day).collect()(0)
+    assert(r.getAs[Long]("interval_sec") == 30 * day)
+  }
+
+  test("dueness + priority: overdue fast-changers first") {
+    val m = scheduleAt(22) // 2 days after the last a/c observation
+    assert(m("a").getAs[Long]("due") == 0L) // age 2d < interval 10d
+    assert(m("c").getAs[Long]("due") == 0L) // age 2d < interval 20d
+    assert(m("b").getAs[Long]("due") == 1L) // age 17d ≥ 1h
+    assert(m("d").getAs[Long]("due") == 1L) // age 18d ≥ 1.33d
+    // priority = age*(changes+1)/obs: d = 18d*3/3 = 18d; b = 17d*1/1
+    assert(m("d").getAs[Double]("priority") == (18 * day).toDouble)
+    assert(m("b").getAs[Double]("priority") == (17 * day).toDouble)
+    val due = Recrawl.dueFilter(hist, "url", "ts", "fp", lit(ts(22)),
+      minIntervalSec = 3600L, maxIntervalSec = 30L * day)
+      .orderBy(desc("priority")).collect().map(_.getString(0)).toSeq
+    assert(due == Seq("d", "b"))
+  }
+
+  test("same-instant duplicate observations stay deterministic (fp tiebreak)") {
+    import spark.implicits._
+    // two obs at the identical ts with different fps: lag order is pinned
+    // by the fp tiebreak → exactly one change, every run
+    val dup = Seq(("t", ts(0), "a"), ("t", ts(0), "b")).toDF("url", "ts", "fp")
+    (1 to 3).foreach { _ =>
+      val r = Recrawl.changeStats(dup, "url", "ts", "fp").collect()(0)
+      assert(r.getAs[Long]("n_changes") == 1L)
+    }
+  }
+
+  test("plan: window exchange is reused by the groupBy — ONE Exchange total") {
+    val plan = Recrawl.schedule(hist, "url", "ts", "fp", lit(ts(40)))
+      .queryExecution.executedPlan.toString
+    val n = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(n == 1, s"expected the window+agg to share one hash exchange, got $n:\n${plan.take(1200)}")
+  }
+}
