@@ -444,6 +444,49 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- d14: INCREMENTAL dedup — a new crawl batch cleaned against
+    // the already-deduped corpus (exact fingerprint index + LSH bucket
+    // index; the corpus is never re-read, never re-signed). The batch
+    // plants, per eligible corpus doc: a byte-identical clone (exact
+    // stage must drop it), a 'zzz'-prefixed near-clone (LSH-vs-corpus +
+    // exact-Jaccard verify must drop it), a fresh doc with doc-unique
+    // tokens (nothing may drop it), and a within-batch duplicate of the
+    // fresh doc (stage-1 min-id collapse must drop it). The oracle is
+    // the d6-style independent completeness set: survivors must be
+    // EXACTLY the fresh docs — one missed near-clone or one phantom
+    // drop of a fresh doc mismatches. ----
+    "d14_incremental_dedup" -> ((s, dir) => {
+      val docs = pq(s, dir, "documents").select(col("doc_id"), col("text"))
+      val exactClone = docs.filter(col("doc_id") % 4 === 0)
+        .select((col("doc_id") + 2000000).as("doc_id"), col("text"))
+      val nearClone = docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 3000000).as("doc_id"),
+          concat(lit("zzz "), substring_index(col("text"), " ", -200)).as("text"))
+      val freshText = concat(lit("fresh"), col("doc_id"), lit(" alpha"), col("doc_id"),
+        lit(" beta"), col("doc_id"), lit(" gamma"), col("doc_id"),
+        lit(" delta"), col("doc_id"), lit(" omega"), col("doc_id"))
+      val fresh = docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 4000000).as("doc_id"), freshText.as("text"))
+      val freshDup = docs.filter(col("doc_id") % 14 === 0)
+        .select((col("doc_id") + 4500000).as("doc_id"), freshText.as("text"))
+      val batch = exactClone.unionByName(nearClone)
+        .unionByName(fresh).unionByName(freshDup)
+
+      val s1 = Dedup.incrementalExact(batch, Dedup.exactIndex(docs, "text"),
+        "doc_id", "text")
+      val index = Dedup.lshIndex(docs, "doc_id", "text", w = 3, m = 32, bands = 8)
+      val cands = Dedup.incrementalLshCandidates(s1, index, "doc_id", "text",
+        w = 3, m = 32, bands = 8, threshold = 0.5)
+      val verified = Dedup.verifyJaccard(
+          cands.select(col("new_id").as("id_a"), col("corpus_id").as("id_b")),
+          s1.select(col("doc_id"), col("text")).unionByName(docs),
+          "doc_id", "text", w = 3)
+        .filter(col("jaccard") >= 0.5)
+      s1.join(verified.select(col("id_a").as("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti")
+        .select(col("doc_id")).orderBy("doc_id")
+    }),
+
     // ---- f8: deterministic stratified sampling (md5-prefix gate —
     // cluster-size-independent membership; Spark's own sample/sampleBy
     // are partition-seeded and change membership under repartition).
@@ -1450,6 +1493,19 @@ object SparkEntry {
         |       ELSE CAST(0.0 AS DOUBLE) END AS dup_window_frac
         |FROM (SELECT doc_id FROM corpus) d LEFT JOIN st ON st.doc_id = d.doc_id
         |ORDER BY doc_id""".stripMargin,
+
+    // d14: independent completeness oracle (the d6/d9 style) — the
+    // incremental chain's survivors must be EXACTLY the fresh docs:
+    // every exact clone caught by the fingerprint anti-join, every
+    // near-clone caught by LSH-vs-corpus + exact-Jaccard verify, every
+    // within-batch duplicate collapsed to the min id, and NO fresh doc
+    // falsely dropped (fresh tokens are doc-unique → true Jaccard 0 vs
+    // everything, so the exact verify must protect them from any
+    // est-Jaccard collision). Derived from the corpus construction,
+    // nothing pinned.
+    "d14_incremental_dedup" ->
+      """SELECT doc_id + 4000000 AS doc_id FROM documents
+        |WHERE doc_id % 7 = 0 ORDER BY doc_id""".stripMargin,
 
     // f8: DuckDB recomputes the md5-prefix gate per row — an EXACT
     // membership check of the deterministic sample, not a rate check.

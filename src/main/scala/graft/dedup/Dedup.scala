@@ -33,6 +33,57 @@ object Dedup {
     df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
   }
 
+  // --- incremental dedup (new crawl batch vs an already-deduped corpus) ---
+
+  /** The corpus-side exact-dedup index: one `text_hash` (md5 of the raw
+    * text bytes — [[exactDedup]]'s key) per distinct document. This is
+    * the append-only fingerprint table a continuous-crawl pipeline
+    * maintains so each day's batch dedups WITHOUT rereading corpus text;
+    * at 10^10 docs it is stored partitioned/bucketed by hash prefix. */
+  def exactIndex(corpus: DataFrame, textCol: String): DataFrame =
+    corpus.select(md5(col(textCol).cast("binary")).as("text_hash")).distinct()
+
+  /** Deduplicate a NEW batch against an [[exactIndex]]'ed corpus — the
+    * continuous-crawl shape: today's fetch is cleaned against the
+    * accumulated corpus without recomputing anything corpus-side.
+    *
+    * Two stages, both keyed by md5 (uniform by construction — no skew,
+    * no salting needed):
+    *  1. within-batch collapse — min-id representative per text_hash
+    *    (the batch refetches the same page twice in a day);
+    *  2. corpus anti-join on text_hash — with an optional broadcast
+    *     Bloom sketch over the corpus hashes, rows the sketch rules out
+    *     skip the exact anti-join entirely (the `Frontier.notSeen`
+    *     split-path pattern applied to content: at 10^10 corpus hashes
+    *     vs a 10^6-row batch, most of the batch is definitely-new and
+    *     never shuffles). False positives only cost an extra exact
+    *     check, never a wrong result.
+    *
+    * Output: the surviving batch rows plus their `text_hash`, ready to
+    * append to the corpus index — the loop closes. For near-dup
+    * hygiene, compose with [[incrementalLshCandidates]] (vs the corpus)
+    * and [[minhashLshPairs]] (within the survivors). */
+  def incrementalExact(batch: DataFrame, corpusIndex: DataFrame, idCol: String,
+                       textCol: String,
+                       bloom: Option[org.apache.spark.util.sketch.BloomFilter] = None): DataFrame = {
+    val hashed = batch.withColumn("text_hash", md5(col(textCol).cast("binary")))
+    val w = Window.partitionBy(col("text_hash")).orderBy(col(idCol))
+    val batchDeduped = hashed.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+    val corpusFps = corpusIndex.select("text_hash")
+    bloom match {
+      case Some(bf) =>
+        val bcast = batch.sparkSession.sparkContext.broadcast(bf)
+        val mightContain = udf((h: String) => bcast.value.mightContainString(h))
+        val definitelyNew = batchDeduped.filter(!mightContain(col("text_hash")))
+        val maybeSeen = batchDeduped.filter(mightContain(col("text_hash")))
+        definitelyNew.unionByName(
+          maybeSeen.join(corpusFps, Seq("text_hash"), "left_anti"))
+      case None =>
+        batchDeduped.join(corpusFps, Seq("text_hash"), "left_anti")
+    }
+  }
+
   // --- paragraph-level exact dedup (CCNet-style boilerplate removal) ---
 
   /** Remove GLOBALLY duplicated paragraphs, keeping only the first
@@ -383,6 +434,69 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
       .filter(col("est_jaccard") >= threshold)
     pairs
+  }
+
+  /** One row per (band, bucket) a doc occupies: (band, bucket, doc_id,
+    * sig). Shared by [[lshIndex]] / [[incrementalLshCandidates]]. */
+  private def bandedRows(df: DataFrame, idCol: String, textCol: String,
+                         w: Int, m: Int, bands: Int): DataFrame = {
+    require(bands > 0 && m % bands == 0, s"bands must divide m, got m=$m bands=$bands")
+    val r = m / bands
+    val withSig = df.select(col(idCol).as("doc_id"),
+        minhashSignature(col(textCol), w, m).as("sig"))
+      .filter(size(col("sig")) === m)
+    val bandStructs = (0 until bands).map { b =>
+      val bandCols = (0 until r).map(j => element_at(col("sig"), b * r + j + 1))
+      struct(lit(b).as("band"), xxhash64(bandCols :+ lit(b): _*).as("bucket"))
+    }
+    withSig.select(col("doc_id"), col("sig"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("bb.band").as("band"), col("bb.bucket").as("bucket"),
+        col("doc_id"), col("sig"))
+  }
+
+  /** The corpus-side MinHash/LSH bucket index a continuous-crawl
+    * pipeline persists: `bands` rows per doc, carrying the signature
+    * for the estimate stage. Stored partitioned by `band` and bucketed
+    * by `bucket` at 10^10 docs, so an incremental probe reads only the
+    * buckets the new batch occupies — the corpus is never re-signed,
+    * never re-shuffled. Band parameters must match the probe's exactly
+    * (same w/m/bands, same seeded hash family — GraftFunctions'
+    * minhash_sig is deterministic by construction). */
+  def lshIndex(corpus: DataFrame, idCol: String, textCol: String,
+               w: Int = 3, m: Int = 32, bands: Int = 8): DataFrame =
+    bandedRows(corpus, idCol, textCol, w, m, bands)
+
+  /** Near-dup candidates between a NEW batch and an [[lshIndex]]'ed
+    * corpus: band the batch (batch-side signatures only), equi-join on
+    * (band, bucket), estimate Jaccard by signature agreement, keep
+    * ≥ `threshold`. Output: (new_id, corpus_id, est_jaccard), deduped
+    * across bands. Feed the survivors to [[verifyJaccard]] before
+    * dropping anything (candidates are evidence, not verdicts — the
+    * d2/d10 discipline).
+    *
+    * Scale shape: the join is bucket-keyed — a mass-duplicate hot
+    * bucket is a JOIN skew (AQE splits it), not a window hot key, and
+    * per new doc the candidate count is bounded by its own buckets'
+    * corpus occupancy. With the index partitioned by (band, bucket),
+    * only batch-occupied buckets are scanned. Candidate volume is
+    * proportional to true near-dup mass — nothing is truncated. */
+  def incrementalLshCandidates(batch: DataFrame, index: DataFrame,
+                               idCol: String, textCol: String,
+                               w: Int = 3, m: Int = 32, bands: Int = 8,
+                               threshold: Double = 0.7): DataFrame = {
+    val newBanded = bandedRows(batch, idCol, textCol, w, m, bands)
+      .select(col("band"), col("bucket"),
+        col("doc_id").as("new_id"), col("sig").as("new_sig"))
+    val corpusSide = index.select(col("band"), col("bucket"),
+      col("doc_id").as("corpus_id"), col("sig").as("corpus_sig"))
+    newBanded.join(corpusSide, Seq("band", "bucket"))
+      .withColumn("est_jaccard",
+        aggregate(zip_with(col("new_sig"), col("corpus_sig"),
+            (x, y) => when(x === y, 1.0).otherwise(0.0)),
+          lit(0.0), (acc, v) => acc + v) / lit(m.toDouble))
+      .select(col("new_id"), col("corpus_id"), col("est_jaccard"))
+      .dropDuplicates("new_id", "corpus_id")
+      .filter(col("est_jaccard") >= threshold)
   }
 
   // --- n-gram Jaccard (exact verify; also standalone) ---

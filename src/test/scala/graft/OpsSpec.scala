@@ -43,6 +43,51 @@ class OpsSpec extends AnyFunSuite {
     assert(kept.count() == 43) // 46 - 3 removed dups
   }
 
+  test("incremental exact dedup: corpus hits dropped, batch collapses to min id, bloom path identical") {
+    import spark.implicits._
+    val corpus = docsDf.filter(col("doc_id") < 100) // the 40 base docs
+    val idx = Dedup.exactIndex(corpus, "text")
+    val batchRows = Seq(
+      500L -> docsDf.filter(col("doc_id") === 3).collect()(0).getString(1), // corpus clone
+      501L -> "entirely new doc five hundred one",
+      502L -> "entirely new doc five hundred one", // within-batch dup of 501
+      503L -> "another new doc")
+    val batch = batchRows.toDF("doc_id", "text")
+    val plain = Dedup.incrementalExact(batch, idx, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(plain == Set(501L, 503L), s"got $plain")
+    // Bloom split-path must give the IDENTICAL answer (false positives
+    // only ever route rows to the exact anti-join)
+    val bloom = corpus.withColumn("text_hash", md5(col("text").cast("binary")))
+      .stat.bloomFilter("text_hash", 1000L, 0.03)
+    val split = Dedup.incrementalExact(batch, idx, "doc_id", "text", Some(bloom))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(split == plain)
+    // survivors carry text_hash, ready to append to the index
+    assert(Dedup.incrementalExact(batch, idx, "doc_id", "text")
+      .columns.contains("text_hash"))
+  }
+
+  test("incremental LSH: near-clone of a corpus doc is caught without re-signing the corpus") {
+    import spark.implicits._
+    val corpus = docsDf.filter(col("doc_id") < 100)
+    val index = Dedup.lshIndex(corpus, "doc_id", "text", w = 2, m = 32, bands = 16)
+      .localCheckpoint(true) // the persisted-index stand-in: corpus side fixed
+    val nearText = "zzz " + docsDf.filter(col("doc_id") === 8).collect()(0)
+      .getString(1).split(" ").drop(1).mkString(" ")
+    val batch = Seq(600L -> nearText, 601L -> "totally unrelated fresh content here")
+      .toDF("doc_id", "text")
+    val cands = Dedup.incrementalLshCandidates(batch, index, "doc_id", "text",
+      w = 2, m = 32, bands = 16, threshold = 0.5)
+    val verified = Dedup.verifyJaccard(
+        cands.select(col("new_id").as("id_a"), col("corpus_id").as("id_b")),
+        batch.unionByName(corpus), "doc_id", "text", w = 2)
+      .filter(col("jaccard") >= 0.5)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(verified.contains((600L, 8L)), s"got $verified")
+    assert(!verified.exists(_._1 == 601L), s"fresh doc falsely flagged: $verified")
+  }
+
   test("minhash LSH surfaces planted near-duplicates; exact jaccard verifies") {
     val pairs = Dedup.minhashLshPairs(docsDf, "doc_id", "text", w = 2, m = 32, bands = 16, threshold = 0.5)
     val verified = Dedup.verifyJaccard(pairs, docsDf, "doc_id", "text", w = 2)

@@ -181,6 +181,17 @@ class PlanSpec extends AnyFunSuite {
     assert(scan.count() > 0)
   }
 
+  test("incremental dedup chain (d14): key-joined end-to-end, no all-pairs, no corpus re-sign") {
+    // the whole new-batch-vs-corpus chain (fingerprint anti-join, LSH
+    // bucket join, jaccard verify, final anti-join) must stay equi-
+    // joined — a CartesianProduct would be O(batch × corpus) at 10^10
+    val p = SparkEntry.queries("d14_incremental_dedup")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    assert(p.contains("LeftAnti"), s"both drop stages must be anti joins:\n${p.take(600)}")
+  }
+
   test("near-dedup chain (d10): no all-pairs operator anywhere in the plan") {
     // LSH candidate generation, jaccard verify, and the final anti-join
     // must all stay key-joined — a CartesianProduct or nested-loop join
