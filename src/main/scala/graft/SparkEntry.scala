@@ -1017,6 +1017,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- t10: per-language vocabulary top-k (tokenizer-training /
+    // corpus-inspection stats) — two-level skew-safe top-k whose result
+    // is provably identical to the single-window order (count DESC,
+    // token ASC: a unique total order, so ranks are engine-independent);
+    // DuckDB recomputes counts and ranks from raw text. ----
+    "t10_vocab_topk" -> ((s, dir) => {
+      TextOps.vocabTopK(pq(s, dir, "documents"), "text", "lang", k = 20, shards = 8)
+        .orderBy("lang", "rank")
+    }),
+
     // ---- f10: deterministic split assignment — train/val/test as a
     // total partition of the md5-prefix space, composable with f8's
     // sampling gate (same prefix, same boundaries). Exact per-row
@@ -2183,6 +2193,26 @@ ORDER BY id_a""",
         |  coalesce(string_agg(CASE WHEN NOT bp THEN line END, chr(10) ORDER BY pos), '')
         |    AS clean_text
         |FROM flag GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // t10: DuckDB recomputes (lang, token) counts from raw text with
+    // the t1 tokenization and ranks them under the same unique total
+    // order (count DESC, token ASC) — rank-for-rank equality, so a
+    // two-level shard boundary error or a partitioning-dependent tie
+    // would mismatch.
+    "t10_vocab_topk" ->
+      """WITH toks AS (
+        |  SELECT lang,
+        |    unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |                       x -> x <> '')) AS token
+        |  FROM documents),
+        |cnt AS (SELECT lang, token, CAST(count(*) AS BIGINT) AS n
+        |        FROM toks GROUP BY 1, 2),
+        |rk AS (SELECT lang, token, n,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, token ASC)
+        |         AS BIGINT) AS rank
+        |  FROM cnt)
+        |SELECT lang, token, n, rank FROM rk WHERE rank <= 20
+        |ORDER BY lang, rank""".stripMargin,
 
     // f10: boundaries are cum fractions rounded to 6 decimals then
     // hexed (0.8 → cccccccc, 0.9 → e6666666) — DuckDB recomputes the

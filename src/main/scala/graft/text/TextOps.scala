@@ -193,6 +193,49 @@ object TextOps {
         coalesce(round(col("_bits"), 4), lit(0.0)).as("bits_per_gram"))
   }
 
+  /** Per-group vocabulary top-k: the k most frequent lowercase
+    * whitespace tokens per `groupCol` (language, source, split) with
+    * their counts and ranks — the corpus table a tokenizer-training /
+    * corpus-inspection pass starts from. Tokenization matches
+    * [[tokenCount]] (trim → lower → split on `\s+`, empties dropped).
+    *
+    * Deterministic total order: count DESC, token ASC — ties never
+    * depend on partitioning.
+    *
+    * Scale shape: the (group, token) count is a map-side-combinable
+    * groupBy, so "the" at 10^10 docs collapses inside each task before
+    * the shuffle. The top-k is TWO-LEVEL (the anchorTopK pattern): a
+    * partial top-k per (group, token-hash shard) — bounding any window
+    * partition to ~1/shards of the group's DISTINCT tokens even for a
+    * single-language web corpus with a 10^8-type vocabulary — then the
+    * final k over ≤ shards·k survivors per group. Every global top-k
+    * row is a within-shard top-k row under the same order, so the
+    * two-level result is exactly the single-window result; `shards = 1`
+    * opts out. */
+  def vocabTopK(df: DataFrame, textCol: String, groupCol: String,
+                k: Int = 100, shards: Int = 16): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(shards > 0, s"shards must be positive, got $shards")
+    import org.apache.spark.sql.expressions.Window
+    val counts = df
+      .select(col(groupCol).as("grp"),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("grp"), col("token")).agg(count(lit(1)).as("n"))
+    val survivors =
+      if (shards == 1) counts
+      else {
+        val wShard = Window.partitionBy(col("grp"), pmod(xxhash64(col("token")), lit(shards.toLong)))
+          .orderBy(col("n").desc, col("token").asc)
+        counts.withColumn("_srn", row_number().over(wShard))
+          .filter(col("_srn") <= k).drop("_srn")
+      }
+    val wFinal = Window.partitionBy(col("grp")).orderBy(col("n").desc, col("token").asc)
+    survivors.withColumn("rank", row_number().over(wFinal).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("grp").as(groupCol), col("token"), col("n"), col("rank"))
+  }
+
   /** Word w-shingles as an array column (for n-gram Jaccard / MinHash). */
   def shingles(text: Column, w: Int): Column = {
     val words = split(lower(trim(text)), "\\s+")

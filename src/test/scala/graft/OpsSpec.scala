@@ -43,6 +43,23 @@ class OpsSpec extends AnyFunSuite {
     assert(kept.count() == 43) // 46 - 3 removed dups
   }
 
+  test("vocabTopK: two-level shard pass equals the single window; ties break on token asc") {
+    import spark.implicits._
+    val docs = ((0 until 50).map(i => ("en", s"the the the quick brown fox f$i")) ++
+      (0 until 30).map(i => ("de", s"der der hund h$i"))).toDF("lang", "text")
+    def rows(shards: Int) =
+      TextOps.vocabTopK(docs, "text", "lang", k = 5, shards = shards)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val sharded = rows(8)
+    assert(sharded == rows(1), "two-level result must equal the single-window result")
+    assert(sharded.contains(("en", "the", 150L, 1L)))
+    assert(sharded.contains(("de", "der", 60L, 1L)))
+    // count ties (brown/fox/quick all 50) rank by token ascending
+    assert(sharded.contains(("en", "brown", 50L, 2L)))
+    assert(sharded.contains(("en", "fox", 50L, 3L)))
+    assert(sharded.contains(("en", "quick", 50L, 4L)))
+  }
+
   test("incremental exact dedup: corpus hits dropped, batch collapses to min id, bloom path identical") {
     import spark.implicits._
     val corpus = docsDf.filter(col("doc_id") < 100) // the 40 base docs
