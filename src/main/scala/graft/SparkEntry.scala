@@ -1125,6 +1125,37 @@ object SparkEntry {
         .select(col("url"), col("n_obs"), col("n_changes"), col("span_sec"),
           col("interval_sec"), col("age_sec"), col("due"), col("priority"))
         .orderBy("url")
+    }),
+
+    // ---- w11: sitemap-hint-aware recrawl — the declared freshness the
+    // reference parses (lastmod/changefreq, sitemap_utils.py:232-238)
+    // but never schedules on, folded into the w10 estimate: a lastmod
+    // newer than our last observation forces dueness; a declared
+    // changefreq FLOORS (never stretches) the estimated interval. The
+    // hint synthesis covers both hint_due branches and all changefreq
+    // tokens incl. absent; DuckDB recomputes the fold end-to-end. ----
+    "w11_sitemap_recrawl" -> ((s, dir) => {
+      val hist = pq(s, dir, "documents")
+        .select(col("doc_id"), explode(sequence(lit(0L), col("doc_id") % 4)).as("j"))
+        .select(
+          concat(lit("https://site.example/p"), col("doc_id")).as("url"),
+          expr("timestamp'2026-01-01 00:00:00' + " +
+            "make_interval(0, 0, 0, CAST(j * (1 + doc_id % 3) AS INT))").as("ts"),
+          expr("(doc_id + j) div 2").as("fp"))
+      val sched = graft.frontier.Recrawl.schedule(hist, "url", "ts", "fp",
+        expr("timestamp'2026-03-01 00:00:00'"),
+        minIntervalSec = 86400L, maxIntervalSec = 86400L * 20L)
+      val hints = pq(s, dir, "documents").select(
+        concat(lit("https://site.example/p"), col("doc_id")).as("url"),
+        expr("timestamp'2026-01-01 00:00:00' + " +
+          "make_interval(0, 0, 0, CAST((doc_id % 6) * 10 AS INT))").as("lastmod"),
+        expr("CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN 'always' " +
+          "WHEN 1 THEN 'hourly' WHEN 2 THEN 'daily' WHEN 3 THEN 'weekly' " +
+          "ELSE NULL END").as("changefreq"))
+      graft.frontier.Recrawl.withSitemapHints(sched, hints, "url", "lastmod", "changefreq")
+        .select(col("url"), col("interval_sec"), col("declared_interval_sec"),
+          col("effective_interval_sec"), col("hint_due"), col("due_effective"))
+        .orderBy("url")
     })
   )
 
@@ -2362,6 +2393,63 @@ ORDER BY id_a""",
         |  CAST(interval_sec AS BIGINT) AS interval_sec, age_sec,
         |  CAST(CASE WHEN age_sec >= interval_sec THEN 1 ELSE 0 END AS BIGINT) AS due,
         |  CAST(age_sec * (n_changes + 1) AS DOUBLE) / CAST(n_obs AS DOUBLE) AS priority
-        |FROM sched ORDER BY url""".stripMargin
+        |FROM sched ORDER BY url""".stripMargin,
+
+    // w11: the whole hint fold recomputed — most-eager hint collapse
+    // (max lastmod, min declared), changefreq→seconds mapping, interval
+    // floor via least(), lastmod-vs-last-observation dueness. Timestamp
+    // COMPARISON (not arithmetic) is convention-free; interval math
+    // stays integer.
+    "w11_sitemap_recrawl" ->
+      """WITH hist AS (
+        |  SELECT 'https://site.example/p' || doc_id AS url,
+        |    TIMESTAMP '2026-01-01 00:00:00'
+        |      + INTERVAL 1 DAY * (j * (1 + doc_id % 3)) AS ts,
+        |    (doc_id + j) // 2 AS fp
+        |  FROM documents, range(0, 4) r(j) WHERE j <= doc_id % 4),
+        |lagged AS (
+        |  SELECT url, ts, fp,
+        |    lag(fp) OVER (PARTITION BY url ORDER BY ts, fp) AS prev_fp
+        |  FROM hist),
+        |stats AS (
+        |  SELECT url,
+        |    CAST(epoch(max(ts)) - epoch(min(ts)) AS BIGINT) AS span_sec,
+        |    CAST(coalesce(sum(CASE WHEN prev_fp IS NOT NULL AND prev_fp <> fp
+        |                            THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_changes,
+        |    max(ts) AS last_ts,
+        |    CAST(epoch(TIMESTAMP '2026-03-01 00:00:00') - epoch(max(ts)) AS BIGINT)
+        |      AS age_sec
+        |  FROM lagged GROUP BY url),
+        |sched AS (
+        |  SELECT url, last_ts, age_sec,
+        |    CAST(greatest(least(span_sec // (n_changes + 1), 86400 * 20), 86400)
+        |         AS BIGINT) AS interval_sec
+        |  FROM stats),
+        |hints AS (
+        |  SELECT 'https://site.example/p' || doc_id AS url,
+        |    TIMESTAMP '2026-01-01 00:00:00'
+        |      + INTERVAL 1 DAY * ((doc_id % 6) * 10) AS lastmod,
+        |    CASE doc_id % 5 WHEN 0 THEN 'always' WHEN 1 THEN 'hourly'
+        |         WHEN 2 THEN 'daily' WHEN 3 THEN 'weekly' ELSE NULL END AS cf
+        |  FROM documents),
+        |hagg AS (
+        |  SELECT url, max(lastmod) AS lastmod,
+        |    CAST(min(CASE lower(cf) WHEN 'always' THEN 0 WHEN 'hourly' THEN 3600
+        |         WHEN 'daily' THEN 86400 WHEN 'weekly' THEN 604800
+        |         WHEN 'monthly' THEN 2592000 WHEN 'yearly' THEN 31536000
+        |         ELSE NULL END) AS BIGINT) AS declared_interval_sec
+        |  FROM hints GROUP BY url)
+        |SELECT s.url, s.interval_sec, h.declared_interval_sec,
+        |  CAST(CASE WHEN h.declared_interval_sec IS NOT NULL
+        |       THEN least(s.interval_sec, h.declared_interval_sec)
+        |       ELSE s.interval_sec END AS BIGINT) AS effective_interval_sec,
+        |  CAST(CASE WHEN h.lastmod IS NOT NULL AND h.lastmod > s.last_ts
+        |       THEN 1 ELSE 0 END AS BIGINT) AS hint_due,
+        |  CAST(CASE WHEN s.age_sec >= (CASE WHEN h.declared_interval_sec IS NOT NULL
+        |              THEN least(s.interval_sec, h.declared_interval_sec)
+        |              ELSE s.interval_sec END)
+        |            OR (h.lastmod IS NOT NULL AND h.lastmod > s.last_ts)
+        |       THEN 1 ELSE 0 END AS BIGINT) AS due_effective
+        |FROM sched s LEFT JOIN hagg h USING (url) ORDER BY s.url""".stripMargin
   )
 }

@@ -94,6 +94,59 @@ object Recrawl {
           col("n_obs").cast("double"))
   }
 
+  /** `<changefreq>` token → declared revisit interval in seconds
+    * (sitemaps.org protocol). `always` = 0 (every visit), `never` =
+    * null: the protocol means "archive URL", which we read as "no
+    * declared cadence" — it neither tightens nor stretches the
+    * estimate (a site's own history still reveals real change). */
+  def changefreqSec(changefreq: Column): Column =
+    when(lower(changefreq) === "always", lit(0L))
+      .when(lower(changefreq) === "hourly", lit(3600L))
+      .when(lower(changefreq) === "daily", lit(86400L))
+      .when(lower(changefreq) === "weekly", lit(7L * 86400L))
+      .when(lower(changefreq) === "monthly", lit(30L * 86400L))
+      .when(lower(changefreq) === "yearly", lit(365L * 86400L))
+      .otherwise(lit(null).cast("long"))
+
+  /** Fold sitemap freshness hints ([[graft.sitemap.Sitemap]] parses
+    * `lastmod`/`changefreq` per entry — the fields the reference reads
+    * at sitemap_utils.py:232-238 and then never schedules on) into an
+    * estimated [[schedule]]:
+    *  - a declared `lastmod` NEWER than our last observation makes the
+    *    URL due immediately (`hint_due`) — the site just told us it
+    *    changed;
+    *  - a declared `changefreq` FLOORS the interval: effective =
+    *    min(estimated, declared), so a page promising hourly updates
+    *    is not starved by a long uneventful-history estimate. Declared
+    *    cadence never STRETCHES the estimate — observed change beats
+    *    site promises (sites notoriously overstate `changefreq`).
+    * Hints with duplicate urls (the same url in several sitemaps)
+    * collapse to the most-eager claim (max lastmod, min declared
+    * interval) BEFORE the join, so the join is key-unique and cannot
+    * fan out. One equi-join on url — hint tables are sitemap-sized,
+    * uniform-keyed; AQE broadcasts while small.
+    * Adds: declared_interval_sec, effective_interval_sec, hint_due,
+    * due_effective. */
+  def withSitemapHints(schedule: DataFrame, hints: DataFrame, urlCol: String,
+                       lastmodCol: String, changefreqCol: String): DataFrame = {
+    val h = hints
+      .select(col(urlCol).as("url"), col(lastmodCol).as("_sm_lastmod"),
+        changefreqSec(col(changefreqCol)).as("_sm_declared"))
+      .groupBy("url")
+      .agg(max(col("_sm_lastmod")).as("_sm_lastmod"),
+        min(col("_sm_declared")).as("declared_interval_sec"))
+    schedule.join(h, Seq("url"), "left")
+      .withColumn("effective_interval_sec",
+        when(col("declared_interval_sec").isNotNull,
+          least(col("interval_sec"), col("declared_interval_sec")))
+          .otherwise(col("interval_sec")))
+      .withColumn("hint_due",
+        (col("_sm_lastmod").isNotNull && col("_sm_lastmod") > col("last_ts")).cast("long"))
+      .withColumn("due_effective",
+        (col("age_sec") >= col("effective_interval_sec") || col("hint_due") === 1L).cast("long"))
+      .drop("_sm_lastmod")
+  }
+
   /** The url set due for recrawl as of `asOf`, ranked most-urgent
     * first — the adaptive replacement for a fixed-ttl expiry cut when
     * building a recrawl frontier. One row per due URL: (url, priority). */

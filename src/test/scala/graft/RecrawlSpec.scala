@@ -99,6 +99,47 @@ class RecrawlSpec extends AnyFunSuite {
     }
   }
 
+  test("sitemap hints: changefreq floors but never stretches; lastmod forces dueness") {
+    import spark.implicits._
+    val sched = Recrawl.schedule(hist, "url", "ts", "fp", lit(ts(22)),
+      minIntervalSec = 3600L, maxIntervalSec = 30L * day)
+    val hints = Seq(
+      // c: static page, estimated 20d — declared hourly must FLOOR it to 1h
+      ("c", ts(0), "hourly"),
+      // d: churning page, estimated 1.33d — declared yearly must NOT stretch it
+      ("d", ts(0), "yearly"),
+      // a: estimated 10d, age 2d (not due) — but lastmod AFTER last obs forces dueness
+      ("a", ts(21), null.asInstanceOf[String])
+    ).toDF("url", "lastmod", "changefreq")
+    val m = Recrawl.withSitemapHints(sched, hints, "url", "lastmod", "changefreq")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(m("c").getAs[Long]("effective_interval_sec") == 3600L)
+    assert(m("c").getAs[Long]("due_effective") == 1L) // age 2d >= 1h
+    assert(m("d").getAs[Long]("effective_interval_sec") == 4 * day / 3) // yearly ignored
+    assert(m("a").getAs[Long]("hint_due") == 1L) // lastmod day 21 > last obs day 20
+    assert(m("a").getAs[Long]("due_effective") == 1L)
+    assert(m("a").getAs[Long]("interval_sec") ==
+      m("a").getAs[Long]("effective_interval_sec")) // no changefreq → passthrough
+    // b: no hint row at all → estimate passthrough, still due on age
+    assert(m("b").getAs[Long]("effective_interval_sec") == 3600L)
+    assert(m("b").getAs[Long]("hint_due") == 0L)
+    assert(m("b").getAs[Long]("due_effective") == 1L)
+  }
+
+  test("sitemap hints: duplicate urls collapse to the most-eager claim before the join") {
+    import spark.implicits._
+    val sched = Recrawl.schedule(hist, "url", "ts", "fp", lit(ts(22)),
+      minIntervalSec = 3600L, maxIntervalSec = 30L * day)
+    val hints = Seq(
+      ("c", ts(5), "monthly"), ("c", ts(21), "daily"), ("c", ts(1), "weekly")
+    ).toDF("url", "lastmod", "changefreq")
+    val out = Recrawl.withSitemapHints(sched, hints, "url", "lastmod", "changefreq")
+    val c = out.filter(col("url") === "c").collect()(0)
+    assert(out.filter(col("url") === "c").count() == 1) // key-unique join, no fan-out
+    assert(c.getAs[Long]("declared_interval_sec") == day) // min(monthly, daily, weekly)
+    assert(c.getAs[Long]("hint_due") == 1L) // max lastmod day 21 > last obs day 20
+  }
+
   test("plan: window exchange is reused by the groupBy — ONE Exchange total") {
     val plan = Recrawl.schedule(hist, "url", "ts", "fp", lit(ts(40)))
       .queryExecution.executedPlan.toString
