@@ -487,6 +487,19 @@ object SparkEntry {
         .select(col("doc_id")).orderBy("doc_id")
     }),
 
+    // ---- f11: per-domain contribution cap (C4/Gopher: no host may
+    // contribute more than k docs) — at most 7 docs per source, chosen
+    // by the deterministic md5(key||salt) order with the two-level
+    // skew-safe window; DuckDB recomputes the identical per-group
+    // row_number cut, so a shard-boundary error, a partitioning-
+    // dependent tie, or an off-by-one in the cap mismatches. ----
+    "f11_domain_cap" -> ((s, dir) => {
+      graft.sample.Sampling.domainCap(
+          pq(s, dir, "documents").select(col("doc_id"), col("source")),
+          col("doc_id"), col("source"), k = 7, salt = "f11", shards = 4)
+        .select(col("doc_id"), col("source")).orderBy("doc_id")
+    }),
+
     // ---- f8: deterministic stratified sampling (md5-prefix gate —
     // cluster-size-independent membership; Spark's own sample/sampleBy
     // are partition-seeded and change membership under repartition).
@@ -1547,6 +1560,17 @@ object SparkEntry {
     "d14_incremental_dedup" ->
       """SELECT doc_id + 4000000 AS doc_id FROM documents
         |WHERE doc_id % 7 = 0 ORDER BY doc_id""".stripMargin,
+
+    // f11: DuckDB recomputes the deterministic uniform draw — rank by
+    // md5(doc_id || salt) with doc_id tiebreak, row_number per source,
+    // cut at k — an exact per-row membership check at any sf.
+    "f11_domain_cap" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR) || 'f11'), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 7 ORDER BY doc_id""".stripMargin,
 
     // f8: DuckDB recomputes the md5-prefix gate per row — an EXACT
     // membership check of the deterministic sample, not a rate check.

@@ -176,6 +176,46 @@ object Sampling {
     df.withColumn(outCol, chain)
   }
 
+  /** Per-domain contribution cap (the C4/Gopher curation step: no host
+    * may contribute more than `k` documents to the corpus): keep at
+    * most `k` rows per `groupCol`, selected in a DETERMINISTIC,
+    * partitioning-independent order — md5(key || salt) ascending, key
+    * as the tiebreak — i.e. an unbiased uniform draw per group. This is
+    * the budget-shaped sibling of the rate gates above: a rate cannot
+    * express "at most 1000 docs from this host" when host sizes are
+    * unknown and heavy-tailed, which on a web crawl they always are.
+    *
+    * Scale shape: the two-level top-k pattern (vocabTopK/anchorTopK) —
+    * partial top-k per (group, key-hash shard), then the final k over
+    * ≤ shards·k survivors — so the mega-host this operator exists to
+    * tame is bounded to 1/shards of its rows per window partition, and
+    * the order being a unique total order (md5 then key) makes the
+    * two-level result exactly the single-window result. `shards = 1`
+    * opts out. */
+  def domainCap(df: DataFrame, keyCol: Column, groupCol: Column, k: Int,
+                salt: String = "", shards: Int = 16): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(shards > 0, s"shards must be positive, got $shards")
+    val reserved = Set("_dc_rank", "_dc_shard", "_dc_rn")
+    require(!df.columns.exists(reserved), s"column names $reserved are reserved by domainCap")
+    import org.apache.spark.sql.expressions.Window
+    val ranked = df.withColumn("_dc_rank",
+      md5(concat(keyCol.cast("string"), lit(salt)).cast("binary")))
+    val survivors =
+      if (shards == 1) ranked
+      else {
+        val wShard = Window
+          .partitionBy(groupCol, pmod(xxhash64(keyCol), lit(shards.toLong)))
+          .orderBy(col("_dc_rank").asc, keyCol.asc)
+        ranked.withColumn("_dc_rn", row_number().over(wShard))
+          .filter(col("_dc_rn") <= k).drop("_dc_rn")
+      }
+    val wFinal = Window.partitionBy(groupCol).orderBy(col("_dc_rank").asc, keyCol.asc)
+    survivors.withColumn("_dc_rn", row_number().over(wFinal))
+      .filter(col("_dc_rn") <= k)
+      .drop("_dc_rn", "_dc_rank")
+  }
+
   /** Driver-side twin of the column expression, for tests and for
     * admitting single records outside Spark (e.g. a streaming gate). */
   def keepScala(key: String, salt: String, rate: Double): Boolean = {

@@ -127,6 +127,43 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("domainCap: cap respected, two-level equals single window, repartition-invariant") {
+    import spark.implicits._
+    // skewed corpus: mega-host with 500 docs, small host with 3
+    val docs = ((0L until 500L).map(i => (i, "mega.example")) ++
+      Seq((900L, "tiny.example"), (901L, "tiny.example"), (902L, "tiny.example")))
+      .toDF("doc_id", "host")
+    def survivors(df: DataFrame, shards: Int) =
+      Sampling.domainCap(df, col("doc_id"), col("host"), k = 10, salt = "s", shards = shards)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val base = survivors(docs, 4)
+    assert(base == survivors(docs, 1), "two-level must equal the single window")
+    assert(base == survivors(docs.repartition(7), 4), "membership must not depend on partitioning")
+    assert(base.count(_._2 == "mega.example") == 10)
+    // groups under the cap pass through whole
+    assert(base.count(_._2 == "tiny.example") == 3)
+    // selection really is the md5 order, not doc_id order
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString
+    val expectedMega = (0L until 500L)
+      .sortBy(i => (md5hex(i.toString + "s"), i))
+      .take(10).toSet
+    assert(base.filter(_._2 == "mega.example").map(_._1) == expectedMega)
+  }
+
+  test("domainCap rejects reserved helper columns and bad params") {
+    import spark.implicits._
+    val df = Seq((1L, "h", "x")).toDF("doc_id", "host", "_dc_rank")
+    intercept[IllegalArgumentException] {
+      Sampling.domainCap(df, col("doc_id"), col("host"), k = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.domainCap(Seq((1L, "h")).toDF("doc_id", "host"),
+        col("doc_id"), col("host"), k = 0)
+    }
+  }
+
   test("assignSplits rejects non-partitions") {
     intercept[IllegalArgumentException] {
       Sampling.assignSplits(keysDf, col("k"), Seq("a" -> 0.5, "b" -> 0.4))
