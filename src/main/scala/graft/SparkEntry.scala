@@ -1115,6 +1115,52 @@ object SparkEntry {
         .orderBy("split", "lang")
     }),
 
+    // ---- x2: the INCREMENTAL-arrival chain (the x1 of the late-r5
+    // ops): a new crawl batch with planted exact clones, near-clones,
+    // fresh docs, and within-batch duplicates → incremental exact dedup
+    // vs the corpus index → incremental LSH vs the corpus bucket index
+    // + exact-Jaccard verify → per-domain contribution cap → per-source
+    // manifest. Guards the stage-to-stage column contracts across
+    // Dedup.incremental*/Sampling.domainCap/the aggregation; the oracle
+    // re-derives survivors from the construction and recomputes the
+    // md5-ordered cap cut and the final aggregates. ----
+    "x2_incremental_chain" -> ((s, dir) => {
+      val docs = pq(s, dir, "documents").select(col("doc_id"), col("source"), col("text"))
+      val exactClone = docs.filter(col("doc_id") % 4 === 0)
+        .select((col("doc_id") + 2000000).as("doc_id"), col("source"), col("text"))
+      val nearClone = docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 3000000).as("doc_id"), col("source"),
+          concat(lit("zzz "), substring_index(col("text"), " ", -200)).as("text"))
+      val freshText = concat(lit("fresh"), col("doc_id"), lit(" alpha"), col("doc_id"),
+        lit(" beta"), col("doc_id"), lit(" gamma"), col("doc_id"),
+        lit(" delta"), col("doc_id"), lit(" omega"), col("doc_id"))
+      val fresh = docs.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 4000000).as("doc_id"), col("source"), freshText.as("text"))
+      val freshDup = docs.filter(col("doc_id") % 14 === 0)
+        .select((col("doc_id") + 4500000).as("doc_id"), col("source"), freshText.as("text"))
+      val batch = exactClone.unionByName(nearClone)
+        .unionByName(fresh).unionByName(freshDup)
+      val s1 = Dedup.incrementalExact(batch, Dedup.exactIndex(docs, "text"),
+        "doc_id", "text")
+      val index = Dedup.lshIndex(docs, "doc_id", "text", w = 3, m = 32, bands = 8)
+      val cands = Dedup.incrementalLshCandidates(s1, index, "doc_id", "text",
+        w = 3, m = 32, bands = 8, threshold = 0.5)
+      val verified = Dedup.verifyJaccard(
+          cands.select(col("new_id").as("id_a"), col("corpus_id").as("id_b")),
+          s1.select(col("doc_id"), col("text"))
+            .unionByName(docs.select(col("doc_id"), col("text"))),
+          "doc_id", "text", w = 3)
+        .filter(col("jaccard") >= 0.5)
+      val survivors = s1.join(verified.select(col("id_a").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+      val capped = graft.sample.Sampling.domainCap(survivors, col("doc_id"),
+        col("source"), k = 3, salt = "x2", shards = 4)
+      capped.withColumn("n_tokens", TextOps.tokenCount(col("text")))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+        .orderBy("source")
+    }),
+
     // ---- w10: adaptive recrawl scheduling (Cho–Garcia-Molina change-
     // rate estimation in exact integer-rational form — no ln/exp, so
     // both engines produce identical bits). The probe synthesizes a
@@ -2381,6 +2427,25 @@ ORDER BY id_a""",
         |SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens
         |FROM assigned GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // x2: survivors of the incremental chain are exactly the fresh
+    // docs (the d14 completeness argument); DuckDB then recomputes the
+    // domain-cap cut (md5 order, k=3 per source) and the manifest —
+    // fresh texts are 6 tokens by construction, so n_tokens = 6·n_docs
+    // is fully derived, nothing pinned.
+    "x2_incremental_chain" ->
+      """WITH fresh AS (
+        |  SELECT doc_id + 4000000 AS doc_id, source FROM documents
+        |  WHERE doc_id % 7 = 0),
+        |capped AS (
+        |  SELECT doc_id, source FROM (
+        |    SELECT doc_id, source,
+        |      row_number() OVER (PARTITION BY source
+        |        ORDER BY md5(CAST(doc_id AS VARCHAR) || 'x2'), doc_id) AS rn
+        |    FROM fresh) WHERE rn <= 3)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(*) * 6 AS BIGINT) AS n_tokens
+        |FROM capped GROUP BY source ORDER BY source""".stripMargin,
 
     // w10: DuckDB rebuilds the identical synthetic fetch history and
     // recomputes the whole schedule — lag-based change detection
