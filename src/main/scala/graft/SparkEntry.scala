@@ -487,6 +487,28 @@ object SparkEntry {
         .select(col("doc_id")).orderBy("doc_id")
     }),
 
+    // ---- d15: exact-substring dedup REMOVAL (the transform half of
+    // Lee et al. — d13 is the statistics half): the d13 corpus (docs +
+    // planted tail clones, whose last-100-word span duplicates its
+    // source doc's tail) goes through removeDuplicatedWindows. The
+    // canonical (first-occurrence) copy of every duplicated span
+    // survives; every other occurrence is stripped — so a clone should
+    // collapse to (roughly) its unique 'qqq' prefix while its source
+    // keeps the span. DuckDB recomputes the whole thing from raw
+    // strings: token positions, 8-gram window counts, the canonical
+    // occurrence per gram (row_number over (doc, pos)), the covered-
+    // minus-shielded removal set, and the rebuilt text — one wrong
+    // span boundary, one mis-chosen canonical copy, or one phantom
+    // token anywhere in 600 docs mismatches. ----
+    "d15_window_removal" -> ((s, dir) => {
+      val docs = pq(s, dir, "documents").select(col("doc_id"), col("text"))
+      val clones = docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(lit("qqq "), substring_index(col("text"), " ", -100)).as("text"))
+      Dedup.removeDuplicatedWindows(docs.unionByName(clones), "doc_id", "text", n = 8)
+        .orderBy("doc_id")
+    }),
+
     // ---- f11: per-domain contribution cap (C4/Gopher: no host may
     // contribute more than k docs) — at most 7 docs per source, chosen
     // by the deterministic md5(key||salt) order with the two-level
@@ -1592,6 +1614,50 @@ object SparkEntry {
         |       THEN round(CAST(st.n_dup_windows AS DOUBLE) / st.n_windows, 4)
         |       ELSE CAST(0.0 AS DOUBLE) END AS dup_window_frac
         |FROM (SELECT doc_id FROM corpus) d LEFT JOIN st ON st.doc_id = d.doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    // d15: DuckDB rebuilds the d13 clone corpus and recomputes the
+    // ENTIRE removal from raw strings — 1-based token positions and
+    // 8-gram windows, per-gram totals, the canonical occurrence by
+    // row_number over (doc, pos), dup-window coverage minus canonical-
+    // window shielding, and the token-level rebuild via ordered
+    // string_agg. Exact text equality per doc, nothing pinned.
+    "d15_window_removal" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    'qqq ' || CASE WHEN len(parts) <= 100 THEN text
+        |              ELSE array_to_string(parts[len(parts)-99:len(parts)], ' ') END
+        |  FROM (SELECT doc_id, text, string_split(text, ' ') AS parts
+        |        FROM documents WHERE doc_id % 5 = 0)),
+        |dw AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> '') AS w
+        |  FROM corpus),
+        |toki AS (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS p FROM dw WHERE len(w) >= 1),
+        |toks AS (SELECT doc_id, p, w[p] AS tok FROM toki),
+        |idx AS (SELECT doc_id, w, unnest(range(1, len(w) - 6)) AS i FROM dw WHERE len(w) >= 8),
+        |grams AS (SELECT doc_id, i, array_to_string(w[i:i+7], ' ') AS gram FROM idx),
+        |occ AS (SELECT doc_id, i,
+        |         count(*) OVER (PARTITION BY gram) AS tot,
+        |         row_number() OVER (PARTITION BY gram ORDER BY doc_id, i) AS rn
+        |        FROM grams),
+        |remraw AS (SELECT DISTINCT doc_id, i + u AS p
+        |           FROM (SELECT doc_id, i FROM occ WHERE tot > 1 AND rn > 1), range(0, 8) t(u)),
+        |prot AS (SELECT DISTINCT doc_id, i + u AS p
+        |         FROM (SELECT doc_id, i FROM occ WHERE tot > 1 AND rn = 1), range(0, 8) t(u)),
+        |rem AS (SELECT doc_id, p FROM remraw ANTI JOIN prot USING (doc_id, p)),
+        |keptt AS (SELECT doc_id, p, tok FROM toks ANTI JOIN rem USING (doc_id, p)),
+        |kept AS (SELECT doc_id, count(*) AS n_kept,
+        |           string_agg(tok, ' ' ORDER BY p) AS text_dedup
+        |         FROM keptt GROUP BY doc_id),
+        |nt AS (SELECT doc_id, count(*) AS n_tokens FROM toks GROUP BY doc_id)
+        |SELECT CAST(c.doc_id AS BIGINT) AS doc_id,
+        |  CAST(coalesce(nt.n_tokens, 0) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(nt.n_tokens, 0) - coalesce(kept.n_kept, 0) AS BIGINT) AS n_removed,
+        |  coalesce(kept.text_dedup, '') AS text_dedup
+        |FROM (SELECT doc_id FROM corpus) c
+        |LEFT JOIN nt USING (doc_id) LEFT JOIN kept USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
     // d14: independent completeness oracle (the d6/d9 style) — the

@@ -230,6 +230,75 @@ object Dedup {
           round(col("n_dup_windows").cast("double") / col("n_windows"), 4)).otherwise(0.0))
   }
 
+  /** Exact-substring dedup REMOVAL — the transform half of Lee et al.
+    * (the statistics half is [[duplicatedWindowStats]]): every
+    * duplicated span keeps exactly its CANONICAL copy (the corpus-wide
+    * first occurrence by (id, position)) and is stripped from every
+    * other occurrence. Operates on the normalized token stream (the
+    * same lowercase/whitespace tokenization as the window statistics
+    * and MinHash shingles — `split(lower(trim(text)), "\\s+")`), so
+    * `text_dedup` is whitespace-normalized even for untouched docs.
+    *
+    * Semantics per token occurrence: removed iff covered by ≥1
+    * NON-canonical duplicated window and by NO canonical window of a
+    * duplicated gram. A span of m ≥ n duplicated words yields exactly
+    * its m tokens as the dup-window union (edge tokens are only inside
+    * in-span windows), so the cut is the exact span, not a widened one;
+    * an exact-clone doc collapses to the tokens of its doc-unique
+    * windows (usually empty); periodic self-repetition keeps its first
+    * 2n-1 tokens (each rotation's canonical window sits in the first
+    * period). Docs shorter than n words pass through untouched.
+    *
+    * Scale shape: occurrences hash to 64 bits AT the explode (the
+    * shuffle carries (id, pos, long)); per-gram totals + canonical
+    * occurrence ride ONE map-side-combinable groupBy (min(struct) and
+    * count both partial-agg); the occurrences⊳stats join is keyed by
+    * the uniform gram hash (a boilerplate gram hot in 10^8 docs is
+    * 10^8 distinct uniform rows against one stats row — AQE skew-join
+    * territory, never one hot window partition); the token-level
+    * removal set is explode(×n)-bounded by the DUP fraction, and the
+    * final rebuild is the same one-row-per-doc collect as
+    * [[paragraphDedup]] — bounded by document length, never by corpus
+    * shape. A 64-bit gram collision can only remove an extra span
+    * (conservative in the removal direction), never resurrect one. */
+  def removeDuplicatedWindows(docs: DataFrame, idCol: String, textCol: String,
+                              n: Int = 8): DataFrame = {
+    require(n >= 2, s"window width must be >= 2, got $n")
+    val occ = docs
+      .select(col(idCol).as("_id"),
+        posexplode(TextOps.shingles(col(textCol), n)).as(Seq("i", "gram")))
+      .select(col("_id"), col("i").cast("long").as("i"), xxhash64(col("gram")).as("g"))
+    val stats = occ.groupBy(col("g")).agg(
+      count(lit(1)).as("tot"),
+      min(struct(col("_id"), col("i"))).as("keep"))
+    val flagged = occ.join(stats, Seq("g")).filter(col("tot") > 1)
+    val isKeeper = col("_id") === col("keep._id") && col("i") === col("keep.i")
+    def cover(df: DataFrame): DataFrame = df
+      .select(col("_id"), explode(sequence(col("i"), col("i") + lit(n - 1L))).as("p"))
+      .distinct()
+    // tokens shielded by the canonical copy of SOME duplicated gram win
+    // over removal — "keep exactly one copy of each duplicated span"
+    val rem = cover(flagged.filter(!isKeeper))
+      .join(cover(flagged.filter(isKeeper)), Seq("_id", "p"), "left_anti")
+    val toks = docs.select(col(idCol).as("_id"),
+        posexplode(filter(split(lower(trim(col(textCol))), "\\s+"), w => w =!= ""))
+          .as(Seq("p", "tok")))
+      .withColumn("p", col("p").cast("long"))
+    val kept = toks.join(rem, Seq("_id", "p"), "left_anti")
+      .groupBy(col("_id")).agg(
+        count(lit(1)).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("p"), col("tok")))),
+            x => x.getField("tok")), " ").as("text_dedup"))
+    val nTok = toks.groupBy(col("_id")).agg(count(lit(1)).as("n_tokens"))
+    docs.select(col(idCol).as("_id")).distinct()
+      .join(nTok, Seq("_id"), "left").join(kept, Seq("_id"), "left")
+      .select(col("_id").as(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        (coalesce(col("n_tokens"), lit(0L)) - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"))
+  }
+
   // --- bucket → candidate pairs (shared by all three LSH variants) ---
 
   private val pairTagSeq = new java.util.concurrent.atomic.AtomicLong(0)

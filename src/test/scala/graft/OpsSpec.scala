@@ -740,6 +740,59 @@ class OpsSpec extends AnyFunSuite {
     assert(got(100L)._3 == 1.0) // the clone's every window repeats
   }
 
+  test("substring-dedup removal: planted spans cut exactly, canonical copy shielded") {
+    import spark.implicits._
+    val n = 4
+    val span = (0 until 10).map(i => s"s$i") // a 10-token span shared A→B
+    val a = (1L, ((0 until 6).map(i => s"a$i") ++ span).mkString(" "))     // canonical owner
+    val b = (2L, ((0 until 5).map(i => s"b$i") ++ span ++ Seq("btail")).mkString(" "))
+    val clone = (3L, a._2)                                                  // exact clone of A
+    val short = (4L, "one two three")                                       // < n tokens
+    val periodic = (5L, Seq.fill(3)(Seq("p0", "p1", "p2", "p3")).flatten.mkString(" "))
+    val corpus = Seq(a, b, clone, short, periodic)
+    val got = Dedup.removeDuplicatedWindows(corpus.toDF("doc_id", "text"), "doc_id", "text", n)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) == ((16L, 0L, a._2)), s"canonical owner must be untouched: ${got(1L)}")
+    assert(got(2L)._3 == ((0 until 5).map(i => s"b$i") :+ "btail").mkString(" "),
+      s"B must lose exactly the copied span: ${got(2L)}")
+    assert(got(2L)._2 == 10L)
+    assert(got(3L) == ((16L, 16L, "")), s"exact clone must collapse to empty: ${got(3L)}")
+    assert(got(4L) == ((3L, 0L, "one two three")), "short docs pass through")
+    // periodic self-repetition: each of the n rotations has its canonical
+    // window at positions 0..n-1, so the protected union is the first
+    // 2n-1 tokens; everything after is stripped
+    assert(got(5L) == ((12L, 5L, "p0 p1 p2 p3 p0 p1 p2")), s"periodic: ${got(5L)}")
+
+    // randomized corpus vs an independent sequential twin of the semantics
+    val rnd = new scala.util.Random(11)
+    val base = (0 until 25).map { i =>
+      val len = rnd.nextInt(18)
+      (10 + i.toLong, (0 until len).map(_ => s"t${rnd.nextInt(6)}").mkString(" "))
+    } :+ (200L -> "t0 t1 t2 t3 t4 t5 t0 t1 t2 t3 t4 t5") // guaranteed self-dup
+    val gotR = Dedup.removeDuplicatedWindows(base.toDF("doc_id", "text"), "doc_id", "text", n)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    val toks = base.map { case (id, t) =>
+      id -> t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq }.toMap
+    val occ = base.sortBy(_._1).flatMap { case (id, _) =>
+      val ws = toks(id)
+      if (ws.size < n) Seq.empty
+      else (0 to ws.size - n).map(i => (id, i, ws.slice(i, i + n).mkString(" "))) }
+    val rem = scala.collection.mutable.Set[(Long, Int)]()
+    val prot = scala.collection.mutable.Set[(Long, Int)]()
+    occ.groupBy(_._3).values.filter(_.size > 1).foreach { os =>
+      val sorted = os.sortBy(o => (o._1, o._2))
+      (0 until n).foreach(u => prot += ((sorted.head._1, sorted.head._2 + u)))
+      sorted.tail.foreach(o => (0 until n).foreach(u => rem += ((o._1, o._2 + u))))
+    }
+    base.foreach { case (id, _) =>
+      val ws = toks(id)
+      val kept = ws.zipWithIndex.collect {
+        case (w, p) if !(rem((id, p)) && !prot((id, p))) => w }
+      val exp = ((ws.size.toLong, (ws.size - kept.size).toLong, kept.mkString(" ")))
+      assert(gotR(id) == exp, s"doc $id: ${gotR(id)} vs $exp")
+    }
+  }
+
   test("deterministic sampling: partition-invariant membership, scala-twin agreement, nesting") {
     import spark.implicits._
     import graft.sample.Sampling

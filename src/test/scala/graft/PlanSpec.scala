@@ -192,6 +192,23 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("LeftAnti"), s"both drop stages must be anti joins:\n${p.take(600)}")
   }
 
+  test("substring removal (d15): gram-hash-keyed everywhere, no all-pairs, no raw-row window") {
+    // occurrences⊳stats must be an equi-join on the 64-bit gram hash
+    // (uniform keys; a CartesianProduct or nested-loop would be
+    // O(windows²) at corpus scale), both coverage stages anti-join, and
+    // the per-gram stats must partial-aggregate (no Window over raw
+    // occurrences anywhere — canonical selection is min(struct), not a
+    // rank)
+    val p = SparkEntry.queries("d15_window_removal")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    assert(p.contains("LeftAnti"), s"shield + removal must be anti joins:\n${p.take(600)}")
+    assert(!p.contains("Window"), s"no rank/window over raw occurrences:\n${p.take(600)}")
+    assert(p.contains("partial_min") || p.contains("partial_count")
+      || p.contains("HashAggregate"), p.take(800))
+  }
+
   test("near-dedup chain (d10): no all-pairs operator anywhere in the plan") {
     // LSH candidate generation, jaccard verify, and the final anti-join
     // must all stay key-joined — a CartesianProduct or nested-loop join
