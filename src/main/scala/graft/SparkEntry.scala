@@ -522,6 +522,19 @@ object SparkEntry {
         .select(col("doc_id"), col("source")).orderBy("doc_id")
     }),
 
+    // ---- f12: deterministic shard assignment + within-shard order
+    // (the reproducible corpus shuffle between curation and packing /
+    // file writing): shard = md5-prefix mod 8, pos = full-digest rank
+    // within the shard with key tiebreak. DuckDB recomputes both per
+    // row — an off-by-one in the rank, a hex-parse mismatch in the mod,
+    // or any partitioning dependence mismatches exactly. ----
+    "f12_shard_assign" -> ((s, dir) => {
+      graft.sample.Sampling.assignShards(
+          pq(s, dir, "documents").select(col("doc_id")),
+          col("doc_id"), nShards = 8, salt = "f12")
+        .select(col("doc_id"), col("shard"), col("pos")).orderBy("doc_id")
+    }),
+
     // ---- f8: deterministic stratified sampling (md5-prefix gate —
     // cluster-size-independent membership; Spark's own sample/sampleBy
     // are partition-seeded and change membership under repartition).
@@ -1683,6 +1696,20 @@ object SparkEntry {
         |      ORDER BY md5(CAST(doc_id AS VARCHAR) || 'f11'), doc_id) AS rn
         |  FROM documents)
         |WHERE rn <= 7 ORDER BY doc_id""".stripMargin,
+
+    // f12: DuckDB recomputes the shard (hex-parsed 32-bit md5 prefix
+    // mod 8) and the within-shard rank (full digest, key tiebreak) per
+    // row — exact (shard, pos) equality for all 500 docs.
+    "f12_shard_assign" ->
+      """WITH d AS (
+        |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || 'f12') AS h
+        |  FROM documents),
+        |s AS (SELECT doc_id, h,
+        |        ('0x' || substr(h, 1, 8))::BIGINT % 8 AS shard FROM d)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(shard AS BIGINT) AS shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     // f8: DuckDB recomputes the md5-prefix gate per row — an EXACT
     // membership check of the deterministic sample, not a rate check.

@@ -216,6 +216,41 @@ object Sampling {
       .drop("_dc_rn", "_dc_rank")
   }
 
+  /** Deterministic training-shard assignment + within-shard order — the
+    * corpus-shuffle step between curation (mix / cap / splits) and
+    * sequence packing / file writing: every row gets (shard, pos) as a
+    * pure function of (key, salt), so the global shuffle order is
+    * identical across retries, repartitioning, AQE re-plans, and
+    * cluster sizes — a REPRODUCIBLE shuffle, which is what lets a
+    * training run restart mid-epoch on the same data order (Spark's
+    * own repartition-and-sort is partition-seeded the same way its
+    * sample is). Shard = the md5(key||salt) 32-bit prefix mod nShards
+    * (uniform); pos = the rank of the full md5 digest within the shard
+    * (key as tiebreak ⇒ unique total order, so ranks are dense
+    * 0..shardSize-1 and engine-independent).
+    *
+    * Scale shape: one shard = one output file = one writer task (the
+    * standard sharded-corpus layout), so the per-shard row_number
+    * window is corpus/nShards rows a partition — the same bounded
+    * sequential work as the writer task itself, and the sort inside it
+    * is the only non-map stage. Size nShards so a shard fits a task
+    * (100 TB at 512 MB files ≈ 200k shards). */
+  def assignShards(df: DataFrame, keyCol: Column, nShards: Int,
+                   salt: String = "", shardCol: String = "shard",
+                   posCol: String = "pos"): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val reserved = Set("_as_rank", shardCol, posCol)
+    require(!df.columns.exists(reserved), s"column names $reserved collide with assignShards outputs")
+    import org.apache.spark.sql.expressions.Window
+    val digest = md5(concat(keyCol.cast("string"), lit(salt)).cast("binary"))
+    val ranked = df
+      .withColumn("_as_rank", digest)
+      .withColumn(shardCol,
+        pmod(conv(substring(col("_as_rank"), 1, 8), 16, 10).cast("long"), lit(nShards.toLong)))
+    val w = Window.partitionBy(col(shardCol)).orderBy(col("_as_rank").asc, keyCol.asc)
+    ranked.withColumn(posCol, row_number().over(w).cast("long") - 1).drop("_as_rank")
+  }
+
   /** Driver-side twin of the column expression, for tests and for
     * admitting single records outside Spark (e.g. a streaming gate). */
   def keepScala(key: String, salt: String, rate: Double): Boolean = {

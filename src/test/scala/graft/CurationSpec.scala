@@ -152,6 +152,37 @@ class CurationSpec extends AnyFunSuite {
     assert(base.filter(_._2 == "mega.example").map(_._1) == expectedMega)
   }
 
+  test("assignShards: dense per-shard positions, driver-twin order, repartition-invariant") {
+    import spark.implicits._
+    val docs = (0L until 400L).toDF("doc_id")
+    def out(df: DataFrame) =
+      Sampling.assignShards(df, col("doc_id"), nShards = 8, salt = "sh")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val base = out(docs)
+    assert(base == out(docs.repartition(13)), "shuffle order must not depend on partitioning")
+    assert(base.map(_._2).forall(s => s >= 0 && s < 8))
+    // positions dense 0..size-1 within every shard
+    base.groupBy(_._2).foreach { case (s, rows) =>
+      assert(rows.map(_._3) == (0L until rows.size.toLong).toSet, s"shard $s positions not dense")
+    }
+    // exact (shard, pos) against a sequential driver twin of the contract
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString
+    val twin = (0L until 400L).map { i =>
+      val h = md5hex(i.toString + "sh")
+      (i, java.lang.Long.parseLong(h.take(8), 16) % 8, h)
+    }
+    val expected = twin.groupBy(_._2).flatMap { case (s, rows) =>
+      rows.sortBy(r => (r._3, r._1)).zipWithIndex.map { case (r, p) => (r._1, s, p.toLong) }
+    }.toSet
+    assert(base == expected)
+    intercept[IllegalArgumentException] {
+      Sampling.assignShards(docs.withColumn("shard", lit(1)), col("doc_id"), 8)
+    }
+    intercept[IllegalArgumentException] { Sampling.assignShards(docs, col("doc_id"), 0) }
+  }
+
   test("domainCap rejects reserved helper columns and bad params") {
     import spark.implicits._
     val df = Seq((1L, "h", "x")).toDF("doc_id", "host", "_dc_rank")
