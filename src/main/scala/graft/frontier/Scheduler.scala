@@ -63,7 +63,24 @@ object Scheduler {
       // rank NULLS LAST, url ASC — same as link-discovered rows today.
       linkPriorityMode: Option[String] = None,
       linkPriorityEvery: Int = 4,
-      linkPriorityIters: Int = 3)
+      linkPriorityIters: Int = 3,
+      // Adaptive recrawl (the crawl-level consumer of frontier.Recrawl —
+      // the adaptive replacement for the fixed seen-TTL): every
+      // `recrawlEvery` rounds the fetch history ((url, round, fp) from
+      // the committed results tables) folds into per-URL Cho–Garcia-
+      // Molina revisit intervals in UNITS OF ROUNDS, clamped to
+      // [recrawlMinRounds, recrawlMaxRounds]; due urls re-enter the
+      // frontier (depth 0, Recrawl.priority as the rank signal) and
+      // stop blocking in the seen set until refetched. Static pages
+      // back off exponentially (each uneventful revisit stretches the
+      // interval to the whole observed span); changing pages tighten
+      // toward their mean inter-change gap. Both set = adaptive on;
+      // mutually exclusive with seenTtlRounds (which expires whole
+      // rounds on one clock). Requires results tables that carry the
+      // content fingerprint column (crawls started on this version).
+      recrawlMinRounds: Option[Int] = None,
+      recrawlMaxRounds: Option[Int] = None,
+      recrawlEvery: Int = 1)
 
   object Config {
     /** Layered config (the reference's env/YAML/JSON layering,
@@ -95,7 +112,10 @@ object Scheduler {
         linkPriorityMode = c.getOption("spark.graft.linkPriorityMode")
           .orElse(base.linkPriorityMode),
         linkPriorityEvery = i("linkPriorityEvery", base.linkPriorityEvery),
-        linkPriorityIters = i("linkPriorityIters", base.linkPriorityIters))
+        linkPriorityIters = i("linkPriorityIters", base.linkPriorityIters),
+        recrawlMinRounds = oi("recrawlMinRounds", base.recrawlMinRounds),
+        recrawlMaxRounds = oi("recrawlMaxRounds", base.recrawlMaxRounds),
+        recrawlEvery = i("recrawlEvery", base.recrawlEvery))
     }
   }
 

@@ -296,6 +296,19 @@ object CrawlJob {
       s"linkPriorityMode must be indegree|pagerank|urlshape, got ${cfg.linkPriorityMode}")
     require(cfg.linkPriorityEvery > 0,
       s"linkPriorityEvery must be positive, got ${cfg.linkPriorityEvery}")
+    require(cfg.recrawlMinRounds.isDefined == cfg.recrawlMaxRounds.isDefined,
+      "recrawlMinRounds and recrawlMaxRounds must be set together")
+    val adaptive = cfg.recrawlMinRounds.isDefined
+    if (adaptive) {
+      require(cfg.recrawlMinRounds.get >= 0 &&
+        cfg.recrawlMaxRounds.get >= cfg.recrawlMinRounds.get,
+        s"need 0 <= recrawlMinRounds <= recrawlMaxRounds, got " +
+          s"(${cfg.recrawlMinRounds}, ${cfg.recrawlMaxRounds})")
+      require(cfg.recrawlEvery > 0,
+        s"recrawlEvery must be positive, got ${cfg.recrawlEvery}")
+      require(cfg.seenTtlRounds.isEmpty,
+        "adaptive recrawl replaces the fixed seen TTL — unset seenTtlRounds")
+    }
     val store = new SnapshotStore(workDir)
     // pages source: plain parquet, or the bucketed catalog table (the
     // Iceberg storage-partitioned stand-in) when cfg asks for it — the
@@ -369,7 +382,65 @@ object CrawlJob {
       if (paths.isEmpty) emptyFrontier(spark).select("url_hash", "url")
       else spark.read.parquet(paths: _*).select("url_hash", "url")
     }
-    var seen: DataFrame = seenDfAt(round)
+    // ---- adaptive recrawl state: the EPOCH-FROZEN due set ----
+    // At every recrawl boundary (rounds ≡ 0 mod recrawlEvery) the fetch
+    // history folds into the due url set, which is (a) injected into the
+    // frontier and (b) excluded from the blocking seen set until each
+    // url is refetched (a post-freeze delta re-blocks it). Freezing per
+    // boundary — not per row-read — keeps dueness one deterministic
+    // snapshot both the batch assignment and every later round of the
+    // epoch agree on, which is what lets RefCrawl mirror it exactly.
+    var dueFrontierDf: DataFrame = null // url, url_hash, host, depth=0, priority
+    var dueFreeze = -1
+    def freezeDue(asOf: Int): Unit = {
+      val paths = (0 until asOf).filterNot(store.isExpired)
+        .map(v => store.manifest(v).tables("results").path)
+      val due =
+        if (paths.isEmpty) emptyFrontier(spark)
+        else {
+          val hist = spark.read.parquet(paths: _*)
+            // rounds ARE the time axis: timestamp_seconds(round) runs
+            // Recrawl's exact integer arithmetic in units of rounds
+            .select(col("url"), timestamp_seconds(col("round")).as("ts"), col("fp"))
+          val d = graft.frontier.Recrawl.dueFilter(hist, "url", "ts", "fp",
+            timestamp_seconds(lit(asOf)),
+            cfg.recrawlMinRounds.get.toLong, cfg.recrawlMaxRounds.get.toLong)
+          // recrawls re-enter as roots (depth 0) ranked by overdue-ness
+          Frontier.withFrontierKeys(
+              d.select(col("url").as("raw_url"), col("priority")), "raw_url")
+            .withColumn("depth", lit(0))
+            .select(frontierCols.map(col): _*)
+        }
+      // small (due urls only) — checkpoint so the whole-history fold
+      // runs once per boundary, not once per downstream consumer
+      dueFrontierDf = due.localCheckpoint(true)
+      dueFreeze = asOf
+    }
+    // seen minus the still-due urls (due AND not refetched since the
+    // freeze): the blocking set every notSeen call uses in adaptive mode
+    def seenWithDue(r: Int): DataFrame = {
+      val base = seenDfAt(r)
+      if (!adaptive || dueFrontierDf == null) base
+      else {
+        val since = seenMeta.filter(_._1 >= dueFreeze).map(_._2)
+        val active =
+          if (since.isEmpty) dueFrontierDf.select("url_hash")
+          else dueFrontierDf.select("url_hash")
+            .join(spark.read.parquet(since: _*).select("url_hash"),
+              Seq("url_hash"), "left_anti")
+        base.join(active, Seq("url_hash"), "left_anti")
+      }
+    }
+    // Resume: reconstruct the last freeze (the largest recrawl boundary
+    // that already executed) from the persisted results tables — a
+    // killed run must resume with the identical due snapshot or the
+    // epoch's surviving assigned batches would be re-filtered
+    // differently than the unkilled run filtered them.
+    if (adaptive && round > 0) {
+      val lastFreeze = ((round - 1) / cfg.recrawlEvery) * cfg.recrawlEvery
+      if (lastFreeze > 0) freezeDue(lastFreeze)
+    }
+    var seen: DataFrame = seenWithDue(round)
     var seenCount: Long = activeSeenMeta(round).map(_._3).sum
 
     // Bloom sketch maintained INCREMENTALLY: built once (resume) over the
@@ -433,9 +504,10 @@ object CrawlJob {
       val t0 = System.nanoTime()
       tPhase = t0
       var batchIdx = round - epochStart
-      // refresh the seen window (it shifts per round under a TTL)
-      if (cfg.seenTtlRounds.isDefined) {
-        seen = seenDfAt(round)
+      // refresh the seen window (it shifts per round under a TTL; under
+      // adaptive recrawl the due-exclusion shrinks as refetch deltas land)
+      if (cfg.seenTtlRounds.isDefined || (adaptive && dueFrontierDf != null)) {
+        seen = seenWithDue(round)
         seenCount = activeSeenMeta(round).map(_._3).sum
       }
 
@@ -457,8 +529,19 @@ object CrawlJob {
       // cadence, so CrawlParitySpec can hold trace parity through it.
       val rescoreDue = cfg.linkPriorityMode.isDefined && round > 0 &&
         round % cfg.linkPriorityEvery == 0
+      // Adaptive-recrawl cadence: at rounds ≡ 0 (mod recrawlEvery) the
+      // due set is re-frozen and injected, which forces an epoch
+      // boundary (the frontier gains rows) — the same forced-boundary
+      // pattern as the link re-score, and for the same reason: the
+      // injection round is a pure function of the round number, so
+      // RefCrawl mirrors it and trace parity holds through it.
+      val recrawlDue = adaptive && round > 0 && round % cfg.recrawlEvery == 0
       if (assignedPath == null || batchIdx > maxBatch ||
-          carryCount > (assignedTotal - consumed) || rescoreDue) {
+          carryCount > (assignedTotal - consumed) || rescoreDue || recrawlDue) {
+        if (recrawlDue) {
+          freezeDue(round)
+          seen = seenWithDue(round)
+        }
         val input =
           if (round == 0) initialFrontier(spark, siteDir, rules)
           // assignedTotal == 0 → the assigned dir is a zero-row
@@ -469,7 +552,16 @@ object CrawlJob {
             .filter(col("batch_no") >= batchIdx)
             .select(frontierCols.map(col): _*) // drop batch_no + stored rank
             .unionByName(carryDf)
-        val fresh = notSeenDf(mergeFrontier(input), seen)
+        val fresh0 = notSeenDf(mergeFrontier(input), seen)
+        // due urls enter AFTER the seen filter (they are, by
+        // construction, seen) and merge against any link-rediscovered
+        // twin already in the input (min depth, max priority — the
+        // injected row's depth 0 and Recrawl.priority win); they carry
+        // no robots risk (only FETCHED urls have history ⇒ they were
+        // allowed, and rules are static per crawl)
+        val fresh =
+          if (recrawlDue) mergeFrontier(fresh0.unionByName(dueFrontierDf))
+          else fresh0
         // F7 at insert: only the round-0 input is un-gated (later epochs
         // re-rank rows that were gated when they were first inserted)
         val allowed = if (round == 0) {
@@ -664,6 +756,10 @@ object CrawlJob {
           val exObs = org.apache.spark.sql.Observation(s"extract_r$round")
           extract(spark, fetched, cfg).toDF()
             .withColumn("round", lit(round))
+            // content fingerprint, stored AT extract so the adaptive-
+            // recrawl history pass reads (url, round, fp) columnar and
+            // never re-touches the markdown payload
+            .withColumn("fp", xxhash64(col("markdown")))
             .observe(exObs, count(lit(1)).as("n_rows"),
               coalesce(sum(col("n_chunks").cast("long")), lit(0L)).as("n_chunks"))
             .write.mode("overwrite").parquet(resultsPath)
@@ -765,8 +861,9 @@ object CrawlJob {
           // link graph: a pre-assignment under the stale ranking key
           // would be thrown away at the boundary. Write the carry and
           // let the boundary block re-score + assign.
-          val nextIsRescore = cfg.linkPriorityMode.isDefined &&
-            (round + 1) % cfg.linkPriorityEvery == 0
+          val nextIsRescore = (cfg.linkPriorityMode.isDefined &&
+            (round + 1) % cfg.linkPriorityEvery == 0) ||
+            (adaptive && (round + 1) % cfg.recrawlEvery == 0)
           val preAssignNext = epochExhausted && !nextIsRescore
           var nextAssignedPath: String = null
           var nextTotal = 0L

@@ -52,7 +52,21 @@ object RefCrawl {
       // the re-score ranks every frontier url by this pure function of
       // the url string instead of the link graph — every url gets a
       // score (no NULL fallback), matching the distributed pure map.
-      shapeRank: Option[String => Double] = None): Result = {
+      shapeRank: Option[String => Double] = None,
+      // Adaptive-recrawl mirror (CrawlJob recrawlMinRounds/MaxRounds/
+      // Every): at rounds ≡ 0 (mod recrawlEvery) the fetch history
+      // folds into per-url due-ness with the same exact integer
+      // arithmetic as frontier.Recrawl (interval = clamp(span /
+      // (changes+1)), due = age >= interval, priority = age ·
+      // (changes+1) / n_obs), the due set is FROZEN for the cycle, due
+      // urls re-enter the frontier at depth 0 with that priority, and
+      // a frozen-due url stops counting as seen until refetched. The
+      // fingerprint here is the markdown string itself — equality
+      // patterns match CrawlJob's stored xxhash64(markdown) exactly
+      // (modulo 64-bit collisions).
+      recrawlEvery: Option[Int] = None,
+      recrawlMinRounds: Int = 1,
+      recrawlMaxRounds: Int = 8): Result = {
 
     def rpsOf(host: String): Double =
       limits.getOrElse(host,
@@ -65,8 +79,17 @@ object RefCrawl {
     val frontier = mutable.Map.empty[String, (Int, Option[Double])]
     val seen = mutable.Map.empty[String, Int]
     var curRound = 0
+    // adaptive-recrawl state: url -> (fetch round, markdown) history,
+    // plus the cycle-frozen due set (url -> recrawl priority)
+    val history = mutable.Map.empty[String, mutable.ListBuffer[(Int, String)]]
+    var dueFrozen = Map.empty[String, Double]
+    var freezeRound = -1
     def isSeen(key: String): Boolean = seen.get(key) match {
-      case Some(r0) => seenTtlRounds.forall(ttl => curRound - r0 <= ttl)
+      case Some(r0) =>
+        val ttlOk = seenTtlRounds.forall(ttl => curRound - r0 <= ttl)
+        // frozen-due and not refetched since the freeze → not blocking
+        val dueNow = dueFrozen.contains(key) && r0 < freezeRound
+        ttlOk && !dueNow
       case None => false
     }
     val trace = Seq.newBuilder[TraceRow]
@@ -120,7 +143,29 @@ object RefCrawl {
 
     var round = 0
     var progress = true
-    while (frontier.nonEmpty && round < maxRounds && progress) {
+    while ((frontier.nonEmpty || recrawlEvery.isDefined) && round < maxRounds && progress) {
+      // adaptive recrawl: freeze + inject BEFORE any re-score (CrawlJob
+      // injects at the epoch boundary, then the re-score block — if due
+      // this round — replaces every priority including the injected ones)
+      recrawlEvery.foreach { k =>
+        if (round > 0 && round % k == 0) {
+          freezeRound = round
+          dueFrozen = history.iterator.flatMap { case (url, obs) =>
+            val sorted = obs.sortBy(_._1).toVector
+            val changes = sorted.sliding(2).count(p => p.size == 2 && p(0)._2 != p(1)._2)
+            val interval = math.max(recrawlMinRounds.toLong,
+              math.min(recrawlMaxRounds.toLong,
+                (sorted.last._1 - sorted.head._1).toLong / (changes + 1)))
+            val age = (round - sorted.last._1).toLong
+            if (age >= interval)
+              Some(url -> age.toDouble * (changes + 1).toDouble / sorted.size.toDouble)
+            else None
+          }.toMap
+          // due urls re-enter as roots ranked by overdue-ness; merge
+          // semantics vs a link-rediscovered twin are addFrontier's
+          dueFrozen.foreach { case (url, pr) => addFrontier(url, 0, Some(pr)) }
+        }
+      }
       // link-graph priority re-score (same cadence as CrawlJob)
       linkRankEvery.foreach { k =>
         if (round > 0 && round % k == 0) {
@@ -177,6 +222,8 @@ object RefCrawl {
         frontier.remove(url)
         pages.get(url).foreach { html =>
           val md = graft.html.DocRender.toMarkdown(Doc.fromHtml(html, url))
+          if (recrawlEvery.isDefined)
+            history.getOrElseUpdate(url, mutable.ListBuffer.empty) += ((round, md))
           chunkCount += Chunker.semanticChunks(md, url, "t", chunkSize, chunkOverlap).size
           val links = Doc.extractLinks(html, url)
           // edge accumulation matches CrawlJob's results-table explode:
@@ -192,6 +239,22 @@ object RefCrawl {
       }
       if (batch.nonEmpty || denied.nonEmpty) round += 1
       curRound = round
+    }
+    // Spark's F7 gates at INSERT: a denied url enters the seen set the
+    // round its link is DISCOVERED. This loop gates lazily from the
+    // frontier — identical at any natural drain, but a maxRounds cutoff
+    // (adaptive recrawl runs forever by design) can leave a
+    // just-discovered denied url unclassified in the frontier. Flush
+    // them so the final seen set carries the insert-time classification.
+    frontier.keys.toList.foreach { url =>
+      val host = UrlCanonical.hostOf(url)
+      val deniedNow = robots.get(host).exists { r =>
+        val p = UrlCanonical.parse(url)
+        val path = (if (p.path.isEmpty) "/" else p.path) +
+          (if (p.query != null) "?" + p.query else "")
+        !Robots.allows(path, r.allow, r.disallow)
+      }
+      if (deniedNow) { seen(url) = round; frontier.remove(url) }
     }
     Result(trace.result(), seen.keySet.toSet, chunkCount)
   }

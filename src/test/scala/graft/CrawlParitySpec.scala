@@ -296,6 +296,60 @@ class CrawlParitySpec extends AnyFunSuite {
     assert(sparkSeen(workDir, last) == ref.seen)
   }
 
+  test("adaptive recrawl: due urls re-enter with backoff, parity with reference") {
+    val (pages, robots, sitemaps, limits, seeds) = collectSite()
+    val rounds = 7 // bounded: adaptive crawls re-fetch forever on purpose
+    val ref = RefCrawl.run(pages, robots, sitemaps, limits, seeds,
+      maxRounds = rounds, recrawlEvery = Some(1),
+      recrawlMinRounds = 1, recrawlMaxRounds = 8)
+    assert(ref.trace.nonEmpty)
+    val refFetchRounds = ref.trace.groupBy(_.url).view.mapValues(_.map(_.round).sorted)
+    assert(refFetchRounds.values.count(_.size > 1) > 0,
+      "adaptive recrawl never triggered a re-fetch — adjust rounds")
+    // static pages back off: per-url revisit gaps never shrink (each
+    // uneventful revisit stretches the interval to the observed span)
+    refFetchRounds.values.filter(_.size >= 3).foreach { rs =>
+      val gaps = rs.sliding(2).map(p => p(1) - p(0)).toSeq
+      assert(gaps.sliding(2).forall(g => g.size < 2 || g(1) >= g(0)),
+        s"backoff gaps shrank: fetch rounds $rs")
+    }
+
+    val workDir = java.nio.file.Files.createTempDirectory("graft_adapt").toString
+    val cfg = graft.frontier.Scheduler.Config(
+      recrawlMinRounds = Some(1), recrawlMaxRounds = Some(8), recrawlEvery = 1)
+    val last = CrawlJob.run(spark, siteDir, workDir, cfg, maxRounds = rounds, bloomThreshold = 100L)
+    val got = sparkTrace(workDir, last)
+    val want = ref.trace.map(t => (t.round, t.host, t.rank, t.url)).sortBy(t => (t._1, t._2, t._3))
+    assert(got.size == want.size, s"trace size: spark=${got.size} ref=${want.size}")
+    got.zip(want).foreach { case (g, w) => assert(g == w, s"trace differs: spark=$g ref=$w") }
+    assert(sparkSeen(workDir, last) == ref.seen)
+  }
+
+  test("adaptive recrawl: budget-bound general path + resume reconstructs the frozen due set") {
+    val (pages, robots, sitemaps, limits, seeds) = collectSite()
+    val rounds = 9
+    val ref = RefCrawl.run(pages, robots, sitemaps, limits, seeds,
+      maxRounds = rounds, globalBudget = Some(40L), recrawlEvery = Some(2),
+      recrawlMinRounds = 1, recrawlMaxRounds = 8)
+    assert(ref.trace.groupBy(_.url).values.count(_.size > 1) > 0,
+      "no re-fetch under the budget-bound adaptive config")
+
+    val cfg = graft.frontier.Scheduler.Config(globalBudget = Some(40L),
+      recrawlMinRounds = Some(1), recrawlMaxRounds = Some(8), recrawlEvery = 2)
+    // killed run: stops at round 5 (an ODD round, mid recrawl cycle) so
+    // the resume must reconstruct round 4's frozen due set from the
+    // persisted results tables — a wrong snapshot re-filters the
+    // epoch's surviving batches differently and breaks the trace
+    val workDir = java.nio.file.Files.createTempDirectory("graft_adapt_resume").toString
+    CrawlJob.run(spark, siteDir, workDir, cfg, maxRounds = 5, bloomThreshold = 100L)
+    val last = CrawlJob.run(spark, siteDir, workDir, cfg, maxRounds = rounds, bloomThreshold = 100L)
+    val got = sparkTrace(workDir, last)
+    val want = ref.trace.map(t => (t.round, t.host, t.rank, t.url)).sortBy(t => (t._1, t._2, t._3))
+    assert(got.size == want.size, s"trace size: spark=${got.size} ref=${want.size}")
+    got.zip(want).foreach { case (g, w) => assert(g == w, s"trace differs: spark=$g ref=$w") }
+    assert(sparkSeen(workDir, last) == ref.seen)
+  }
+
   test("TTL + snapshot expiration: expired rounds' data is dropped without changing the crawl") {
     val ttl = 3
     val rounds = 14
