@@ -16,10 +16,18 @@ import org.apache.spark.sql.functions._
   * complement: per-URL fetch history (url, ts, content fingerprint) →
   * change statistics → a per-URL revisit interval that shortens for
   * frequently-changing pages and stretches (classic exponential-
-  * backoff-like growth) for static ones. It composes with the existing
-  * seen/TTL machinery: [[dueFilter]] yields the url_hashes whose
-  * adaptive interval has elapsed, a drop-in replacement for the global
-  * ttl cut when selecting recrawl candidates.
+  * backoff-like growth) for static ones. It is WIRED into the crawl:
+  * `Scheduler.Config.recrawlMinRounds/MaxRounds/Every` makes
+  * [[graft.jobs.CrawlJob]] fold the results tables' stored content
+  * fingerprints through [[dueFilter]] at every recrawl boundary (round
+  * numbers as the time axis via timestamp_seconds), inject the due
+  * urls into the frontier, and un-block them in the seen set until
+  * refetched — the adaptive replacement for the global ttl cut,
+  * trace/seen-parity-proven against the sequential executor. (The
+  * [[withSitemapHints]] fold applies when the history carries REAL
+  * timestamps comparable with sitemap `lastmod` dates; the in-crawl
+  * integration runs on round time, where declared dates have no
+  * meaningful order against round indices.)
   *
   * Exactness contract (what the w10 oracle relies on): no
   * transcendental functions anywhere. `interval_sec` is pure long
