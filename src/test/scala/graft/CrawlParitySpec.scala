@@ -350,6 +350,38 @@ class CrawlParitySpec extends AnyFunSuite {
     assert(sparkSeen(workDir, last) == ref.seen)
   }
 
+  test("combined modes: link re-score + adaptive recrawl compose, incl. the collision round") {
+    // The two config-gated frontier modes run SIMULTANEOUSLY with
+    // coprime cadences (re-score every 2, recrawl every 3): round 6 is
+    // a COLLISION round where both fire, pinning the documented order —
+    // due urls inject first, then the re-score replaces EVERY priority
+    // including the just-injected Recrawl.priority values. Each mode is
+    // parity-proven alone above; this case guards the composition,
+    // where an ordering or epoch-boundary interaction bug would hide.
+    val (pages, robots, sitemaps, limits, seeds) = collectSite()
+    def refIndegree(edges: Seq[(String, String)]): Map[String, Double] =
+      edges.filter(e => e._1 != e._2).distinct
+        .groupBy(_._2).map { case (d, es) => d -> es.size.toDouble }
+    val rounds = 10 // reaches round 6 = lcm(2,3): both cadences fire at once
+    val ref = RefCrawl.run(pages, robots, sitemaps, limits, seeds,
+      maxRounds = rounds, linkRankEvery = Some(2), linkRankOf = refIndegree,
+      recrawlEvery = Some(3), recrawlMinRounds = 1, recrawlMaxRounds = 8)
+    assert(ref.trace.exists(_.round > 6), "crawl ended before the collision round")
+    assert(ref.trace.groupBy(_.url).values.count(_.size > 1) > 0,
+      "adaptive recrawl never re-fetched under the combined config")
+
+    val workDir = java.nio.file.Files.createTempDirectory("graft_combined").toString
+    val cfg = graft.frontier.Scheduler.Config(
+      linkPriorityMode = Some("indegree"), linkPriorityEvery = 2,
+      recrawlMinRounds = Some(1), recrawlMaxRounds = Some(8), recrawlEvery = 3)
+    val last = CrawlJob.run(spark, siteDir, workDir, cfg, maxRounds = rounds, bloomThreshold = 100L)
+    val got = sparkTrace(workDir, last)
+    val want = ref.trace.map(t => (t.round, t.host, t.rank, t.url)).sortBy(t => (t._1, t._2, t._3))
+    assert(got.size == want.size, s"trace size: spark=${got.size} ref=${want.size}")
+    got.zip(want).foreach { case (g, w) => assert(g == w, s"trace differs: spark=$g ref=$w") }
+    assert(sparkSeen(workDir, last) == ref.seen)
+  }
+
   test("TTL + snapshot expiration: expired rounds' data is dropped without changing the crawl") {
     val ttl = 3
     val rounds = 14
