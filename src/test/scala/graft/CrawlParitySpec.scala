@@ -382,6 +382,36 @@ class CrawlParitySpec extends AnyFunSuite {
     assert(sparkSeen(workDir, last) == ref.seen)
   }
 
+  test("combined modes: TTL recrawl + link re-score compose (the other legal mode pair)") {
+    // seenTtlRounds composes with linkPriorityMode (adaptive recrawl
+    // replaces TTL and is validated mutually exclusive with it): the
+    // re-score shifts fetch ORDER, which shifts the round each url is
+    // rediscovered at, which shifts which TTL expiries re-fetch — an
+    // interaction with plenty of room for a drift bug between the
+    // engine and the sequential twin.
+    val (pages, robots, sitemaps, limits, seeds) = collectSite()
+    def refIndegree(edges: Seq[(String, String)]): Map[String, Double] =
+      edges.filter(e => e._1 != e._2).distinct
+        .groupBy(_._2).map { case (d, es) => d -> es.size.toDouble }
+    val ttl = 3
+    val rounds = 12
+    val ref = RefCrawl.run(pages, robots, sitemaps, limits, seeds,
+      maxRounds = rounds, seenTtlRounds = Some(ttl),
+      linkRankEvery = Some(2), linkRankOf = refIndegree)
+    assert(ref.trace.groupBy(_.url).values.count(_.size > 1) > 0,
+      "TTL never re-fetched under the combined config — adjust ttl/rounds")
+
+    val workDir = java.nio.file.Files.createTempDirectory("graft_ttl_lp").toString
+    val cfg = graft.frontier.Scheduler.Config(seenTtlRounds = Some(ttl),
+      linkPriorityMode = Some("indegree"), linkPriorityEvery = 2)
+    val last = CrawlJob.run(spark, siteDir, workDir, cfg, maxRounds = rounds, bloomThreshold = 100L)
+    val got = sparkTrace(workDir, last)
+    val want = ref.trace.map(t => (t.round, t.host, t.rank, t.url)).sortBy(t => (t._1, t._2, t._3))
+    assert(got.size == want.size, s"trace size: spark=${got.size} ref=${want.size}")
+    got.zip(want).foreach { case (g, w) => assert(g == w, s"trace differs: spark=$g ref=$w") }
+    assert(sparkSeen(workDir, last) == ref.seen)
+  }
+
   test("TTL + snapshot expiration: expired rounds' data is dropped without changing the crawl") {
     val ttl = 3
     val rounds = 14
