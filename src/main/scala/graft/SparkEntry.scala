@@ -760,6 +760,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- t9: the Gopher document-level quality gate — every rule's
+    // verdict is an integer cross-multiplication, so DuckDB recomputes
+    // all seven booleans and the composite keep bit-for-bit from the
+    // raw strings. The synthetic word-soup rarely carries two distinct
+    // Gopher stop words, so (t8-style planted construction) a natural-
+    // language suffix lands on every third doc — both keep outcomes and
+    // the stop-word rule get real diversity while every column stays
+    // derivable from the raw table.
+    "t9_gopher_gate" -> ((s, dir) => {
+      val planted = pq(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 3 === 0,
+            concat(col("text"), lit(" and so it goes to the end of that story")))
+          .otherwise(col("text")).as("text"))
+      TextOps.gopherDocGate(planted, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // ---- similarity search (embeddings table) ----
 
     "v1_brute_topk" -> ((s, dir) => {
@@ -2351,6 +2368,55 @@ ORDER BY id_a""",
         |WHERE time_bucket(INTERVAL '5 minutes', ts) + INTERVAL '5 minutes' + INTERVAL '10 minutes'
         |      <= (SELECT max(ts) FROM events)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // t9: DuckDB recomputes all seven Gopher document-rule booleans and
+    // the composite keep from the raw strings — every threshold is an
+    // integer cross-multiplication, so the comparison is exact (no
+    // float ratios on either side).
+    "t9_gopher_gate" ->
+      """SELECT doc_id, n_words,
+        |  (n_words >= 50 AND n_words <= 100000) AS r_word_count,
+        |  (n_words > 0 AND tok_chars >= n_words * 3 AND tok_chars <= n_words * 10) AS r_mean_word_len,
+        |  (n_sym * 10 <= n_words) AS r_symbol_ratio,
+        |  (n_bullet * 10 <= n_lines * 9) AS r_bullet_lines,
+        |  (n_lines = 0 OR n_ell_lines * 10 < n_lines * 3) AS r_ellipsis_lines,
+        |  (n_alpha * 10 >= n_words * 8) AS r_alpha_words,
+        |  (n_stop >= 2) AS r_stop_words,
+        |  ((n_words >= 50 AND n_words <= 100000)
+        |    AND (n_words > 0 AND tok_chars >= n_words * 3 AND tok_chars <= n_words * 10)
+        |    AND (n_sym * 10 <= n_words)
+        |    AND (n_bullet * 10 <= n_lines * 9)
+        |    AND (n_lines = 0 OR n_ell_lines * 10 < n_lines * 3)
+        |    AND (n_alpha * 10 >= n_words * 8)
+        |    AND (n_stop >= 2)) AS keep
+        |FROM (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_words,
+        |    length(regexp_replace(text, '\s', '', 'g')) AS tok_chars,
+        |    len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\.\.\.|…')) AS n_sym,
+        |    len(list_filter(string_split(text, chr(10)), l -> length(trim(l)) > 0)) AS n_lines,
+        |    len(list_filter(string_split(text, chr(10)),
+        |        l -> length(trim(l)) > 0 AND regexp_matches(trim(l), '^(-|\*|•)( |$)'))) AS n_bullet,
+        |    len(list_filter(string_split(text, chr(10)),
+        |        l -> length(trim(l)) > 0 AND regexp_matches(trim(l), '(\.\.\.|…)$'))) AS n_ell_lines,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+        |                  w -> regexp_matches(w, '[A-Za-z]'))) END AS n_alpha,
+        |    (CASE WHEN regexp_matches(lower(text), '\bthe\b') THEN 1 ELSE 0 END
+        |     + CASE WHEN regexp_matches(lower(text), '\bbe\b') THEN 1 ELSE 0 END
+        |     + CASE WHEN regexp_matches(lower(text), '\bto\b') THEN 1 ELSE 0 END
+        |     + CASE WHEN regexp_matches(lower(text), '\bof\b') THEN 1 ELSE 0 END
+        |     + CASE WHEN regexp_matches(lower(text), '\band\b') THEN 1 ELSE 0 END
+        |     + CASE WHEN regexp_matches(lower(text), '\bthat\b') THEN 1 ELSE 0 END
+        |     + CASE WHEN regexp_matches(lower(text), '\bhave\b') THEN 1 ELSE 0 END
+        |     + CASE WHEN regexp_matches(lower(text), '\bwith\b') THEN 1 ELSE 0 END) AS n_stop
+        |  FROM (SELECT doc_id,
+        |          text || CASE WHEN doc_id % 3 = 0
+        |                       THEN ' and so it goes to the end of that story'
+        |                       ELSE '' END AS text
+        |        FROM documents))
+        |ORDER BY doc_id""".stripMargin,
 
     // t8: DuckDB rebuilds the planted-footer corpus, recomputes each
     // (source, normalized line) doc frequency and the group doc counts,

@@ -245,4 +245,66 @@ object TextOps {
       transform(sequence(lit(0), n - w),
         i => concat_ws(" ", slice(words, i + 1, lit(w)))))
   }
+
+  /** Gopher DOCUMENT-level quality rules (Rae et al. 2021, "Scaling
+    * Language Models: ... Gopher", appendix A1.1) as one composite gate:
+    * the published keep/drop decision a web-scale curation pipeline runs
+    * after language-ID and before dedup. Per doc, every rule's verdict
+    * plus the conjunction:
+    *
+    *   r_word_count     50 ≤ words ≤ 100,000
+    *   r_mean_word_len  3 ≤ mean word length ≤ 10 (inclusive)
+    *   r_symbol_ratio   (# + "..."/"…") per word ≤ 0.1
+    *   r_bullet_lines   ≤ 90% of non-empty lines start with a bullet
+    *   r_ellipsis_lines < 30% of non-empty lines end with an ellipsis
+    *   r_alpha_words    ≥ 80% of words contain an alphabetic character
+    *   r_stop_words     ≥ 2 distinct Gopher stop words
+    *                    (the, be, to, of, and, that, have, with)
+    *
+    * The repetition side of Gopher's table (dup line/n-gram fractions)
+    * is [[repetitionSignals]] — separate because its explode/groupBy
+    * shape differs from this single-projection gate.
+    *
+    * Exactness contract (t9 oracle): every ratio threshold is an
+    * INTEGER cross-multiplication (e.g. `10·bullet_lines ≤ 9·lines`,
+    * `10·sym ≤ words`) — no doubles anywhere, so any engine reproduces
+    * the booleans bit-for-bit. Tokenization matches [[tokenCount]]
+    * (trim → split `\s+`); "lines" are the `\n`-split segments that are
+    * non-empty after space-trim; zero non-empty lines passes both line
+    * rules (nothing to offend). Mean word length uses the whitespace-
+    * stripped char count (= sum of token lengths) vs 3·words / 10·words.
+    *
+    * Scale shape: one codegen'd projection per row — no join, no
+    * shuffle, no explode; at 10^10 docs this is a pure scan-stage map,
+    * the cheapest possible gate. */
+  def gopherDocGate(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = split(trim(t), "\\s+")
+    val nWords = when(length(trim(t)) === 0, lit(0L)).otherwise(size(toks).cast("long"))
+    val tokChars = length(regexp_replace(t, "\\s", "")).cast("long")
+    val nSym = (size(regexp_extract_all(t, lit("#"), lit(0)))
+      + size(regexp_extract_all(t, lit("\\.\\.\\.|…"), lit(0)))).cast("long")
+    val neLines = filter(split(t, "\n"), l => length(trim(l)) > 0)
+    val nLines = size(neLines).cast("long")
+    val nBullet = size(filter(neLines, l => trim(l).rlike("^(-|\\*|•)( |$)"))).cast("long")
+    val nEllLines = size(filter(neLines, l => trim(l).rlike("(\\.\\.\\.|…)$"))).cast("long")
+    val nAlpha = when(nWords === 0, lit(0L))
+      .otherwise(size(filter(toks, w => w.rlike("[A-Za-z]"))).cast("long"))
+    val low = lower(t)
+    val nStop = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+      .map(w => when(low.rlike("\\b" + w + "\\b"), 1).otherwise(0))
+      .reduce(_ + _).cast("long")
+    val rules = Seq(
+      "r_word_count" -> (nWords >= 50L && nWords <= 100000L),
+      "r_mean_word_len" -> (nWords > 0L && tokChars >= nWords * 3L && tokChars <= nWords * 10L),
+      "r_symbol_ratio" -> (nSym * 10L <= nWords),
+      "r_bullet_lines" -> (nBullet * 10L <= nLines * 9L),
+      "r_ellipsis_lines" -> (nLines === 0L || nEllLines * 10L < nLines * 3L),
+      "r_alpha_words" -> (nAlpha * 10L >= nWords * 8L),
+      "r_stop_words" -> (nStop >= 2L))
+    df.select(
+      (col(idCol) +: nWords.as("n_words") +:
+        rules.map { case (n, c) => c.as(n) }) :+
+        rules.map(_._2).reduce(_ && _).as("keep"): _*)
+  }
 }

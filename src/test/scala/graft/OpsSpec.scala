@@ -862,4 +862,36 @@ class OpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(ind == Map(0L -> 7L))
   }
+
+  test("gopher gate: each rule trips on its construction, good doc passes all") {
+    import spark.implicits._
+    // 60 ordinary words with stop words sprinkled in — passes every rule
+    val good = (0 until 60).map(i => Seq("the", "word", "of", "things", "have", "text")(i % 6)).mkString(" ")
+    val docs = Seq(
+      1L -> good,
+      2L -> "the of short doc", // < 50 words
+      3L -> ((0 until 60).map(_ => "supercalifragilistic").mkString(" ") + " the of"), // mean word len > 10
+      4L -> (good + " " + (0 until 10).map(_ => "#").mkString(" ")), // 11 symbols per 70 words > 0.1
+      5L -> (0 until 60).map(i => s"- the bullet of item $i").mkString("\n"), // 100% bullet lines
+      6L -> (0 until 60).map(i => s"the line of text $i...").mkString("\n"), // 100% ellipsis ends
+      7L -> ((0 until 55).map(_ => "12345").mkString(" ") + " the of"), // alpha words ≈ 2/57 < 80%
+      8L -> (0 until 60).map(i => s"lorem$i ipsum$i").mkString(" ") // no stop words
+    ).toDF("doc_id", "text")
+    val out = TextOps.gopherDocGate(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def b(id: Long, col: String) = out(id).getAs[Boolean](col)
+    assert(b(1, "keep"), s"good doc dropped: ${out(1)}")
+    assert(!b(2, "r_word_count") && !b(2, "keep"))
+    assert(!b(3, "r_mean_word_len") && b(3, "r_word_count"))
+    assert(!b(4, "r_symbol_ratio") && b(4, "r_word_count"))
+    assert(!b(5, "r_bullet_lines") && b(5, "r_ellipsis_lines"))
+    assert(!b(6, "r_ellipsis_lines") && b(6, "r_bullet_lines"))
+    assert(!b(7, "r_alpha_words") && b(7, "r_stop_words"))
+    assert(!b(8, "r_stop_words") && b(8, "r_alpha_words"))
+    // empty text: zero words, zero lines — word rules fail, line rules pass
+    val empty = TextOps.gopherDocGate(Seq(9L -> "").toDF("doc_id", "text"), "doc_id", "text")
+      .collect().head
+    assert(!empty.getAs[Boolean]("r_word_count") && empty.getAs[Boolean]("r_bullet_lines")
+      && empty.getAs[Boolean]("r_ellipsis_lines") && !empty.getAs[Boolean]("keep"))
+  }
 }
