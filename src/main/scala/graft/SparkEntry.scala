@@ -777,6 +777,49 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- t11: C4 line+page cleaning (Raffel et al. 2020 §2.2). The
+    // documents table is single-line and punctuation-free, so the probe
+    // builds a multi-line corpus from it deterministically: a good
+    // leading sentence (first 8 words + '.'), a too-short line, an
+    // unpunctuated line, doc_id-keyed tell lines (javascript / lorem
+    // ipsum / curly brace / bad word), and a parity-keyed closer.
+    // DuckDB re-derives the corpus and every rule from raw strings. ----
+    "t11_c4_filter" -> ((s, dir) => {
+      val corpus = pq(s, dir, "documents").select(col("doc_id"),
+        concat(
+          substring_index(col("text"), " ", 8), lit(".\n"),
+          lit("too short.\n"),
+          substring_index(col("text"), " ", 12), lit("\n"),
+          when(col("doc_id") % 7 === 0,
+            lit("please enable javascript to view this page.\n")).otherwise(lit("")),
+          when(col("doc_id") % 11 === 0,
+            lit("lorem ipsum dolor sit amet consectetur.\n")).otherwise(lit("")),
+          when(col("doc_id") % 13 === 0,
+            lit("code sample { return here } with words aplenty.\n")).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0,
+            lit("this page mentions verboten exactly once more!\n")).otherwise(lit("")),
+          when(col("doc_id") % 2 === 0,
+            lit("a closing sentence with enough words right here!"))
+            .otherwise(lit("is this a closing question with enough words here?"))
+        ).as("text"))
+      graft.text.C4Filters.c4Filter(corpus, "doc_id", "text",
+          badWords = Seq("verboten"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- f13: DSIR importance scores (Xie et al. 2023) — raw corpus =
+    // documents, target = every 17th doc (the d12 eval-set rule). The
+    // md5-prefix bucket hash and the driver-side scaled-ln ratio table
+    // are both engine-portable; DuckDB recomputes histogram, ratio
+    // table, and every per-doc fixed-point score from the raw strings
+    // (floor(x+0.5) mirrors Math.round exactly, incl. negatives). ----
+    "f13_dsir_scores" -> ((s, dir) => {
+      val docs = pq(s, dir, "documents").select(col("doc_id"), col("text"))
+      graft.sample.Dsir.importanceScores(
+          docs, docs.filter(col("doc_id") % 17 === 3), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // ---- similarity search (embeddings table) ----
 
     "v1_brute_topk" -> ((s, dir) => {
@@ -2416,6 +2459,87 @@ ORDER BY id_a""",
         |                       THEN ' and so it goes to the end of that story'
         |                       ELSE '' END AS text
         |        FROM documents))
+        |ORDER BY doc_id""".stripMargin,
+
+    // t11: DuckDB rebuilds the multi-line corpus from the same
+    // doc_id-keyed recipe, replays the C4 line rules (terminal punct,
+    // >=5 words, no 'javascript') with list lambdas, and recomputes the
+    // page tells on the ORIGINAL text — all-integer/boolean outputs.
+    "t11_c4_filter" ->
+      """WITH corpus AS (
+        |  SELECT doc_id,
+        |    array_to_string(list_slice(string_split(text, ' '), 1, 8), ' ') || '.' || chr(10)
+        |    || 'too short.' || chr(10)
+        |    || array_to_string(list_slice(string_split(text, ' '), 1, 12), ' ') || chr(10)
+        |    || CASE WHEN doc_id % 7 = 0
+        |            THEN 'please enable javascript to view this page.' || chr(10) ELSE '' END
+        |    || CASE WHEN doc_id % 11 = 0
+        |            THEN 'lorem ipsum dolor sit amet consectetur.' || chr(10) ELSE '' END
+        |    || CASE WHEN doc_id % 13 = 0
+        |            THEN 'code sample { return here } with words aplenty.' || chr(10) ELSE '' END
+        |    || CASE WHEN doc_id % 5 = 0
+        |            THEN 'this page mentions verboten exactly once more!' || chr(10) ELSE '' END
+        |    || CASE WHEN doc_id % 2 = 0
+        |            THEN 'a closing sentence with enough words right here!'
+        |            ELSE 'is this a closing question with enough words here?' END AS text
+        |  FROM documents),
+        |lined AS (
+        |  SELECT doc_id, text,
+        |    string_split(text, chr(10)) AS ls,
+        |    list_filter(string_split(text, chr(10)),
+        |      l -> regexp_matches(trim(l), '[.!?"”]$')
+        |           AND len(list_filter(regexp_split_to_array(trim(l), '\s+'),
+        |                               x -> x <> '')) >= 5
+        |           AND NOT contains(lower(l), 'javascript')) AS kept
+        |  FROM corpus),
+        |scored AS (
+        |  SELECT doc_id,
+        |    CAST(len(ls) AS BIGINT) AS n_lines,
+        |    CAST(len(kept) AS BIGINT) AS n_kept,
+        |    CAST(len(regexp_extract_all(array_to_string(kept, chr(10)), '[.!?]')) AS BIGINT) AS n_sentences,
+        |    contains(lower(text), 'lorem ipsum') AS has_lorem,
+        |    contains(text, '{') AS has_brace,
+        |    regexp_matches(lower(text), '\bverboten\b') AS has_badword,
+        |    array_to_string(kept, chr(10)) AS clean_text
+        |  FROM lined)
+        |SELECT doc_id, n_lines, n_kept, n_sentences, has_lorem, has_brace, has_badword,
+        |  (n_sentences >= 3 AND NOT has_lorem AND NOT has_brace AND NOT has_badword) AS keep,
+        |  clean_text
+        |FROM scored ORDER BY doc_id""".stripMargin,
+
+    // f13: DuckDB re-derives the whole DSIR pipeline — unigram+bigram
+    // stream, md5-prefix buckets, raw/target histograms + totals, the
+    // scaled-ln ratio table (the documented double expression, with
+    // floor(x+0.5) standing in for Java Math.round on negatives), and
+    // every per-doc fixed-point score. Empty docs score 0 via the left
+    // join, exactly as the operator's final left join does.
+    "f13_dsir_scores" ->
+      """WITH dw AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> '') AS w
+        |  FROM documents),
+        |g1 AS (SELECT doc_id, unnest(w) AS gram FROM dw),
+        |g2 AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS gram
+        |       FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM dw WHERE len(w) >= 2)),
+        |grams AS (SELECT doc_id, substring(md5(gram), 1, 3) AS bucket
+        |          FROM (SELECT * FROM g1 UNION ALL SELECT * FROM g2)),
+        |raw_h AS (SELECT bucket, count(*) AS rn FROM grams GROUP BY 1),
+        |tgt_h AS (SELECT bucket, count(*) AS tn FROM grams WHERE doc_id % 17 = 3 GROUP BY 1),
+        |tot AS (SELECT (SELECT count(*) FROM grams) AS rtot,
+        |               (SELECT count(*) FROM grams WHERE doc_id % 17 = 3) AS ttot),
+        |ratio AS (
+        |  SELECT bucket,
+        |    CAST(floor(1000 * ln(
+        |      (CAST(coalesce(tn, 0) + 1 AS DOUBLE) * CAST(rtot + 4096 AS DOUBLE))
+        |      / (CAST(coalesce(rn, 0) + 1 AS DOUBLE) * CAST(ttot + 4096 AS DOUBLE))) + 0.5) AS BIGINT) AS r_scaled
+        |  FROM raw_h LEFT JOIN tgt_h USING (bucket), tot),
+        |per_bucket AS (SELECT doc_id, bucket, count(*) AS cnt FROM grams GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_grams,
+        |         CAST(sum(cnt * r_scaled) AS BIGINT) AS score
+        |  FROM per_bucket JOIN ratio USING (bucket) GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(s.n_grams, 0) AS n_grams, coalesce(s.score, 0) AS score
+        |FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN scored s USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
     // t8: DuckDB rebuilds the planted-footer corpus, recomputes each

@@ -1,0 +1,125 @@
+package graft.sample
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** DSIR-style importance scoring (Xie et al., NeurIPS 2023, "Data
+  * Selection for Language Models via Importance Resampling"): score
+  * every raw document by how much more likely its hashed n-gram
+  * features are under a TARGET corpus distribution than under the raw
+  * corpus distribution, so a curation pipeline can resample raw web
+  * text toward a high-quality target (Wikipedia, books, a domain
+  * corpus) with one scan + one broadcast join.
+  *
+  * Feature model (the paper's §3, bag of hashed n-grams): unigrams and
+  * bigrams of the lowercased whitespace tokens (tokenization matches
+  * [[graft.text.TextOps]]), hashed into `16^hexChars` buckets. The
+  * bucket key is the first `hexChars` hex chars of md5(gram) — the
+  * same engine-portable hash this module's [[Sampling.sampleBy]] gate
+  * is built on, so DuckDB (or any engine with md5) reproduces the
+  * bucketing exactly; no xxhash seeds to replicate.
+  *
+  * Per-bucket log-likelihood ratio, add-`alpha` smoothed over the full
+  * bucket space B = 16^hexChars:
+  *
+  *   r_b = ln( (tgt_b + α)·(rawTot + αB) / ((raw_b + α)·(tgtTot + αB)) )
+  *
+  * scaled to an integer `round(scale · r_b)`. Per-doc score is then a
+  * pure LONG sum Σ count_b · scaledRatio_b — the paper's log importance
+  * weight, fixed-point. Drift guard (the temperatureThresholds
+  * discipline): the ratio table is computed on the DRIVER from exact
+  * long counts with one documented double expression — two long→double
+  * products, one division, one ln — all but the final ulp of ln being
+  * IEEE-identical in any engine; the `scale` rounding granule (default
+  * 1e3) is ~12 orders of magnitude coarser than that ulp, so the
+  * scaled table (and hence every score) is cross-engine exact for all
+  * practical inputs. Docs with no grams score 0 (kept, not dropped —
+  * selection is the caller's move).
+  *
+  * Scale shape: two gram scans (raw + target) collapse to ≤ B rows via
+  * map-side-combinable groupBys — the ONLY driver-side data is the
+  * ≤ 65,536-row bucket table (hexChars ≤ 4 enforced), independent of
+  * corpus size. Scoring is one explode → per-(doc,bucket) pre-agg →
+  * broadcast join against the ratio table → groupBy(doc) long sum: no
+  * big-side shuffle beyond the doc-keyed agg, no skew (bucket keys are
+  * md5-uniform), no floats in the distributed plan. At 100 TB the
+  * target corpus is the small side by construction; pass
+  * `rawCounts`/`targetCounts` from a previous run to skip a scan. */
+object Dsir {
+
+  /** (bucket, count) gram-bucket histogram of a corpus — exposed so
+    * 100 TB callers can precompute/persist it and rescore against new
+    * targets without rescanning the raw corpus. */
+  def bucketCounts(df: DataFrame, textCol: String, hexChars: Int): DataFrame = {
+    require(hexChars >= 1 && hexChars <= 4, s"hexChars must be 1..4, got $hexChars")
+    gramBuckets(col(textCol), hexChars, df)
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+  }
+
+  /** Unigram+bigram md5-prefix buckets of `textCol`, one row per gram
+    * occurrence (id columns of `df` are retained by the caller's
+    * select; here only the bucket stream). */
+  private def gramBuckets(text: Column, hexChars: Int, df: DataFrame): DataFrame = {
+    val w = filter(split(lower(trim(text)), "\\s+"), x => length(x) > 0)
+    val bigrams = when(size(w) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(w) - 2),
+        i => concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2))))
+    df.select(explode(concat(w, bigrams)).as("gram"))
+      .select(substring(md5(col("gram")), 1, hexChars).as("bucket"))
+  }
+
+  /** Same gram stream keyed by document id. */
+  private def docGramBuckets(df: DataFrame, idCol: String, textCol: String,
+                             hexChars: Int): DataFrame = {
+    val w = filter(split(lower(trim(col(textCol))), "\\s+"), x => length(x) > 0)
+    val bigrams = when(size(w) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(w) - 2),
+        i => concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2))))
+    df.select(col(idCol), explode(concat(w, bigrams)).as("gram"))
+      .select(col(idCol), substring(md5(col("gram")), 1, hexChars).as("bucket"))
+  }
+
+  /** Score every `raw` doc: (idCol, n_grams, score). `score` is the
+    * scaled log importance weight (LONG); higher = more target-like.
+    * Deterministic, partitioning-invariant, cross-engine exact (see
+    * object doc). */
+  def importanceScores(raw: DataFrame, target: DataFrame,
+                       idCol: String, textCol: String,
+                       hexChars: Int = 3, scale: Long = 1000L,
+                       alpha: Long = 1L,
+                       rawCounts: Option[Map[String, Long]] = None,
+                       targetCounts: Option[Map[String, Long]] = None): DataFrame = {
+    require(hexChars >= 1 && hexChars <= 4, s"hexChars must be 1..4, got $hexChars")
+    require(scale > 0L && alpha > 0L, s"scale and alpha must be > 0, got ($scale, $alpha)")
+    val b = 1L << (4 * hexChars) // 16^hexChars
+    val rawHist = rawCounts.getOrElse(bucketCounts(raw, textCol, hexChars).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap)
+    val tgtHist = targetCounts.getOrElse(bucketCounts(target, textCol, hexChars).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap)
+    require(rawHist.keysIterator.forall(_.length == hexChars) &&
+      tgtHist.keysIterator.forall(_.length == hexChars),
+      s"injected bucket keys must be $hexChars-char md5 hex prefixes")
+    val rawTot = rawHist.valuesIterator.sum
+    val tgtTot = tgtHist.valuesIterator.sum
+    // the documented double expression — mirror it EXACTLY in any oracle
+    val ratios = (rawHist.keySet ++ tgtHist.keySet).toSeq.sorted.map { k =>
+      val num = (tgtHist.getOrElse(k, 0L) + alpha).toDouble * (rawTot + alpha * b).toDouble
+      val den = (rawHist.getOrElse(k, 0L) + alpha).toDouble * (tgtTot + alpha * b).toDouble
+      (k, math.round(scale * math.log(num / den)))
+    }
+    val spark = raw.sparkSession
+    import spark.implicits._
+    val ratioDf = broadcast(ratios.toDF("bucket", "r_scaled"))
+    val perBucket = docGramBuckets(raw, idCol, textCol, hexChars)
+      .groupBy(col(idCol), col("bucket")).agg(count(lit(1)).as("cnt"))
+    val scored = perBucket.join(ratioDf, Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(sum(col("cnt")).as("n_grams"),
+        sum(col("cnt") * col("r_scaled")).as("score"))
+    raw.select(col(idCol)).distinct()
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("score"), lit(0L)).as("score"))
+  }
+}

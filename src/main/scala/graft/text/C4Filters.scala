@@ -1,0 +1,94 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** C4-style line + page cleaning (Raffel et al. 2020, "Exploring the
+  * Limits of Transfer Learning with a Unified Text-to-Text
+  * Transformer", §2.2 — the Colossal Clean Crawled Corpus rules): the
+  * third published web-curation gate alongside the Gopher document
+  * rules ([[TextOps.gopherDocGate]]) and the CCNet line-frequency pass
+  * ([[Boilerplate.removeBoilerplate]]). The reference strips chrome at
+  * the DOM level (html_parser.rs main-content heuristics); C4's rules
+  * are the text-level pass a pipeline runs on the extracted markdown.
+  *
+  * Line rules (a line survives iff ALL hold):
+  *   - ends in a terminal punctuation mark after trimming
+  *     (`.` `!` `?` `"` `”` — the paper's "terminal punctuation
+  *     mark including end quotation marks")
+  *   - contains at least `minLineWords` whitespace words (paper: 5)
+  *   - does not contain the word "javascript" (case-insensitive
+  *     substring, the paper's cookie-banner tell)
+  *
+  * Page rules (the page's `keep` verdict, computed AFTER line
+  * filtering where the paper does — sentence count is over retained
+  * text; phrase/brace/bad-word tells are over the ORIGINAL text so a
+  * dropped line still disqualifies its page):
+  *   - at least `minSentences` sentences in the retained text
+  *     (sentences approximated as `[.!?]` occurrences — the paper
+  *     does not publish its sentence splitter; this integer proxy is
+  *     deterministic and engine-portable, documented for the oracle)
+  *   - "lorem ipsum" does not appear (case-insensitive)
+  *   - no curly bracket `{` appears (the paper's code tell)
+  *   - no `badWords` entry appears as a whole word (case-insensitive;
+  *     the paper uses the "List of Dirty, Naughty ..." list, which is
+  *     caller-supplied here)
+  *
+  * (C4's fourth pass — three-sentence-span dedup across the corpus —
+  * is span-level deduplication: see [[graft.dedup.Dedup.duplicatedWindowStats]]
+  * and the exact-substring removal pass; it is a shuffle-shaped
+  * operator, deliberately not folded into this per-row gate.)
+  *
+  * Exactness contract: every output is an integer count, a boolean, or
+  * the retained-line concatenation — no floats anywhere, so any engine
+  * reproduces the verdicts bit-for-bit (the c7 oracle recomputes all
+  * of it from the raw strings in DuckDB).
+  *
+  * Scale shape: ONE codegen'd projection per row — split / filter /
+  * array_join higher-order expressions, no explode, no join, no
+  * shuffle. At 10^10 docs this runs inside the scan stage like
+  * [[TextOps.gopherDocGate]]; the two gates compose into the same
+  * stage when chained. */
+object C4Filters {
+
+  /** Validated word-boundary regex for a bad-word entry: lowercase
+    * alphanumeric words (optionally multi-word) only, so Java and RE2
+    * regex semantics cannot diverge on metacharacters. */
+  private def badWordPattern(w: String): String = {
+    require(w.matches("[a-z0-9]+( [a-z0-9]+)*"),
+      s"bad word '$w' must be lowercase alphanumeric words (got a metacharacter?)")
+    "\\b" + w + "\\b"
+  }
+
+  def c4Filter(df: DataFrame, idCol: String, textCol: String,
+               badWords: Seq[String] = Seq.empty,
+               minSentences: Int = 3, minLineWords: Int = 5): DataFrame = {
+    require(minSentences >= 0 && minLineWords >= 0,
+      s"thresholds must be >= 0, got ($minSentences, $minLineWords)")
+    val t = col(textCol)
+    val lines = split(t, "\n")
+    val lineKeep: Column => Column = l =>
+      trim(l).rlike("[.!?\"”]$") &&
+        size(filter(split(trim(l), "\\s+"), x => length(x) > 0)) >= minLineWords &&
+        !contains(lower(l), lit("javascript"))
+    val kept = filter(lines, lineKeep)
+    val cleanText = array_join(kept, "\n")
+    val nSentences = size(regexp_extract_all(cleanText, lit("[.!?]"), lit(0))).cast("long")
+    val low = lower(t)
+    val hasLorem = contains(low, lit("lorem ipsum"))
+    val hasBrace = contains(t, lit("{"))
+    val hasBadword = badWords.map(w => low.rlike(badWordPattern(w)))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    df.select(
+      col(idCol),
+      size(lines).cast("long").as("n_lines"),
+      size(kept).cast("long").as("n_kept"),
+      nSentences.as("n_sentences"),
+      hasLorem.as("has_lorem"),
+      hasBrace.as("has_brace"),
+      hasBadword.as("has_badword"),
+      (nSentences >= minSentences.toLong && !hasLorem && !hasBrace && !hasBadword)
+        .as("keep"),
+      cleanText.as("clean_text"))
+  }
+}

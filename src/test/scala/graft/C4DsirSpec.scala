@@ -1,0 +1,182 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.sample.Dsir
+import graft.text.C4Filters
+
+/** C4 line/page cleaning (Raffel et al. 2020 §2.2) and DSIR importance
+  * scoring (Xie et al. 2023). */
+class C4DsirSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  // ---- C4 ----
+
+  private def c4Df: DataFrame = {
+    import spark.implicits._
+    Seq(
+      // doc 0: clean page — 3 good lines, one too-short line, one no-punct line
+      (0L, "This is a perfectly fine sentence that survives.\n" +
+        "Too short.\n" +
+        "this line has plenty of words but no terminal punctuation\n" +
+        "Another good line with enough words right here!\n" +
+        "A third good sentence keeps the page alive?"),
+      // doc 1: javascript banner line dropped; page still keeps (3 sentences in 3 kept lines)
+      (1L, "Please enable JavaScript to view the comments.\n" +
+        "First real sentence with some words in it.\n" +
+        "Second real sentence with some words in it.\n" +
+        "Third real sentence. With a bonus sentence inside!"),
+      // doc 2: lorem ipsum page tell — dropped even though lines are fine
+      (2L, "Lorem ipsum dolor sit amet consectetur adipiscing elit.\n" +
+        "Another fine sentence with plenty of words here.\n" +
+        "And a third fine sentence with plenty of words."),
+      // doc 3: curly brace page tell (code) — dropped; the brace line
+      // itself fails the line rules (no terminal punct) so the page
+      // verdict must come from the ORIGINAL text, not the retained text
+      (3L, "A fine sentence with enough words to pass easily.\n" +
+        "function f() { return 1; } is code on this page\n" +
+        "Two more fine sentences with enough words here. Indeed they are."),
+      // doc 4: bad word page tell — dropped
+      (4L, "A fine sentence with enough words to pass easily.\n" +
+        "This page mentions badword once in passing text.\n" +
+        "Two more fine sentences with enough words here. Truly so!"),
+      // doc 5: too few sentences after line filtering
+      (5L, "Only one surviving sentence with enough words here.\nnope\nalso nope"),
+      // doc 6: empty text
+      (6L, ""))
+      .toDF("doc_id", "text")
+  }
+
+  test("c4: line rules — terminal punct, min words, javascript") {
+    val out = C4Filters.c4Filter(c4Df, "doc_id", "text", badWords = Seq("badword"))
+      .orderBy("doc_id").collect()
+    val d0 = out(0)
+    assert(d0.getAs[Long]("n_lines") == 5L)
+    assert(d0.getAs[Long]("n_kept") == 3L)
+    assert(d0.getAs[String]("clean_text") ==
+      "This is a perfectly fine sentence that survives.\n" +
+        "Another good line with enough words right here!\n" +
+        "A third good sentence keeps the page alive?")
+    assert(d0.getAs[Long]("n_sentences") == 3L)
+    assert(d0.getAs[Boolean]("keep"))
+    // doc 1: the JavaScript line is dropped though it ends in '.'
+    val d1 = out(1)
+    assert(d1.getAs[Long]("n_kept") == 3L)
+    assert(!d1.getAs[String]("clean_text").toLowerCase.contains("javascript"))
+    assert(d1.getAs[Long]("n_sentences") == 4L) // bonus '.' inside line 4
+    assert(d1.getAs[Boolean]("keep"))
+  }
+
+  test("c4: page tells — lorem ipsum, brace, bad word, sentence floor") {
+    val out = C4Filters.c4Filter(c4Df, "doc_id", "text", badWords = Seq("badword"))
+      .orderBy("doc_id").collect()
+    assert(out(2).getAs[Boolean]("has_lorem") && !out(2).getAs[Boolean]("keep"))
+    assert(out(3).getAs[Boolean]("has_brace") && !out(3).getAs[Boolean]("keep"))
+    assert(out(4).getAs[Boolean]("has_badword") && !out(4).getAs[Boolean]("keep"))
+    // doc 4's tell is in a line that ALSO survives line filtering — but the
+    // page check runs on the ORIGINAL text either way; assert the doc-3 case
+    // where the offending '{' line is itself dropped by the line rules
+    assert(!out(3).getAs[String]("clean_text").contains("{"))
+    val d5 = out(5)
+    assert(d5.getAs[Long]("n_kept") == 1L && d5.getAs[Long]("n_sentences") == 1L)
+    assert(!d5.getAs[Boolean]("keep"))
+    val d6 = out(6)
+    assert(d6.getAs[Long]("n_kept") == 0L && !d6.getAs[Boolean]("keep"))
+    assert(d6.getAs[String]("clean_text") == "")
+  }
+
+  test("c4: bad-word boundary is a whole word; metacharacters rejected") {
+    import spark.implicits._
+    val df = Seq((0L, "The classic scunthorpe problem sentence is here."),
+      (1L, "A standalone bad word appears here today.")).toDF("doc_id", "text")
+    val out = C4Filters.c4Filter(df, "doc_id", "text", badWords = Seq("bad word"),
+      minSentences = 1).orderBy("doc_id").collect()
+    assert(!out(0).getAs[Boolean]("has_badword")) // 'thorpe' substring ≠ word
+    assert(out(1).getAs[Boolean]("has_badword"))
+    intercept[IllegalArgumentException] {
+      C4Filters.c4Filter(df, "doc_id", "text", badWords = Seq("a.c"))
+        .collect()
+    }
+  }
+
+  // ---- DSIR ----
+
+  private def dsirRaw: DataFrame = {
+    import spark.implicits._
+    Seq(
+      (0L, "cats purr softly and cats nap"), // target-like
+      (1L, "stock tickers flash numbers all day"), // off-target
+      (2L, "")) // empty
+      .toDF("doc_id", "text")
+  }
+
+  private def dsirTarget: DataFrame = {
+    import spark.implicits._
+    Seq((100L, "cats purr and cats nap gently"),
+      (101L, "cats sleep and cats purr")).toDF("doc_id", "text")
+  }
+
+  test("dsir: target-like doc outscores off-target doc; empty doc scores 0") {
+    val out = Dsir.importanceScores(dsirRaw, dsirTarget, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val s0 = out(0).getAs[Long]("score")
+    val s1 = out(1).getAs[Long]("score")
+    assert(s0 > s1, s"expected target-like $s0 > off-target $s1")
+    assert(out(2).getAs[Long]("n_grams") == 0L && out(2).getAs[Long]("score") == 0L)
+    // unigrams + bigrams: 6 words -> 6 + 5 = 11
+    assert(out(0).getAs[Long]("n_grams") == 11L)
+  }
+
+  test("dsir: score equals the hand-computed fixed-point log-ratio sum") {
+    import java.security.MessageDigest
+    def bucket(g: String): String =
+      MessageDigest.getInstance("MD5").digest(g.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(3)
+    def grams(t: String): Seq[String] = {
+      val w = t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      w ++ w.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+    }
+    val rawTexts = Seq("cats purr softly and cats nap",
+      "stock tickers flash numbers all day", "")
+    val tgtTexts = Seq("cats purr and cats nap gently", "cats sleep and cats purr")
+    val rawHist = rawTexts.flatMap(grams).groupBy(bucket).view.mapValues(_.size.toLong).toMap
+    val tgtHist = tgtTexts.flatMap(grams).groupBy(bucket).view.mapValues(_.size.toLong).toMap
+    val (rawTot, tgtTot) = (rawHist.values.sum, tgtHist.values.sum)
+    val b = 4096L
+    def rScaled(k: String): Long = {
+      val num = (tgtHist.getOrElse(k, 0L) + 1L).toDouble * (rawTot + b).toDouble
+      val den = (rawHist.getOrElse(k, 0L) + 1L).toDouble * (tgtTot + b).toDouble
+      math.round(1000L * math.log(num / den))
+    }
+    val expected = grams(rawTexts.head).map(g => rScaled(bucket(g))).sum
+    val out = Dsir.importanceScores(dsirRaw, dsirTarget, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("score") == expected)
+  }
+
+  test("dsir: injected precomputed counts reproduce the scan path exactly") {
+    val rawHist = Dsir.bucketCounts(dsirRaw, "text", 3).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val tgtHist = Dsir.bucketCounts(dsirTarget, "text", 3).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val scanned = Dsir.importanceScores(dsirRaw, dsirTarget, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.toSeq)
+    val injected = Dsir.importanceScores(dsirRaw, dsirTarget, "doc_id", "text",
+      rawCounts = Some(rawHist), targetCounts = Some(tgtHist))
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(scanned.toSeq == injected.toSeq)
+    intercept[IllegalArgumentException] {
+      Dsir.importanceScores(dsirRaw, dsirTarget, "doc_id", "text",
+        rawCounts = Some(Map("toolong" -> 1L))).collect()
+    }
+  }
+}
