@@ -92,6 +92,16 @@ object Dsir {
     require(hexChars >= 1 && hexChars <= 4, s"hexChars must be 1..4, got $hexChars")
     require(scale > 0L && alpha > 0L, s"scale and alpha must be > 0, got ($scale, $alpha)")
     val b = 1L << (4 * hexChars) // 16^hexChars
+    // The raw histogram is a SECOND gram scan of the raw corpus, like
+    // temperatureMix's counts pass — deliberately so: the scan collapses
+    // map-side to ≤ B keys (the cheapest distributed shape), whereas
+    // materializing the per-(doc, bucket) pre-agg to feed both consumers
+    // means checkpointing a table nearly as large as the gram stream
+    // itself (bigram counts are mostly 1) — measured strictly slower at
+    // sf0.1 and worse at 100 TB. Callers who already persist their
+    // corpus histogram skip this scan via `rawCounts`.
+    val perBucket = docGramBuckets(raw, idCol, textCol, hexChars)
+      .groupBy(col(idCol), col("bucket")).agg(count(lit(1)).as("cnt"))
     val rawHist = rawCounts.getOrElse(bucketCounts(raw, textCol, hexChars).collect()
       .map(r => (r.getString(0), r.getLong(1))).toMap)
     val tgtHist = targetCounts.getOrElse(bucketCounts(target, textCol, hexChars).collect()
@@ -107,15 +117,21 @@ object Dsir {
       val den = (rawHist.getOrElse(k, 0L) + alpha).toDouble * (tgtTot + alpha * b).toDouble
       (k, math.round(scale * math.log(num / den)))
     }
+    // a bucket absent from BOTH histograms (possible only with injected
+    // counts from an older corpus snapshot) scores at the zero-count
+    // smoothed ratio instead of being dropped by the join
+    val defaultR = {
+      val num = alpha.toDouble * (rawTot + alpha * b).toDouble
+      val den = alpha.toDouble * (tgtTot + alpha * b).toDouble
+      math.round(scale * math.log(num / den))
+    }
     val spark = raw.sparkSession
     import spark.implicits._
     val ratioDf = broadcast(ratios.toDF("bucket", "r_scaled"))
-    val perBucket = docGramBuckets(raw, idCol, textCol, hexChars)
-      .groupBy(col(idCol), col("bucket")).agg(count(lit(1)).as("cnt"))
-    val scored = perBucket.join(ratioDf, Seq("bucket"))
+    val scored = perBucket.join(ratioDf, Seq("bucket"), "left")
       .groupBy(col(idCol))
       .agg(sum(col("cnt")).as("n_grams"),
-        sum(col("cnt") * col("r_scaled")).as("score"))
+        sum(col("cnt") * coalesce(col("r_scaled"), lit(defaultR))).as("score"))
     raw.select(col(idCol)).distinct()
       .join(scored, Seq(idCol), "left")
       .select(col(idCol),

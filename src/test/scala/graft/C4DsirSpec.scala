@@ -179,4 +179,17 @@ class C4DsirSpec extends AnyFunSuite {
         rawCounts = Some(Map("toolong" -> 1L))).collect()
     }
   }
+
+  test("dsir: buckets unseen by injected histograms score at the smoothed default, not dropped") {
+    // inject tiny stale histograms that cover NONE of the corpus buckets:
+    // every gram then carries the zero-count default ratio
+    // r = round(1000 * ln((rawTot+4096)/(tgtTot+4096))) with rawTot=8, tgtTot=2
+    val out = Dsir.importanceScores(dsirRaw, dsirTarget, "doc_id", "text",
+      rawCounts = Some(Map("000" -> 8L)), targetCounts = Some(Map("fff" -> 2L)))
+      .orderBy("doc_id").collect()
+    val expectedPerGram =
+      math.round(1000L * math.log((8.0 + 4096.0) / (2.0 + 4096.0)))
+    assert(out(0).getAs[Long]("n_grams") == 11L)
+    assert(out(0).getAs[Long]("score") == 11L * expectedPerGram)
+  }
 }
