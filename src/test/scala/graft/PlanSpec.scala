@@ -285,6 +285,33 @@ class PlanSpec extends AnyFunSuite {
       p.take(900))
   }
 
+  test("t11: C4 cleaning is a scan-side map — no exchange, no join") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val df = graft.text.C4Filters.c4Filter(docs, "doc_id", "text",
+      badWords = Seq("verboten"))
+    // one Project over the scan: the higher-order line lambdas are not
+    // whole-stage-codegen'd (CodegenFallback), but there must be no
+    // exchange/join — the gate rides the scan stage like gopherDocGate
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange") && !p.contains("Join"), p.take(600))
+  }
+
+  test("f13: DSIR ratio table joins broadcast on bucket; no all-pairs anywhere") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val df = graft.sample.Dsir.importanceScores(
+      docs, docs.filter(col("doc_id") % 17 === 3), "doc_id", "text")
+    df.collect()
+    // assert on the AQE FINAL plan only (the Initial Plan section keeps
+    // the pre-broadcast SMJ candidate); the doc-keyed outer join may
+    // legitimately be SMJ at real scale — the guarded shape is the
+    // ratio-table join staying broadcast and nothing going all-pairs
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("BroadcastHashJoin [bucket"), p.take(900))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(900))
+  }
+
   test("a9: manifest is aggregate-only; approx mode keeps map-side combine") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val p = graft.stats.CorpusStats.manifest(docs, "source", "lang", "text", exact = false)
