@@ -972,6 +972,80 @@ object SparkEntry {
       graft.sources.Sinks.urlExportLines(df.orderBy("event_id").limit(100), "loc", "priority", "lastmod")
     }),
 
+    // ---- s12: WARC record parsing. Each doc becomes a 2-record WARC
+    // buffer (warcinfo + HTTP response) built in-plan from the raw
+    // strings; the byte-level parser (sources/Warc.scala) walks it back
+    // out. DuckDB re-derives every field — record order, types, urls,
+    // Content-Lengths (strlen arithmetic), bodies — from first
+    // principles of the construction recipe. ----
+    "s12_warc_parse" -> ((s, dir) => {
+      val docs = pq(s, dir, "documents").select(col("doc_id"), col("text"))
+      val payload = concat(lit("HTTP/1.1 200 OK\r\ncontent-type: text/html\r\n\r\n"),
+        col("text"))
+      val info = lit("software: graft\r\n")
+      val blob = concat(
+        lit("WARC/1.0\r\nWARC-Type: warcinfo\r\nWARC-Date: 2026-01-01T00:00:00Z\r\nContent-Length: "),
+        octet_length(info).cast("string"), lit("\r\n\r\n"), info, lit("\r\n\r\n"),
+        lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://h"),
+        (col("doc_id") % 4).cast("string"), lit(".example/doc/"),
+        col("doc_id").cast("string"),
+        lit("\r\nWARC-Date: 2026-01-01T00:00:00Z\r\nContent-Length: "),
+        octet_length(payload).cast("string"), lit("\r\n\r\n"), payload, lit("\r\n\r\n"))
+      val parse = udf((b: Array[Byte]) => graft.sources.Warc.rowsOf(b).map(r =>
+        (r.rec_type, r.url, r.status, r.content_length,
+          if (r.body == null) null else new String(r.body, java.nio.charset.StandardCharsets.UTF_8),
+          r.error)))
+      docs.select(col("doc_id"),
+          posexplode(parse(blob.cast("binary")))
+            .as(Seq("rec_pos", "rec")))
+        .select(col("doc_id"), col("rec_pos").cast("long").as("rec_pos"),
+          col("rec._1").as("rec_type"), col("rec._2").as("url"),
+          col("rec._3").as("status"), col("rec._4").as("content_length"),
+          col("rec._5").as("body"), col("rec._6").as("error"))
+        .orderBy("doc_id", "rec_pos")
+    }),
+
+    // ---- s13: CDXJ capture-index lines (the selection plane a 100 TB
+    // pipeline scans BEFORE touching WARC payloads) — constructed from
+    // the documents table, parsed by the codegen'd projection. ----
+    "s13_cdxj_parse" -> ((s, dir) => {
+      val lines = pq(s, dir, "documents").select(col("doc_id"),
+        concat(
+          lit("example,h"), (col("doc_id") % 4).cast("string"), lit(")/doc/"),
+          col("doc_id").cast("string"),
+          lit(" 202601"), lpad(((col("doc_id") % 28) + 1).cast("string"), 2, "0"),
+          lit("120000"),
+          lit(" {\"url\": \"https://h"), (col("doc_id") % 4).cast("string"),
+          lit(".example/doc/"), col("doc_id").cast("string"),
+          lit("\", \"mime\": \"text/html\", \"status\": \"200\", \"digest\": \"sha1:"),
+          md5(col("text")),
+          lit("\", \"length\": \""), octet_length(col("text")).cast("string"),
+          lit("\", \"offset\": \""), (col("doc_id") * 1000L).cast("string"),
+          lit("\", \"filename\": \"seg-"), (col("doc_id") % 10).cast("string"),
+          lit(".warc.gz\"}")).as("line"))
+      graft.sources.CommonCrawl.parseCdxj(lines, "line")
+        .orderBy("urlkey")
+    }),
+
+    // ---- p24: SURT url keys — reversed-host sort keys over constructed
+    // urls exercising www-strip, default/explicit ports, query sort,
+    // fragment drop; DuckDB derives every expected key from doc_id. ----
+    "p24_surt_key" -> ((s, dir) => {
+      val urls = pq(s, dir, "documents").select(col("doc_id"),
+        concat(
+          lit("https://www.H"), (col("doc_id") % 4).cast("string"),
+          lit(".Example.COM"),
+          when(col("doc_id") % 2 === 0, lit(":443")).otherwise(lit(":8443")),
+          lit("/Path/"), col("doc_id").cast("string"),
+          when(col("doc_id") % 3 === 0,
+            concat(lit("?b=2&a=1&c="), col("doc_id").cast("string")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 5 === 0, lit("#frag")).otherwise(lit(""))).as("url"))
+      urls.select(col("doc_id"), col("url"),
+          graft.sources.CommonCrawl.surtKey(col("url")).as("surt"))
+        .orderBy("doc_id")
+    }),
+
     "j5_embed_cache" -> ((s, dir) => {
       val docs = pq(s, dir, "documents")
         .withColumn("text_sha", sha2(col("text"), 256))
@@ -2110,6 +2184,56 @@ object SparkEntry {
         |    CASE WHEN event_type <> 'error' THEN CAST(round(CAST(value AS DECIMAL(18,2)), 2) AS DOUBLE) END AS priority,
         |    strftime(ts, '%Y-%m-%d') AS lastmod, event_id
         |  FROM events ORDER BY event_id LIMIT 100)""".stripMargin,
+
+    // s12: DuckDB never sees WARC bytes — it derives record order,
+    // types, urls, Content-Lengths (the HTTP preamble is 44 bytes, the
+    // warcinfo payload 17) and bodies from the construction recipe.
+    "s12_warc_parse" ->
+      """SELECT doc_id, rec_pos, rec_type, url, status, content_length, body, error
+        |FROM (
+        |  SELECT doc_id, CAST(0 AS BIGINT) AS rec_pos, 'warcinfo' AS rec_type,
+        |    CAST(NULL AS VARCHAR) AS url, CAST(0 AS BIGINT) AS status,
+        |    CAST(17 AS BIGINT) AS content_length, CAST(NULL AS VARCHAR) AS body,
+        |    CAST(NULL AS VARCHAR) AS error
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, CAST(1 AS BIGINT), 'response',
+        |    'https://h' || (doc_id % 4) || '.example/doc/' || doc_id,
+        |    CAST(200 AS BIGINT), CAST(44 + strlen(text) AS BIGINT), text, NULL
+        |  FROM documents)
+        |ORDER BY doc_id, rec_pos""".stripMargin,
+
+    // s13: DuckDB rebuilds the CDXJ line fields directly from doc_id /
+    // text — the parse must land on exactly these values and types.
+    "s13_cdxj_parse" ->
+      """SELECT
+        |  'example,h' || (doc_id % 4) || ')/doc/' || doc_id AS urlkey,
+        |  ts14, strptime(ts14, '%Y%m%d%H%M%S') AS fetch_ts,
+        |  'https://h' || (doc_id % 4) || '.example/doc/' || doc_id AS url,
+        |  'text/html' AS mime, CAST(200 AS BIGINT) AS status,
+        |  'sha1:' || md5(text) AS digest,
+        |  CAST(strlen(text) AS BIGINT) AS length,
+        |  CAST(doc_id * 1000 AS BIGINT) AS "offset",
+        |  'seg-' || (doc_id % 10) || '.warc.gz' AS warc_filename
+        |FROM (SELECT doc_id, text,
+        |        '202601' || lpad(CAST((doc_id % 28) + 1 AS VARCHAR), 2, '0') || '120000' AS ts14
+        |      FROM documents)
+        |ORDER BY urlkey""".stripMargin,
+
+    // p24: expected SURT keys derived from the same doc_id recipe —
+    // reversed labels, www/default-port/fragment dropped, query sorted.
+    "p24_surt_key" ->
+      """SELECT doc_id,
+        |  'https://www.H' || (doc_id % 4) || '.Example.COM'
+        |    || CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':8443' END
+        |    || '/Path/' || doc_id
+        |    || CASE WHEN doc_id % 3 = 0 THEN '?b=2&a=1&c=' || doc_id ELSE '' END
+        |    || CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END AS url,
+        |  'com,example,h' || (doc_id % 4)
+        |    || CASE WHEN doc_id % 2 = 0 THEN '' ELSE ':8443' END
+        |    || ')/path/' || doc_id
+        |    || CASE WHEN doc_id % 3 = 0 THEN '?a=1&b=2&c=' || doc_id ELSE '' END AS surt
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "j5_embed_cache" ->
       """SELECT lang, count(*) AS n,

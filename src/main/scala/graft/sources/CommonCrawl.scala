@@ -1,0 +1,77 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.url.UrlCanonical
+
+/** Common-Crawl index-side ingestion: SURT url keys and CDXJ index
+  * lines. A 100 TB pipeline does NOT start by fetching WARC payloads —
+  * it first scans the (orders-of-magnitude smaller) capture index to
+  * SELECT which records to read: filter by url pattern / mime / status
+  * in the index, then fetch only the matching WARC byte ranges. These
+  * two operators are that selection plane; [[Warc]] is the payload
+  * plane.
+  *
+  * SURT ("Sort-friendly URI Reordering Transform", the key format of
+  * the CDX ecosystem — Heritrix/pywb/webarchive-commons): host labels
+  * reversed and comma-joined so one host's, one domain's, or one TLD's
+  * captures are CONTIGUOUS under a lexicographic sort — which is what
+  * makes range-partitioned index scans ("everything under com,example")
+  * a sorted-file slice instead of a full scan. Documented subset of the
+  * canonicalizer: lowercase, scheme/userinfo/fragment dropped, one
+  * leading `www.` label stripped, default ports dropped, query params
+  * sorted (empty query → bare `?` kept, matching the param-sort
+  * identity); IP hosts are NOT reversed (they are already
+  * most-significant-first). Pure function of the url — partitioning /
+  * cluster-size invariant like every key in this library. */
+object CommonCrawl {
+
+  /** Scala twin (drives the UDF; also the test/driver recomputation). */
+  def surtKeyScala(url: String): String = {
+    val p = UrlCanonical.parse(url)
+    if (p == null || p.host.isEmpty) return null
+    val host = {
+      val h = p.host.toLowerCase
+      if (h.startsWith("www.") && h.length > 4) h.substring(4) else h
+    }
+    val isIp = host.nonEmpty && host.forall(c => (c >= '0' && c <= '9') || c == '.')
+    val key = if (isIp) host else host.split('.').reverse.mkString(",")
+    val port = if (p.port >= 0) ":" + p.port else ""
+    val path = (if (p.path.isEmpty) "/" else p.path).toLowerCase
+    val query = p.query match {
+      case null => ""
+      case q => "?" + q.toLowerCase.split('&').sorted.mkString("&")
+    }
+    key + port + ")" + path + query
+  }
+
+  val surtKeyUdf = udf(surtKeyScala _)
+
+  def surtKey(url: Column): Column = surtKeyUdf(url)
+
+  /** Parse CDXJ index lines — `<urlkey> <ts14> <json>` — into typed
+    * columns: one codegen'd projection (regexp field split +
+    * get_json_object), no UDF, no shuffle; a malformed line yields
+    * nulls, never an exception. `fetch_ts` parses the 14-digit
+    * timestamp (UTC by session convention). The digest/offset/length/
+    * filename fields are exactly what a range-fetch of the matching
+    * WARC records needs. */
+  def parseCdxj(df: DataFrame, lineCol: String): DataFrame = {
+    val line = col(lineCol)
+    val fieldRe = "^(\\S+) (\\d{14}) (.*)$"
+    val json = regexp_extract(line, fieldRe, 3)
+    df.select(
+      regexp_extract(line, fieldRe, 1).as("urlkey"),
+      regexp_extract(line, fieldRe, 2).as("ts14"),
+      // try_: ANSI mode must not abort a 100 TB index scan on one bad line
+      try_to_timestamp(regexp_extract(line, fieldRe, 2), lit("yyyyMMddHHmmss")).as("fetch_ts"),
+      get_json_object(json, "$.url").as("url"),
+      get_json_object(json, "$.mime").as("mime"),
+      get_json_object(json, "$.status").cast("long").as("status"),
+      get_json_object(json, "$.digest").as("digest"),
+      get_json_object(json, "$.length").cast("long").as("length"),
+      get_json_object(json, "$.offset").cast("long").as("offset"),
+      get_json_object(json, "$.filename").as("warc_filename"))
+  }
+}

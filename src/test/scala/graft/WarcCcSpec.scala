@@ -1,0 +1,130 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+
+import graft.sources.{CommonCrawl, Warc}
+
+/** WARC byte-level parsing, CDXJ index lines, SURT keys. */
+class WarcCcSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  private def record(typ: String, uri: String, payload: String,
+                     extra: String = ""): String =
+    s"WARC/1.0\r\nWARC-Type: $typ\r\n" +
+      (if (uri != null) s"WARC-Target-URI: $uri\r\n" else "") +
+      s"WARC-Date: 2026-01-01T00:00:00Z\r\n$extra" +
+      s"Content-Length: ${payload.getBytes(UTF_8).length}\r\n\r\n$payload\r\n\r\n"
+
+  private def httpPayload(body: String): String =
+    s"HTTP/1.1 200 OK\r\ncontent-type: text/html\r\n\r\n$body"
+
+  test("warc: multi-record buffer parses records, headers, payloads") {
+    val buf = (record("warcinfo", null, "software: graft\r\n") +
+      record("response", "https://a.example/x", httpPayload("<html>one</html>")) +
+      record("response", "https://a.example/y", httpPayload("two"))).getBytes(UTF_8)
+    val (recs, err) = Warc.parseRecords(buf)
+    assert(err.isEmpty && recs.size == 3)
+    assert(recs(0).headers("warc-type") == "warcinfo")
+    assert(recs(1).headers("warc-target-uri") == "https://a.example/x")
+    val (status, hdrs, body) = Warc.httpResponse(recs(1).payload)
+    assert(status == 200L && hdrs("content-type") == "text/html")
+    assert(new String(body, UTF_8) == "<html>one</html>")
+    // payload bytes are opaque — a body containing CRLF CRLF must survive
+    val tricky = record("response", "https://a.example/z",
+      httpPayload("pre\r\n\r\npost")).getBytes(UTF_8)
+    val (r2, e2) = Warc.parseRecords(tricky)
+    assert(e2.isEmpty && new String(Warc.httpResponse(r2.head.payload)._3, UTF_8)
+      == "pre\r\n\r\npost")
+  }
+
+  test("warc: corrupt tails quarantine as one error, good prefix kept") {
+    val good = record("response", "https://a.example/x", httpPayload("ok"))
+    def parse(s: String) = Warc.parseRecords(s.getBytes(UTF_8))
+    val cases = Seq(
+      good + "GARBAGE NOT WARC\r\n" -> "bad magic",
+      good + "WARC/1.0\r\nWARC-Type: response\r\n\r\n" -> "missing content-length",
+      good + "WARC/1.0\r\nContent-Length: xyz\r\n\r\n" -> "non-numeric",
+      good + "WARC/1.0\r\nContent-Length: -5\r\n\r\n" -> "unreasonable",
+      good + "WARC/1.0\r\nContent-Length: 999999\r\n\r\nshort" -> "overruns",
+      good + "WARC/1.0\r\nWARC-Type: resp" -> "truncated")
+    cases.foreach { case (s, want) =>
+      val (recs, err) = parse(s)
+      assert(recs.size == 1, s"prefix lost for '$want'")
+      assert(err.exists(_.contains(want)), s"expected '$want', got $err")
+    }
+    // header line without a colon
+    val (r, e) = parse(good + "WARC/1.0\r\nnocolonhere\r\n\r\n")
+    assert(r.size == 1 && e.exists(_.contains("malformed header")))
+  }
+
+  test("warc: non-HTTP payload is all-body with status 0") {
+    val (status, hdrs, body) = Warc.httpResponse("just bytes".getBytes(UTF_8))
+    assert(status == 0L && hdrs.isEmpty && new String(body, UTF_8) == "just bytes")
+  }
+
+  test("warc: readWarcFiles yields the pages-table shape, one task per file") {
+    val dir = Files.createTempDirectory("warcspec")
+    Files.write(dir.resolve("a.warc"),
+      (record("warcinfo", null, "software: graft\r\n") +
+        record("response", "https://a.example/1", httpPayload("alpha"))).getBytes(UTF_8))
+    Files.write(dir.resolve("b.warc"),
+      (record("response", "https://b.example/2", httpPayload("beta")) +
+        "TRAILING JUNK\r\n").getBytes(UTF_8))
+    val out = Warc.readWarcFiles(spark, dir.toString + "/*.warc")
+      .orderBy("url").collect()
+    assert(out.length == 4) // warcinfo + 2 responses + 1 error row
+    val resp = out.filter(r => r.getAs[String]("rec_type") == "response")
+    assert(resp.map(_.getAs[String]("url")).toSeq ==
+      Seq("https://a.example/1", "https://b.example/2"))
+    assert(new String(resp(0).getAs[Array[Byte]]("html"), UTF_8) == "alpha")
+    assert(resp(0).getAs[java.sql.Timestamp]("warc_ts") != null)
+    assert(resp.forall(_.getAs[Long]("status") == 200L))
+    val errs = out.filter(_.getAs[String]("error") != null)
+    assert(errs.length == 1 && errs(0).getAs[String]("error").contains("bad magic"))
+  }
+
+  test("surt: reversal, www strip, default port, query sort, fragment, ip") {
+    assert(CommonCrawl.surtKeyScala("https://www.News.Example.COM/A/B?b=2&a=1#f")
+      == "com,example,news)/a/b?a=1&b=2")
+    assert(CommonCrawl.surtKeyScala("http://example.com") == "com,example)/")
+    assert(CommonCrawl.surtKeyScala("https://example.com:443/x") == "com,example)/x")
+    assert(CommonCrawl.surtKeyScala("https://example.com:8443/x") == "com,example:8443)/x")
+    assert(CommonCrawl.surtKeyScala("http://10.0.0.1/x") == "10.0.0.1)/x")
+    assert(CommonCrawl.surtKeyScala("http://www.example.com/?") == "com,example)/?")
+    assert(CommonCrawl.surtKeyScala("not a url") == null)
+    // one host's keys sort contiguously under the reversed form
+    val keys = Seq("https://a.example.com/z", "https://b.example.org/a",
+      "https://www.example.com/a").map(CommonCrawl.surtKeyScala).sorted
+    assert(keys == Seq("com,example)/a", "com,example,a)/z", "org,example,b)/a"))
+  }
+
+  test("cdxj: typed fields parse; malformed lines yield nulls") {
+    import spark.implicits._
+    val lines = Seq(
+      """com,example)/p 20260102030405 {"url": "https://example.com/p", "mime": "text/html", "status": "200", "digest": "sha1:AB", "length": "512", "offset": "1024", "filename": "seg-0.warc.gz"}""",
+      "malformed line with no json").toDF("line")
+    val out = CommonCrawl.parseCdxj(lines, "line").collect()
+    val r = out(0)
+    assert(r.getAs[String]("urlkey") == "com,example)/p")
+    assert(r.getAs[java.sql.Timestamp]("fetch_ts").toString == "2026-01-02 03:04:05.0")
+    assert(r.getAs[String]("url") == "https://example.com/p")
+    assert(r.getAs[Long]("status") == 200L)
+    assert(r.getAs[Long]("offset") == 1024L)
+    assert(r.getAs[String]("warc_filename") == "seg-0.warc.gz")
+    val bad = out(1)
+    assert(bad.getAs[String]("url") == null && bad.getAs[java.sql.Timestamp]("fetch_ts") == null)
+  }
+}
