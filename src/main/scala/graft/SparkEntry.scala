@@ -1330,6 +1330,44 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // ---- x3: INGESTION chain — the raw-corpus entry path end-to-end:
+    // WARC bytes (built in-plan, incl. doc_id%5 clone records that
+    // duplicate content under different urls) → byte-level record parse
+    // → response filter → SURT host keys → md5-fingerprint exact-dedup
+    // rollup per host. DuckDB derives every per-host count from the
+    // documents table alone — it never sees WARC bytes, the parser, or
+    // the SURT canonicalizer. ----
+    "x3_ingestion_chain" -> ((s, dir) => {
+      val docs = pq(s, dir, "documents").select(col("doc_id"), col("text"))
+      val clones = docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val corpus = docs.unionByName(clones)
+      val payload = concat(lit("HTTP/1.1 200 OK\r\ncontent-type: text/html\r\n\r\n"),
+        col("text"))
+      val blob = concat(
+        lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://h"),
+        (col("doc_id") % 4).cast("string"), lit(".example/doc/"),
+        col("doc_id").cast("string"),
+        lit("\r\nWARC-Date: 2026-01-01T00:00:00Z\r\nContent-Length: "),
+        octet_length(payload).cast("string"), lit("\r\n\r\n"), payload, lit("\r\n\r\n"))
+      val parse = udf((b: Array[Byte]) => graft.sources.Warc.rowsOf(b).map(r =>
+        (r.rec_type, r.url,
+          if (r.body == null) null else new String(r.body, java.nio.charset.StandardCharsets.UTF_8))))
+      val pages = corpus.select(explode(parse(blob.cast("binary"))).as("rec"))
+        .select(col("rec._1").as("rec_type"), col("rec._2").as("url"),
+          col("rec._3").as("body"))
+        .filter(col("rec_type") === "response")
+      pages
+        .withColumn("surt", graft.sources.CommonCrawl.surtKey(col("url")))
+        .withColumn("host", substring_index(col("surt"), ")", 1))
+        .withColumn("fp", md5(col("body")))
+        .groupBy("host")
+        .agg(count(lit(1)).as("n_pages"),
+          count_distinct(col("fp")).as("n_unique_docs"),
+          sum(length(col("body"))).as("n_chars"))
+        .orderBy("host")
+    }),
+
     // ---- w10: adaptive recrawl scheduling (Cho–Garcia-Molina change-
     // rate estimation in exact integer-rational form — no ln/exp, so
     // both engines produce identical bits). The probe synthesizes a
@@ -2853,6 +2891,20 @@ ORDER BY id_a""",
         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(count(*) * 6 AS BIGINT) AS n_tokens
         |FROM capped GROUP BY source ORDER BY source""".stripMargin,
+
+    // x3: DuckDB derives the per-host rollup from documents alone —
+    // clone rows land on the source's host ((id+1000000)%4 = id%4), so
+    // n_pages grows while n_unique_docs (distinct md5) does not.
+    "x3_ingestion_chain" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0)
+        |SELECT 'example,h' || (doc_id % 4) AS host,
+        |  count(*) AS n_pages,
+        |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique_docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS n_chars
+        |FROM corpus GROUP BY 1 ORDER BY host""".stripMargin,
 
     // w10: DuckDB rebuilds the identical synthetic fetch history and
     // recomputes the whole schedule — lag-based change detection
