@@ -1330,6 +1330,31 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // ---- d16: CCNet dedup normalization — planted variant PAIRS that
+    // differ in case/accents/digits/punctuation but normalize to the
+    // same key (vA = accented-uppercased text + " 123!", vB = raw text
+    // + " 000") must land in one dup group while the original stays a
+    // singleton. DuckDB recomputes the normalization with its own
+    // strip_accents/lower/regexp chain — two independent normalizer
+    // implementations must agree key-for-key. ----
+    "d16_norm_dedup" -> ((s, dir) => {
+      val docs = pq(s, dir, "documents").select(col("doc_id"), col("text"))
+      val vA = docs.filter(col("doc_id") % 6 === 0)
+        .select((col("doc_id") + 5000000L).as("doc_id"),
+          concat(upper(regexp_replace(regexp_replace(col("text"), "a", "à"), "e", "é")),
+            lit(" 123!")).as("text"))
+      val vB = docs.filter(col("doc_id") % 6 === 0)
+        .select((col("doc_id") + 6000000L).as("doc_id"),
+          concat(col("text"), lit(" 000")).as("text"))
+      val corpus = docs.unionByName(vA).unionByName(vB)
+        .withColumn("norm", TextOps.normalizeForDedup(col("text")))
+      val groups = corpus.groupBy("norm").agg(count(lit(1)).as("n_copies"))
+      corpus.join(groups, Seq("norm"))
+        .select(col("doc_id"), length(col("norm")).cast("long").as("norm_len"),
+          col("n_copies"))
+        .orderBy("doc_id")
+    }),
+
     // ---- x3: INGESTION chain — the raw-corpus entry path end-to-end:
     // WARC bytes (built in-plan, incl. doc_id%5 clone records that
     // duplicate content under different urls) → byte-level record parse
@@ -2891,6 +2916,29 @@ ORDER BY id_a""",
         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(count(*) * 6 AS BIGINT) AS n_tokens
         |FROM capped GROUP BY source ORDER BY source""".stripMargin,
+
+    // d16: DuckDB rebuilds the variant corpus and normalizes with its
+    // OWN primitives (strip_accents vs java.text.Normalizer NFD) — the
+    // two normalizers must produce identical keys on every row.
+    "d16_norm_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 5000000,
+        |    upper(regexp_replace(regexp_replace(text, 'a', 'à', 'g'), 'e', 'é', 'g')) || ' 123!'
+        |  FROM documents WHERE doc_id % 6 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 6000000, text || ' 000'
+        |  FROM documents WHERE doc_id % 6 = 0),
+        |normed AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(regexp_replace(regexp_replace(
+        |      strip_accents(lower(text)), '[0-9]', '0', 'g'),
+        |      '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')) AS norm
+        |  FROM corpus),
+        |g AS (SELECT norm, count(*) AS n_copies FROM normed GROUP BY 1)
+        |SELECT doc_id, CAST(length(norm) AS BIGINT) AS norm_len, n_copies
+        |FROM normed JOIN g USING (norm) ORDER BY doc_id""".stripMargin,
 
     // x3: DuckDB derives the per-host rollup from documents alone —
     // clone rows land on the source's host ((id+1000000)%4 = id%4), so

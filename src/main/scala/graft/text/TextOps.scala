@@ -121,6 +121,37 @@ object TextOps {
     * a content fingerprint stable under formatting noise (the engine's
     * analogue of the reference's blake2b cache key, cache.py:176-178).
     * Pure-Scala companion below for tests/driver use. */
+  /** CCNet dedup normalization (Wenzek et al. 2020, §3.1 — the text
+    * canonicalization applied BEFORE hashing for exact paragraph/doc
+    * dedup, so case, accents, digits, and punctuation noise cannot
+    * split a duplicate's fingerprints): lowercase → strip diacritics
+    * (NFD, combining marks removed) → every digit → `0` → every
+    * remaining non-[a-z0-9 whitespace] char removed → whitespace
+    * collapsed + trimmed. Feed the result to [[fingerprint64]] /
+    * md5 / sha2 and then to any of the Dedup entry points.
+    *
+    * A UDF (java.text.Normalizer has no Column twin) — acceptable off
+    * the hot path: dedup keys are computed once per doc, not per gram.
+    * Cross-engine contract: on Latin-script input this matches DuckDB
+    * `strip_accents(lower(x))` + the same regexp chain (the d16 oracle
+    * proves it on planted accent/digit/punct variants); exotic scripts
+    * may normalize differently across engines and are documented as
+    * engine-local (the NORMALIZED key never leaves the engine — only
+    * dedup DECISIONS do, and those are deterministic given the key). */
+  val normalizeForDedupUdf = udf { (s: String) =>
+    if (s == null) null
+    else {
+      val lower = s.toLowerCase
+      val stripped = java.text.Normalizer.normalize(lower, java.text.Normalizer.Form.NFD)
+        .replaceAll("\\p{M}", "")
+      stripped.replaceAll("[0-9]", "0")
+        .replaceAll("[^a-z0-9\\s]", "")
+        .replaceAll("\\s+", " ").trim
+    }
+  }
+
+  def normalizeForDedup(text: Column): Column = normalizeForDedupUdf(text)
+
   def fingerprint64(text: Column): Column =
     xxhash64(regexp_replace(trim(text), "\\s+", " "))
 

@@ -180,6 +180,27 @@ class C4DsirSpec extends AnyFunSuite {
     }
   }
 
+  // ---- CCNet dedup normalization (lives here with the other
+  // published-curation-rule specs) ----
+
+  test("normalizeForDedup: case/accents/digits/punct collapse to one key") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.text.TextOps
+    val out = Seq(
+      (0L, "Élève: CAFÉ 123!!!"),
+      (1L, "eleve cafe 000"),
+      (2L, "  elève   cafe  4\t5\n6 "),
+      (3L, null.asInstanceOf[String]))
+      .toDF("id", "text")
+      .select(col("id"), TextOps.normalizeForDedup(col("text")).as("norm"))
+      .orderBy("id").collect()
+    assert(out(0).getAs[String]("norm") == "eleve cafe 000")
+    assert(out(1).getAs[String]("norm") == "eleve cafe 000")
+    assert(out(2).getAs[String]("norm") == "eleve cafe 0 0 0")
+    assert(out(3).getAs[String]("norm") == null)
+  }
+
   test("dsir: buckets unseen by injected histograms score at the smoothed default, not dropped") {
     // inject tiny stale histograms that cover NONE of the corpus buckets:
     // every gram then carries the zero-count default ratio
