@@ -140,9 +140,44 @@ object Warc {
     try java.sql.Timestamp.from(Instant.parse(v))
     catch { case _: DateTimeParseException => null }
 
-  /** All records of a WARC buffer as rows; response records carry the
-    * HTTP status + body, a corrupt tail becomes ONE error row. */
-  def rowsOf(bytes: Array[Byte]): Seq[WarcRow] = {
+  /** Inflate a (possibly multi-member) gzip buffer — WARC .gz files are
+    * CONCATENATED gzip members, one per record, precisely so readers
+    * can range-seek; `GZIPInputStream` consumes member boundaries
+    * transparently, so whole-file decompression needs no native codec
+    * (java.util.zip is zlib built into the JVM — unlike JPEG/MP3 this
+    * seam closes for real). Corrupt gzip data degrades to the bytes
+    * inflated so far plus an error, mirroring [[parseRecords]]. */
+  def gunzipAll(bytes: Array[Byte]): (Array[Byte], Option[String]) = {
+    val out = new java.io.ByteArrayOutputStream(math.max(64, bytes.length * 4))
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(bytes), 64 * 1024)
+    val buf = new Array[Byte](64 * 1024)
+    try {
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      (out.toByteArray, None)
+    } catch {
+      case e: java.io.IOException =>
+        (out.toByteArray, Some(s"gzip: ${e.getMessage}"))
+    } finally in.close()
+  }
+
+  private def isGzip(b: Array[Byte]): Boolean =
+    b.length >= 2 && (b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b
+
+  /** All records of a WARC buffer as rows; gzip buffers (magic-sniffed)
+    * are inflated first; response records carry the HTTP status + body,
+    * a corrupt tail becomes ONE error row. */
+  def rowsOf(raw: Array[Byte]): Seq[WarcRow] = {
+    val (bytes, gzErr) = if (isGzip(raw)) gunzipAll(raw) else (raw, None)
+    gzErr match {
+      case Some(e) =>
+        rowsOfUncompressed(bytes) :+ WarcRow(null, null, null, 0L, 0L, null, e)
+      case None => rowsOfUncompressed(bytes)
+    }
+  }
+
+  private def rowsOfUncompressed(bytes: Array[Byte]): Seq[WarcRow] = {
     val (recs, err) = parseRecords(bytes)
     val rows = recs.map { r =>
       val t = r.headers.getOrElse("warc-type", "")

@@ -75,6 +75,26 @@ class WarcCcSpec extends AnyFunSuite {
     assert(status == 0L && hdrs.isEmpty && new String(body, UTF_8) == "just bytes")
   }
 
+  test("warc: gzip members (one per record, concatenated) inflate and parse") {
+    def gz(s: String): Array[Byte] = {
+      val bo = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bo)
+      g.write(s.getBytes(UTF_8)); g.close(); bo.toByteArray
+    }
+    // real WARC .gz layout: each record its own gzip member, concatenated
+    val buf = gz(record("warcinfo", null, "software: graft\r\n")) ++
+      gz(record("response", "https://a.example/gz", httpPayload("zipped")))
+    val rows = Warc.rowsOf(buf)
+    assert(rows.size == 2 && rows.forall(_.error == null))
+    assert(rows(1).url == "https://a.example/gz")
+    assert(new String(rows(1).body, UTF_8) == "zipped")
+    // truncated gzip: inflated prefix parses, corruption recorded
+    val cut = buf.take(buf.length - 8)
+    val rows2 = Warc.rowsOf(cut)
+    assert(rows2.exists(_.error != null))
+    assert(rows2.exists(r => r.rec_type == "warcinfo" && r.error == null))
+  }
+
   test("warc: readWarcFiles yields the pages-table shape, one task per file") {
     val dir = Files.createTempDirectory("warcspec")
     Files.write(dir.resolve("a.warc"),
