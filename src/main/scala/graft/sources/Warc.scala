@@ -191,6 +191,27 @@ object Warc {
     rows ++ err.map(e => WarcRow(null, null, null, 0L, 0L, null, e)).toSeq
   }
 
+  /** CDX-driven range fetch: one record addressed by the index's
+    * (offset, length) — the byte slice is an independently parseable
+    * unit in BOTH layouts (uncompressed: one record + trailer; .gz: one
+    * complete gzip member per record, which is WHY the format gzips
+    * member-per-record). This is the payload-side half of the
+    * [[CommonCrawl.parseCdxj]] selection plane: filter the index, fetch
+    * only matching slices, never scan the archive. */
+  def recordAt(bytes: Array[Byte], offset: Long, length: Long): Either[String, WarcRecord] = {
+    if (offset < 0 || length <= 0 || offset + length > bytes.length)
+      return Left(s"range ($offset, $length) outside buffer of ${bytes.length}")
+    val slice = java.util.Arrays.copyOfRange(bytes, offset.toInt, (offset + length).toInt)
+    val (inflated, gzErr) = if (isGzip(slice)) gunzipAll(slice) else (slice, None)
+    if (gzErr.isDefined) return Left(gzErr.get)
+    parseRecords(inflated) match {
+      case (Seq(rec), None) => Right(rec)
+      case (Seq(_), Some(err)) => Left(s"trailing corruption after record: $err")
+      case (recs, err) => Left(s"expected exactly one record in range, got ${recs.size}" +
+        err.map(e => s" ($e)").getOrElse(""))
+    }
+  }
+
   /** WARC files → the canonical pages-table shape (url, warc_ts,
     * html:binary, status) + per-file error rows. One task per file —
     * the layout WARC is distributed in. */

@@ -95,6 +95,29 @@ class WarcCcSpec extends AnyFunSuite {
     assert(rows2.exists(r => r.rec_type == "warcinfo" && r.error == null))
   }
 
+  test("warc: recordAt fetches one record by CDX (offset, length) in both layouts") {
+    def gz(s: String): Array[Byte] = {
+      val bo = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bo)
+      g.write(s.getBytes(UTF_8)); g.close(); bo.toByteArray
+    }
+    val r1 = record("response", "https://a.example/1", httpPayload("one"))
+    val r2 = record("response", "https://a.example/2", httpPayload("two"))
+    // uncompressed archive: slice by char offsets (ASCII)
+    val plain = (r1 + r2).getBytes(UTF_8)
+    val rec = Warc.recordAt(plain, r1.length.toLong, r2.length.toLong)
+    assert(rec.isRight && rec.toOption.get.headers("warc-target-uri") == "https://a.example/2")
+    // gzip archive: member-per-record, offsets are member boundaries
+    val (g1, g2) = (gz(r1), gz(r2))
+    val rec2 = Warc.recordAt(g1 ++ g2, g1.length.toLong, g2.length.toLong)
+    assert(rec2.isRight && rec2.toOption.get.headers("warc-target-uri") == "https://a.example/2")
+    // bad ranges: outside buffer; mid-record (resync impossible)
+    assert(Warc.recordAt(plain, plain.length - 4L, 64L).isLeft)
+    assert(Warc.recordAt(plain, 10L, r1.length.toLong).isLeft)
+    // a range spanning two records is rejected, not silently truncated
+    assert(Warc.recordAt(plain, 0L, (r1.length + r2.length).toLong).isLeft)
+  }
+
   test("warc: readWarcFiles yields the pages-table shape, one task per file") {
     val dir = Files.createTempDirectory("warcspec")
     Files.write(dir.resolve("a.warc"),
