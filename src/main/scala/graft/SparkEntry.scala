@@ -561,6 +561,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- f14: temperature-scaled source REsampling — f9 without the
+    // min(1,·) clamp: tail sources repeat (factor > 1, deterministic
+    // copy indices), the head subsamples, expected output 1.5·N
+    // distributed exactly by q ∝ p^0.3. DuckDB re-derives counts →
+    // unclamped factors (6-dp rounded) → per-row base + md5 frac gate →
+    // copy fan-out: exact multiset membership at any sf. ----
+    "f14_temperature_resample" -> ((s, dir) => {
+      graft.sample.Sampling.temperatureResample(pq(s, dir, "documents"),
+          col("doc_id"), col("lang"), alpha = 0.3, budgetFrac = 1.5, salt = "u9")
+        .select(col("doc_id"), col("lang"), col("copy"))
+        .orderBy("doc_id", "copy")
+    }),
+
     // ---- w8: token-budget sequence packing (contiguous-fill bins of
     // 500 tokens per lang partition). Pure integer window arithmetic —
     // DuckDB recomputes every offset and bin from the raw text. ----
@@ -1206,6 +1219,16 @@ object SparkEntry {
     // DuckDB recomputes counts and ranks from raw text. ----
     "t10_vocab_topk" -> ((s, dir) => {
       TextOps.vocabTopK(pq(s, dir, "documents"), "text", "lang", k = 20, shards = 8)
+        .orderBy("lang", "rank")
+    }),
+
+    // ---- t12: adjacent-token-pair top-k — the tokenizer-training
+    // merge statistic (BPE iteration-0 pair table) per language, via
+    // the same two-level skew-safe window as t10; unique total order
+    // (count DESC, w1 ASC, w2 ASC) so ranks are engine-independent.
+    // DuckDB recomputes every pair count and rank from raw text. ----
+    "t12_merge_pairs" -> ((s, dir) => {
+      TextOps.mergePairTopK(pq(s, dir, "documents"), "text", "lang", k = 20, shards = 8)
         .orderBy("lang", "rank")
     }),
 
@@ -1938,6 +1961,28 @@ object SparkEntry {
         |SELECT d.doc_id, d.lang FROM documents d JOIN thr USING (lang)
         |WHERE substr(md5(CAST(d.doc_id AS VARCHAR) || 'm7'), 1, 8) < th
         |ORDER BY d.doc_id""".stripMargin,
+
+    // f14: DuckDB re-derives per-lang counts, temperature weights, the
+    // UNCLAMPED 6-dp factors, then per row base = floor(f), an md5
+    // frac gate, and the copy fan-out via range() — the full resample
+    // multiset, values and copy indices, from first principles.
+    "f14_temperature_resample" ->
+      """WITH cnt AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS DOUBLE) AS nn FROM cnt),
+        |w AS (SELECT lang, n, nn, pow(CAST(n AS DOUBLE) / nn, 0.3) AS wgt
+        |      FROM cnt CROSS JOIN tot),
+        |z AS (SELECT sum(wgt) AS z FROM w),
+        |f AS (SELECT lang, round(nn * 1.5 * wgt / z / CAST(n AS DOUBLE), 6) AS f6
+        |      FROM w CROSS JOIN z),
+        |parts AS (SELECT lang, CAST(floor(f6) AS BIGINT) AS base,
+        |    printf('%08x', CAST(floor((f6 - floor(f6)) * 4294967296.0) AS BIGINT)) AS fh
+        |  FROM f),
+        |reps AS (SELECT d.doc_id, d.lang,
+        |    p.base + CASE WHEN substr(md5(CAST(d.doc_id AS VARCHAR) || 'u9'), 1, 8) < p.fh
+        |             THEN 1 ELSE 0 END AS r
+        |  FROM documents d JOIN parts p USING (lang))
+        |SELECT doc_id, lang, CAST(unnest(range(r)) AS INT) AS copy
+        |FROM reps WHERE r > 0 ORDER BY doc_id, copy""".stripMargin,
 
     // w8: offsets and bins recomputed with the same window frame
     // (preceding-rows sum per lang, ordered by doc_id) on raw text.
@@ -2783,6 +2828,27 @@ ORDER BY id_a""",
         |         AS BIGINT) AS rank
         |  FROM cnt)
         |SELECT lang, token, n, rank FROM rk WHERE rank <= 20
+        |ORDER BY lang, rank""".stripMargin,
+
+    // t12: DuckDB recomputes adjacent-pair counts from raw text (t1
+    // tokenization; 1-based list indexing over range(1, len)) and
+    // ranks under the same unique total order — rank-for-rank equality
+    // catches a shard-boundary error or partitioning-dependent tie.
+    "t12_merge_pairs" ->
+      """WITH toks AS (
+        |  SELECT lang, regexp_split_to_array(trim(lower(text)), '\s+') AS a
+        |  FROM documents
+        |  WHERE length(trim(text)) > 0
+        |    AND len(regexp_split_to_array(trim(text), '\s+')) >= 2),
+        |idx AS (SELECT lang, a, unnest(range(1, len(a))) AS i FROM toks),
+        |pairs AS (SELECT lang, a[i] AS w1, a[i + 1] AS w2 FROM idx),
+        |cnt AS (SELECT lang, w1, w2, CAST(count(*) AS BIGINT) AS n
+        |        FROM pairs GROUP BY 1, 2, 3),
+        |rk AS (SELECT lang, w1, w2, n,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, w1 ASC, w2 ASC)
+        |         AS BIGINT) AS rank
+        |  FROM cnt)
+        |SELECT lang, w1, w2, n, rank FROM rk WHERE rank <= 20
         |ORDER BY lang, rank""".stripMargin,
 
     // f10: boundaries are cum fractions rounded to 6 decimals then

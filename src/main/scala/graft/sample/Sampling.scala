@@ -132,6 +132,118 @@ object Sampling {
     df.filter(keepExpr(keyCol, thExpr, salt))
   }
 
+  private def round6(d: Double): Double =
+    java.math.BigDecimal.valueOf(d).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** Deterministic fractional upsampling — the other half of the mixing
+    * toolkit: [[sampleBy]]/[[temperatureMix]] can only DROP rows
+    * (rate clamped to ≤ 1), but a data recipe that up-weights a
+    * low-resource source ("repeat Swahili 2.3×") needs rows REPEATED.
+    * Every row is emitted floor(factor) times, plus once more iff the
+    * [[sampleBy]] gate at rate frac(factor) admits its key — so the
+    * expected multiplicity is exactly `factor`, and which rows get the
+    * extra copy is a pure function of (key, salt): partitioning-,
+    * retry-, and cluster-size-independent, like every gate here.
+    * `factor < 1` degenerates to [[sampleBy]] (base 0 + a frac gate).
+    *
+    * Each emitted copy carries its index in `copyCol` (0-based), so
+    * downstream keys stay unique — feed `concat(key, '#', copy)` to
+    * [[assignShards]] and the copies scatter across the corpus shuffle
+    * instead of sitting adjacent (the reason naive `union` upsampling
+    * poisons training order).
+    *
+    * Scale shape: one codegen'd expression at the scan — the repeat
+    * count folds to `base + (md5 gate)`, and the explode over
+    * `sequence(0, reps-1)` is a narrow flatMap; no join, no shuffle,
+    * output size = factor · input by construction. The factor is
+    * rounded to 6 decimals (same cross-engine drift guard as
+    * [[temperatureThresholds]]) and capped at 10^4: a larger repeat
+    * factor means the source is so tiny the caller should question the
+    * recipe, not amplify one document 10^5×. */
+  def upsampleBy(df: DataFrame, keyCol: Column, factor: Double, salt: String = "",
+                 copyCol: String = "copy"): DataFrame = {
+    require(factor >= 0.0 && !factor.isNaN, s"factor must be >= 0, got $factor")
+    require(factor <= 10000.0, s"factor $factor > 10^4 — aggregate the recipe, don't amplify single rows")
+    require(!df.columns.contains(copyCol), s"column '$copyCol' already exists; pass a different copyCol")
+    val r6 = round6(factor)
+    val base = math.floor(r6).toInt
+    val frac = r6 - base // exact: r6 in [base, base+1) ⇒ the subtraction loses no bits
+    val reps = lit(base) + when(keepExpr(keyCol, lit(rateToHex(frac)), salt), 1).otherwise(0)
+    // `when` with no otherwise → NULL for reps = 0, and explode drops NULL/empty rows
+    df.withColumn(copyCol, explode(when(reps >= 1, sequence(lit(0), reps - 1))))
+  }
+
+  /** Per-source UNCLAMPED multiplicities for [[temperatureResample]]:
+    * the same q ∝ p^alpha target as [[temperatureThresholds]] but kept
+    * as a repeat factor instead of min(1, ·) — tail sources whose
+    * target share exceeds their natural share get factor > 1 (repeat)
+    * rather than silently truncating the recipe at "keep all". Same
+    * fixed evaluation order and 6-dp rounding contract. */
+  def temperatureFactors(counts: Seq[(String, Long)], alpha: Double,
+                         budgetFrac: Double): Seq[(String, Double)] = {
+    require(counts.nonEmpty, "counts must be non-empty")
+    val sorted = counts.sortBy(_._1)
+    require(sorted.map(_._1).distinct.size == sorted.size, "duplicate source in counts")
+    val nn = sorted.map(_._2).sum.toDouble
+    val w = sorted.map { case (s, n) => (s, n, math.pow(n / nn, alpha)) }
+    val z = w.map(_._3).sum
+    w.map { case (s, n, wgt) => (s, round6(nn * budgetFrac * wgt / z / n.toDouble)) }
+  }
+
+  /** Temperature-scaled source REsampling — [[temperatureMix]] without
+    * the min(1, ·) clamp: the published XLM-R/mT5 recipe samples WITH
+    * replacement from q ∝ p^alpha, so a flattened tail source is
+    * repeated, not merely kept. Head sources get factor < 1 (a frac
+    * gate = subsample), tail sources factor ≥ 1 (repeat + frac gate),
+    * and the output's expected size is budgetFrac · N distributed
+    * exactly by q — no truncation bias at the tail, which is the whole
+    * point of flattening.
+    *
+    * Realization per row: reps = floor(f_s) + (md5 gate at frac(f_s)),
+    * copies indexed in `copyCol` exactly as [[upsampleBy]]. Factors
+    * come from driver-side [[temperatureFactors]] (counts collected or
+    * injected, one row per source) folded into TWO literal CASE
+    * expressions (integer base, frac-gate hex) — the data-side plan is
+    * one scan + narrow explode; no join, no shuffle. Unknown sources
+    * under injected counts get factor 0 (dropped), as in
+    * [[temperatureMix]]. */
+  def temperatureResample(df: DataFrame, keyCol: Column, sourceCol: Column,
+                          alpha: Double, budgetFrac: Double,
+                          salt: String = "",
+                          counts: Option[Seq[(String, Long)]] = None,
+                          copyCol: String = "copy"): DataFrame = {
+    require(alpha > 0.0 && budgetFrac > 0.0, "alpha and budgetFrac must be > 0")
+    require(!df.columns.contains(copyCol), s"column '$copyCol' already exists; pass a different copyCol")
+    val cnts = counts.getOrElse {
+      df.groupBy(sourceCol.cast("string").as("src"))
+        .agg(count(lit(1)).as("n")).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+    }
+    require(cnts.size <= 100000,
+      s"${cnts.size} distinct sources — temperatureResample folds factors into a " +
+        "CASE expression; at that cardinality the 'source' column is not a " +
+        "mixture label (aggregate it first)")
+    val factors = temperatureFactors(cnts, alpha, budgetFrac)
+    factors.foreach { case (s, f) =>
+      require(f <= 10000.0,
+        s"source '$s' would repeat $f× (> 10^4) — its count is far below the " +
+          "recipe's target share; fix the recipe (alpha/budgetFrac) or drop the source")
+    }
+    val src = sourceCol.cast("string")
+    val parts = factors.map { case (s, f) =>
+      val base = math.floor(f).toInt
+      (s, base, rateToHex(f - base))
+    }
+    val baseExpr = parts.tail.foldLeft(when(src === parts.head._1, lit(parts.head._2))) {
+      case (acc, (s, b, _)) => acc.when(src === s, lit(b))
+    }.otherwise(lit(0))
+    val fracExpr = parts.tail.foldLeft(when(src === parts.head._1, lit(parts.head._3))) {
+      case (acc, (s, _, h)) => acc.when(src === s, lit(h))
+    }.otherwise(lit("00000000"))
+    val reps = baseExpr + when(keepExpr(keyCol, fracExpr, salt), 1).otherwise(0)
+    df.withColumn(copyCol, explode(when(reps >= 1, sequence(lit(0), reps - 1))))
+  }
+
   /** Deterministic train/val/test split assignment: every row gets
     * exactly one split label, a pure function of (key, salt) — the
     * same contract as [[sampleBy]] (partitioning/cluster-size/retry

@@ -267,6 +267,52 @@ object TextOps {
       .select(col("grp").as(groupCol), col("token"), col("n"), col("rank"))
   }
 
+  /** Adjacent-token-pair top-k — the tokenizer-training merge statistic
+    * (the pair-frequency table BPE/WordPiece training iterates on,
+    * computed at whitespace-token level; with [[vocabTopK]] it gives a
+    * corpus the unigram + bigram statistics a tokenizer-training run
+    * needs without shipping the corpus anywhere). Per group, the k most
+    * frequent adjacent pairs, ties broken (w1, w2) ascending — a unique
+    * total order, so the result is engine-independent.
+    *
+    * Scale shape, same discipline as [[vocabTopK]]: pairs explode from
+    * a `transform(sequence...)` over the token array (narrow, no
+    * self-join — the naive pos/pos+1 equi-join shuffles the corpus
+    * twice), the count groupBy is map-side combinable (corpus-wide hot
+    * pairs like "of the" collapse per partition), and the final
+    * window is two-level: partial top-k per (group, pair-hash shard)
+    * bounds any window partition to ~distinct-pairs/shards rows before
+    * the k·shards-row final merge. */
+  def mergePairTopK(df: DataFrame, textCol: String, groupCol: String,
+                    k: Int = 100, shards: Int = 16): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(shards > 0, s"shards must be positive, got $shards")
+    import org.apache.spark.sql.expressions.Window
+    val toks = split(lower(trim(col(textCol))), "\\s+")
+    val nTok = size(toks)
+    val pairsArr = transform(sequence(lit(1), nTok - 1),
+      i => struct(element_at(toks, i).as("w1"), element_at(toks, i + 1).as("w2")))
+    val counts = df
+      .filter(length(trim(col(textCol))) > 0 && nTok >= 2)
+      .select(col(groupCol).as("grp"), explode(pairsArr).as("p"))
+      .select(col("grp"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy("grp", "w1", "w2").agg(count(lit(1)).as("n"))
+    val survivors =
+      if (shards == 1) counts
+      else {
+        val wShard = Window
+          .partitionBy(col("grp"), pmod(xxhash64(col("w1"), col("w2")), lit(shards.toLong)))
+          .orderBy(col("n").desc, col("w1").asc, col("w2").asc)
+        counts.withColumn("_srn", row_number().over(wShard))
+          .filter(col("_srn") <= k).drop("_srn")
+      }
+    val wFinal = Window.partitionBy(col("grp"))
+      .orderBy(col("n").desc, col("w1").asc, col("w2").asc)
+    survivors.withColumn("rank", row_number().over(wFinal).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("grp").as(groupCol), col("w1"), col("w2"), col("n"), col("rank"))
+  }
+
   /** Word w-shingles as an array column (for n-gram Jaccard / MinHash). */
   def shingles(text: Column, w: Int): Column = {
     val words = split(lower(trim(text)), "\\s+")

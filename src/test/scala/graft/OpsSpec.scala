@@ -519,6 +519,103 @@ class OpsSpec extends AnyFunSuite {
     assert(cols.contains("_th") && cols.contains("_tm_src"))
   }
 
+  test("upsampleBy: expected multiplicity, dense copy indices, driver-twin extra-copy set") {
+    import spark.implicits._
+    val docs = (0 until 100).map(i => (i.toLong, s"t$i")).toDF("doc_id", "text")
+    val up = graft.sample.Sampling.upsampleBy(docs, col("doc_id"), factor = 2.3, salt = "up")
+      .select("doc_id", "copy").collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    val byKey = up.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    assert(byKey.keySet == (0L until 100L).toSet, "every key survives upsampling")
+    // copies are dense 0..reps-1 and reps ∈ {2, 3}
+    assert(byKey.values.forall(cs => cs == (0 until cs.size) && (cs.size == 2 || cs.size == 3)))
+    // which keys get the 3rd copy is exactly the keepScala gate at the frac rate
+    val expectedThird = (0L until 100L)
+      .filter(i => graft.sample.Sampling.keepScala(i.toString, "up", 0.3)).toSet
+    assert(byKey.filter(_._2.size == 3).keySet == expectedThird)
+    // factor < 1 degenerates to sampleBy membership, all copy = 0
+    val down = graft.sample.Sampling.upsampleBy(docs, col("doc_id"), factor = 0.4, salt = "up")
+      .select("doc_id", "copy").collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    val sampled = graft.sample.Sampling.sampleBy(docs, col("doc_id"), rate = 0.4, salt = "up")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(down.map(_._1).toSet == sampled && down.forall(_._2 == 0))
+    // guards: copy-column collision, runaway factor
+    intercept[IllegalArgumentException] {
+      graft.sample.Sampling.upsampleBy(docs.withColumn("copy", lit(1)), col("doc_id"), 2.0)
+    }
+    intercept[IllegalArgumentException] {
+      graft.sample.Sampling.upsampleBy(docs, col("doc_id"), 20000.0)
+    }
+  }
+
+  test("temperatureResample: unclamped tail repeats; multiset = driver recomputation; injected counts identical") {
+    import spark.implicits._
+    // same 80/16/4 corpus as the temperatureMix test: rates ~0.374 /
+    // 0.836 / 1.67 — fr now REPEATS (base 1 + 0.67 gate) instead of
+    // clamping to keep-all
+    val docs = ((0 until 80).map(i => (i.toLong, "en")) ++
+      (80 until 96).map(i => (i.toLong, "de")) ++
+      (96 until 100).map(i => (i.toLong, "fr"))).toDF("doc_id", "lang")
+    val out = graft.sample.Sampling.temperatureResample(
+        docs, col("doc_id"), col("lang"), alpha = 0.5, budgetFrac = 0.5, salt = "t")
+      .select("doc_id", "copy").collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    val factors = graft.sample.Sampling.temperatureFactors(
+      Seq("en" -> 80L, "de" -> 16L, "fr" -> 4L), alpha = 0.5, budgetFrac = 0.5).toMap
+    assert(factors("fr") > 1.0 && factors("fr") < 2.0 && factors("de") < 1.0)
+    val expected = (0 until 100).flatMap { i =>
+      val l = if (i < 80) "en" else if (i < 96) "de" else "fr"
+      val f = factors(l)
+      val base = math.floor(f).toInt
+      val reps = base +
+        (if (graft.sample.Sampling.keepScala(i.toString, "t", f - base)) 1 else 0)
+      (0 until reps).map(c => (i.toLong, c))
+    }
+    assert(out.sorted == expected.sorted)
+    // every fr doc appears at least once (base 1): the truncation bias
+    // temperatureMix's clamp would hide is gone
+    assert((96L until 100L).forall(i => out.exists(_._1 == i)))
+    // sub-1 sources select exactly the same rows as temperatureMix
+    // (identical rate, identical gate)
+    val mixKept = graft.sample.Sampling.temperatureMix(
+        docs, col("doc_id"), col("lang"), alpha = 0.5, budgetFrac = 0.5, salt = "t")
+      .filter(col("lang") =!= "fr").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out.filter(_._1 < 96L).map(_._1).toSet == mixKept)
+    // injected-counts path (single-scan shape) produces the same multiset
+    val injected = graft.sample.Sampling.temperatureResample(
+        docs, col("doc_id"), col("lang"), alpha = 0.5, budgetFrac = 0.5, salt = "t",
+        counts = Some(Seq("en" -> 80L, "de" -> 16L, "fr" -> 4L)))
+      .select("doc_id", "copy").collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(injected.sorted == out.sorted)
+  }
+
+  test("mergePairTopK: hand-checked pair counts; two-level shard pass equals the single window") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "en", "the cat sat on the cat"),
+      (2L, "en", "the cat ran"),
+      (3L, "en", "one"),          // single token: no pairs
+      (4L, "en", "   "),          // whitespace-only: excluded
+      (5L, "de", "der hund der hund der hund")).toDF("doc_id", "lang", "text")
+    val out = TextOps.mergePairTopK(docs, "text", "lang", k = 3, shards = 4)
+      .orderBy("lang", "rank").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3), r.getLong(4))).toSeq
+    // en pairs: (the,cat)x3, (cat,sat), (sat,on), (on,the), (cat,ran) —
+    // top-3 under (n desc, w1 asc, w2 asc): (the,cat,3), (cat,ran,1), (cat,sat,1)
+    // de pairs: (der,hund)x3, (hund,der)x2
+    assert(out == Seq(
+      ("de", "der", "hund", 3L, 1L), ("de", "hund", "der", 2L, 2L),
+      ("en", "the", "cat", 3L, 1L), ("en", "cat", "ran", 1L, 2L), ("en", "cat", "sat", 1L, 3L)))
+    // two-level result is provably the single-window result on a larger corpus
+    val big = (0 until 200).map { i =>
+      (i.toLong, if (i % 3 == 0) "a" else "b",
+        (0 until 30).map(j => s"w${(i * 7 + j * 11) % 17}").mkString(" "))
+    }.toDF("doc_id", "lang", "text")
+    val sharded = TextOps.mergePairTopK(big, "text", "lang", k = 5, shards = 8)
+      .orderBy("lang", "rank").collect().map(_.toSeq).toSeq
+    val single = TextOps.mergePairTopK(big, "text", "lang", k = 5, shards = 1)
+      .orderBy("lang", "rank").collect().map(_.toSeq).toSeq
+    assert(sharded == single)
+  }
+
   test("packByBudget: hand-computed offsets and bins; empty text packs as zero tokens") {
     import spark.implicits._
     val docs = Seq(
