@@ -653,6 +653,39 @@ object SparkEntry {
         .orderBy("host", "rank")
     }),
 
+    // ---- W12 robots Crawl-delay budget fold (Scheduler.hostBudgets):
+    // a host-declared positive delay caps the configured rate at
+    // 1/delay; null/zero/negative delays are ignored; the ≥1 budget
+    // floor keeps a high-delay host progressing. 96 distinct urls over
+    // 8 hosts; h0 exact 4 rps capped by delay 2 → budget 2; h1 wildcard
+    // 2 rps capped by delay 1 → 5; h2 delay 0.25 (1/0.25 = 4 > 2) not
+    // binding → 10; h3 delay 0 and h4 delay −1 ignored → 10; h5/h6 no
+    // robots row → 10; h7 delay 10 → rps 0.1 → floor(0.5) = 0 →
+    // budget floor 1. ----
+    "w12_crawldelay_budget" -> ((s, dir) => {
+      import s.implicits._
+      val docs = pq(s, dir, "documents")
+      val frontier = docs.select((col("doc_id") % 96).as("n")).distinct()
+        .select(
+          concat(lit("https://h"), (col("n") % 8).cast("string"),
+            lit(".example/p"), col("n").cast("string")).as("url"),
+          concat(lit("h"), (col("n") % 8).cast("string"), lit(".example")).as("host"),
+          ((col("n") * 7) % 23).cast("double").as("priority"))
+      val limits = Seq(("h0.example", 4.0), ("*.example", 2.0)).toDF("pattern", "rps")
+      val robots = Seq(
+        ("h0.example", java.lang.Double.valueOf(2.0)),
+        ("h1.example", java.lang.Double.valueOf(1.0)),
+        ("h2.example", java.lang.Double.valueOf(0.25)),
+        ("h3.example", java.lang.Double.valueOf(0.0)),
+        ("h4.example", java.lang.Double.valueOf(-1.0)),
+        ("h7.example", java.lang.Double.valueOf(10.0))).toDF("host", "crawl_delay")
+      graft.frontier.Scheduler.rankSelect(frontier, limits,
+          graft.frontier.Scheduler.Config(defaultRps = 1.0, roundSeconds = 5.0,
+            honorCrawlDelay = true), Some(robots))
+        .select(col("url"), col("host"), col("priority"), col("rank").cast("int").as("rank"))
+        .orderBy("host", "rank")
+    }),
+
     // ---- A4 cache stats (cache.py:598-649: hit rate + top-5 url
     // patterns via Counter.most_common(5); tie-break count DESC,
     // pattern ASC — deterministic where Counter insertion order is not).
@@ -787,6 +820,44 @@ object SparkEntry {
             concat(col("text"), lit(" and so it goes to the end of that story")))
           .otherwise(col("text")).as("text"))
       TextOps.gopherDocGate(planted, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // ---- t13: Unicode-script census (TextOps.scriptMix). The synthetic
+    // documents are ASCII, so planted Cyrillic/CJK/Greek-Arabic variants
+    // exercise every class at any sf; counts are integer-exact and
+    // DuckDB recomputes every census column from the raw strings. ----
+    "t13_script_mix" -> ((s, dir) => {
+      val docs = pq(s, dir, "documents").select("doc_id", "text")
+      val corpus = docs
+        .unionByName(docs.filter(col("doc_id") % 11 === 0).select(
+          (col("doc_id") + 2000000L).as("doc_id"),
+          concat(lit("привет мир это тест "), substring(col("text"), 1, 40)).as("text")))
+        .unionByName(docs.filter(col("doc_id") % 13 === 0).select(
+          (col("doc_id") + 3000000L).as("doc_id"),
+          concat(lit("你好世界 こんにちは 한글 123 "), substring(col("text"), 1, 20)).as("text")))
+        .unionByName(docs.filter(col("doc_id") % 17 === 0).select(
+          (col("doc_id") + 4000000L).as("doc_id"),
+          concat(lit("αβγ δέλτα مرحبا "), substring(col("text"), 1, 10)).as("text")))
+      TextOps.scriptMix(corpus, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // ---- t14: PII-density census (TextOps.piiSignals) — the audit
+    // companion of p20 redaction. The synthetic corpus is PII-free, so
+    // modulus-keyed plants (which stack: a doc_id divisible by several
+    // keys carries several PII kinds) exercise every pattern family and
+    // the has_pii gate at any sf; DuckDB replants and recounts with its
+    // own RE2 engine. ----
+    "t14_pii" -> ((s, dir) => {
+      val planted = pq(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 7 === 0, lit(" contact us7@example.com or admin@corp.example.org")).otherwise(lit("")),
+          when(col("doc_id") % 9 === 0, lit(" server 192.168.1.77 and 10.0.0.1")).otherwise(lit("")),
+          when(col("doc_id") % 10 === 0, lit(" call 555-123-4567")).otherwise(lit("")),
+          when(col("doc_id") % 12 === 0, lit(" ssn 123-45-6789")).otherwise(lit("")),
+          when(col("doc_id") % 15 === 0, lit(" card 4242 4242 4242 4242")).otherwise(lit(""))).as("text"))
+      TextOps.piiSignals(planted, "doc_id", "text")
         .orderBy("doc_id")
     }),
 
@@ -1248,6 +1319,22 @@ object SparkEntry {
     "a9_corpus_manifest" -> ((s, dir) => {
       graft.stats.CorpusStats.manifest(pq(s, dir, "documents"), "source", "lang", "text")
         .orderBy("source", "lang")
+    }),
+
+    // ---- a10: domain-level quality gate (CorpusStats.domainGate) —
+    // host rollup of short-doc / PII-doc counts into a blocklist
+    // decision with integer-cross-multiplication thresholds. Hosts 0-1
+    // are planted 100% short (truncated text) and host 2 100% PII, so
+    // both verdicts appear at any sf; the rest ride the natural token
+    // distribution, identically recomputed by DuckDB either way. ----
+    "a10_domain_gate" -> ((s, dir) => {
+      val docs = pq(s, dir, "documents").select(
+        concat(lit("h"), (col("doc_id") % 12).cast("string"), lit(".example")).as("host"),
+        when(col("doc_id") % 12 < 2, substring(col("text"), 1, 30))
+          .when(col("doc_id") % 12 === 2, concat(col("text"), lit(" reach admin@example.com")))
+          .otherwise(col("text")).as("text"))
+      graft.stats.CorpusStats.domainGate(docs, "host", "text")
+        .orderBy("host")
     }),
 
     // ---- u1: URL-shape quality signals over a synthesized frontier
@@ -2062,6 +2149,43 @@ object SparkEntry {
         |SELECT url, host, priority, rank FROM rk WHERE rank <= 3
         |ORDER BY host, rank""".stripMargin,
 
+    // Independent: re-derives the frontier from documents and recomputes
+    // the whole budget resolution — exact/wildcard rps, the
+    // least(rps, 1/delay) cap with null/non-positive delays ignored,
+    // floor(rps·5) with the ≥1 floor — then the politeness window.
+    "w12_crawldelay_budget" ->
+      """WITH f AS (SELECT DISTINCT
+        |    'https://h' || CAST((doc_id % 96) % 8 AS VARCHAR) || '.example/p'
+        |      || CAST(doc_id % 96 AS VARCHAR) AS url,
+        |    'h' || CAST((doc_id % 96) % 8 AS VARCHAR) || '.example' AS host,
+        |    CAST(((doc_id % 96) * 7) % 23 AS DOUBLE) AS priority
+        |  FROM documents),
+        |lim(pattern, rps) AS (VALUES ('h0.example', 4.0), ('*.example', 2.0)),
+        |rob(host, crawl_delay) AS (VALUES
+        |  ('h0.example', 2.0), ('h1.example', 1.0), ('h2.example', 0.25),
+        |  ('h3.example', 0.0), ('h4.example', -1.0), ('h7.example', 10.0)),
+        |conf AS (SELECT h.host,
+        |    coalesce(ex.rps, wi.rps, 1.0) AS rps
+        |  FROM (SELECT DISTINCT host FROM f) h
+        |  LEFT JOIN (SELECT pattern, rps FROM lim WHERE pattern NOT LIKE '*.%') ex
+        |    ON h.host = ex.pattern
+        |  LEFT JOIN (SELECT substring(pattern, 2) AS suffix, rps FROM lim
+        |             WHERE pattern LIKE '*.%') wi
+        |    ON h.host LIKE '%' || wi.suffix),
+        |bud AS (SELECT conf.host,
+        |    greatest(1, CAST(floor(
+        |      (CASE WHEN rob.crawl_delay IS NOT NULL AND rob.crawl_delay > 0.0
+        |            THEN least(conf.rps, 1.0 / rob.crawl_delay)
+        |            ELSE conf.rps END) * 5.0) AS BIGINT)) AS budget
+        |  FROM conf LEFT JOIN rob ON conf.host = rob.host),
+        |rk AS (SELECT f.url, f.host, f.priority,
+        |    CAST(row_number() OVER (PARTITION BY f.host
+        |      ORDER BY f.priority DESC NULLS LAST, f.url ASC) AS INTEGER) AS rank,
+        |    bud.budget
+        |  FROM f JOIN bud ON f.host = bud.host)
+        |SELECT url, host, priority, rank FROM rk WHERE rank <= budget
+        |ORDER BY host, rank""".stripMargin,
+
     "d3_simhash" ->
       """WITH base AS (SELECT doc_id, text FROM documents),
         |corpus AS (SELECT doc_id, text FROM base
@@ -2693,6 +2817,89 @@ ORDER BY id_a""",
         |        FROM documents))
         |ORDER BY doc_id""".stripMargin,
 
+    // t13: DuckDB replants the same script variants and recomputes every
+    // census column — char-class match counts (RE2 \x{…} ranges = the
+    // same code points as the Java \uXXXX classes), the explicit
+    // [ \t\n\r] whitespace census, the residual other_count, and the
+    // order-tie-broken argmax (branch k tests only classes AFTER k:
+    // reaching branch k implies every earlier class lost to something
+    // at-or-after k, so the first k that dominates its tail is the
+    // order-preferred maximum).
+    "t13_script_mix" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, 'привет мир это тест ' || substring(text, 1, 40)
+        |  FROM documents WHERE doc_id % 11 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 3000000, '你好世界 こんにちは 한글 123 ' || substring(text, 1, 20)
+        |  FROM documents WHERE doc_id % 13 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 4000000, 'αβγ δέλτα مرحبا ' || substring(text, 1, 10)
+        |  FROM documents WHERE doc_id % 17 = 0),
+        |census AS (
+        |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+        |    CAST(len(regexp_extract_all(text,
+        |      '[A-Za-z\x{00C0}-\x{00D6}\x{00D8}-\x{00F6}\x{00F8}-\x{024F}]')) AS BIGINT) AS latin_count,
+        |    CAST(len(regexp_extract_all(text, '[\x{0400}-\x{04FF}]')) AS BIGINT) AS cyrillic_count,
+        |    CAST(len(regexp_extract_all(text, '[\x{0370}-\x{03FF}]')) AS BIGINT) AS greek_count,
+        |    CAST(len(regexp_extract_all(text, '[\x{0600}-\x{06FF}]')) AS BIGINT) AS arabic_count,
+        |    CAST(len(regexp_extract_all(text,
+        |      '[\x{3040}-\x{30FF}\x{4E00}-\x{9FFF}\x{AC00}-\x{D7AF}]')) AS BIGINT) AS cjk_count,
+        |    CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS digit_count,
+        |    CAST(len(regexp_extract_all(text, '[ \t\n\r]')) AS BIGINT) AS ws_count
+        |  FROM corpus)
+        |SELECT doc_id, n_chars, latin_count, cyrillic_count, greek_count,
+        |  arabic_count, cjk_count, digit_count,
+        |  n_chars - latin_count - cyrillic_count - greek_count - arabic_count
+        |    - cjk_count - digit_count - ws_count AS other_count,
+        |  CASE
+        |    WHEN greatest(latin_count, cyrillic_count, greek_count, arabic_count,
+        |                  cjk_count, digit_count) = 0 THEN 'none'
+        |    WHEN latin_count >= cyrillic_count AND latin_count >= greek_count
+        |     AND latin_count >= arabic_count AND latin_count >= cjk_count
+        |     AND latin_count >= digit_count THEN 'latin'
+        |    WHEN cyrillic_count >= greek_count AND cyrillic_count >= arabic_count
+        |     AND cyrillic_count >= cjk_count AND cyrillic_count >= digit_count THEN 'cyrillic'
+        |    WHEN greek_count >= arabic_count AND greek_count >= cjk_count
+        |     AND greek_count >= digit_count THEN 'greek'
+        |    WHEN arabic_count >= cjk_count AND arabic_count >= digit_count THEN 'arabic'
+        |    WHEN cjk_count >= digit_count THEN 'cjk'
+        |    ELSE 'digit' END AS dominant_script,
+        |  CASE WHEN n_chars = 0 THEN 0.0
+        |       ELSE round(CAST(greatest(latin_count, cyrillic_count, greek_count,
+        |         arabic_count, cjk_count, digit_count) AS DOUBLE) / n_chars, 6)
+        |  END AS dominant_frac
+        |FROM census
+        |ORDER BY doc_id""".stripMargin,
+
+    // t14: DuckDB replants the same PII strings and recounts every
+    // family with RE2 — the patterns are RE2∩Java-portable by
+    // construction (no lookaround/backrefs, explicit [- ] classes), so
+    // counts match the codegen'd Java-regex census bit-for-bit.
+    "t14_pii" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text
+        |    || CASE WHEN doc_id % 7 = 0 THEN ' contact us7@example.com or admin@corp.example.org' ELSE '' END
+        |    || CASE WHEN doc_id % 9 = 0 THEN ' server 192.168.1.77 and 10.0.0.1' ELSE '' END
+        |    || CASE WHEN doc_id % 10 = 0 THEN ' call 555-123-4567' ELSE '' END
+        |    || CASE WHEN doc_id % 12 = 0 THEN ' ssn 123-45-6789' ELSE '' END
+        |    || CASE WHEN doc_id % 15 = 0 THEN ' card 4242 4242 4242 4242' ELSE '' END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[\w.-]+@[\w.-]+\.\w+')) AS BIGINT) AS n_email,
+        |  CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+        |  CAST(len(regexp_extract_all(text, '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phone,
+        |  CAST(len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_ssn,
+        |  CAST(len(regexp_extract_all(text, '\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b')) AS BIGINT) AS n_card,
+        |  (len(regexp_extract_all(text, '[\w.-]+@[\w.-]+\.\w+')) > 0
+        |   OR len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) > 0
+        |   OR len(regexp_extract_all(text, '\b\d{3}-\d{3}-\d{4}\b')) > 0
+        |   OR len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b')) > 0
+        |   OR len(regexp_extract_all(text, '\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b')) > 0) AS has_pii
+        |FROM corpus
+        |ORDER BY doc_id""".stripMargin,
+
     // t11: DuckDB rebuilds the multi-line corpus from the same
     // doc_id-keyed recipe, replays the C4 line rules (terminal punct,
     // >=5 words, no 'javascript') with list lambdas, and recomputes the
@@ -2873,6 +3080,36 @@ ORDER BY id_a""",
         |    AS n_unique,
         |  round(avg(length(text)), 4) AS avg_chars
         |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // a10: DuckDB rebuilds the planted corpus and recomputes the t1
+    // token census, all five RE2-portable PII families, the host
+    // rollup, and the integer-cross-multiplication block verdicts.
+    "a10_domain_gate" ->
+      """WITH corpus AS (
+        |  SELECT 'h' || CAST(doc_id % 12 AS VARCHAR) || '.example' AS host,
+        |    CASE WHEN doc_id % 12 < 2 THEN substring(text, 1, 30)
+        |         WHEN doc_id % 12 = 2 THEN text || ' reach admin@example.com'
+        |         ELSE text END AS text
+        |  FROM documents),
+        |sig AS (
+        |  SELECT host,
+        |    (CASE WHEN length(trim(text)) = 0 THEN 0
+        |          ELSE len(regexp_split_to_array(trim(text), '\s+')) END) < 50 AS is_short,
+        |    (len(regexp_extract_all(text, '[\w.-]+@[\w.-]+\.\w+')) > 0
+        |     OR len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) > 0
+        |     OR len(regexp_extract_all(text, '\b\d{3}-\d{3}-\d{4}\b')) > 0
+        |     OR len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b')) > 0
+        |     OR len(regexp_extract_all(text, '\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b')) > 0) AS is_pii
+        |  FROM corpus),
+        |roll AS (
+        |  SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(CASE WHEN is_short THEN 1 ELSE 0 END) AS BIGINT) AS n_short,
+        |    CAST(sum(CASE WHEN is_pii THEN 1 ELSE 0 END) AS BIGINT) AS n_pii
+        |  FROM sig GROUP BY 1)
+        |SELECT host, n_docs, n_short, n_pii,
+        |  (n_docs >= 5 AND (n_short * 1000 > n_docs * 500 OR n_pii * 1000 > n_docs * 300))
+        |    AS blocked
+        |FROM roll ORDER BY host""".stripMargin,
 
     // u1: DuckDB rebuilds the synthetic frontier URLs and recomputes
     // every signal from the same string arithmetic; ratio and score are

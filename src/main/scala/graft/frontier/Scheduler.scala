@@ -80,7 +80,13 @@ object Scheduler {
       // content fingerprint column (crawls started on this version).
       recrawlMinRounds: Option[Int] = None,
       recrawlMaxRounds: Option[Int] = None,
-      recrawlEvery: Int = 1)
+      recrawlEvery: Int = 1,
+      // Honor robots-declared Crawl-delay as a per-host rate CAP
+      // (rps_eff = min(configured, 1/delay) — see hostBudgets). Off by
+      // default: the reference ignores the field entirely (its
+      // RequestThrottler rates are operator-configured only), so parity
+      // crawls keep reference semantics unless a run opts in.
+      honorCrawlDelay: Boolean = false)
 
   object Config {
     /** Layered config (the reference's env/YAML/JSON layering,
@@ -115,23 +121,52 @@ object Scheduler {
         linkPriorityIters = i("linkPriorityIters", base.linkPriorityIters),
         recrawlMinRounds = oi("recrawlMinRounds", base.recrawlMinRounds),
         recrawlMaxRounds = oi("recrawlMaxRounds", base.recrawlMaxRounds),
-        recrawlEvery = i("recrawlEvery", base.recrawlEvery))
+        recrawlEvery = i("recrawlEvery", base.recrawlEvery),
+        honorCrawlDelay = c.getOption("spark.graft.honorCrawlDelay")
+          .map(_.toBoolean).getOrElse(base.honorCrawlDelay))
     }
   }
 
   /** Resolve per-host budgets for the hosts present in `frontier`.
-    * `limits` is the tiny (pattern, rps) config table → broadcast joins. */
-  def hostBudgets(frontier: DataFrame, limits: DataFrame, cfg: Config): DataFrame = {
+    * `limits` is the tiny (pattern, rps) config table → broadcast joins.
+    *
+    * With `cfg.honorCrawlDelay` and a `robots` table (host, crawl_delay),
+    * a host-declared positive Crawl-delay CAPS the configured rate:
+    * `rps_eff = least(rps, 1/crawl_delay)` (RFC 9309 extension field —
+    * delay seconds between requests = at most 1/delay requests/sec; the
+    * reference's RequestThrottler only knows operator-configured rates,
+    * throttle.py:57-81, so this is the site-declared half of politeness
+    * it never honors). A delay can only slow a host down, never raise it
+    * above the configured rate; budget keeps the ≥1 floor so a
+    * high-delay host still progresses one url per round rather than
+    * starving forever (same floor the configured path has). Null /
+    * non-positive / unparsable delays are ignored. The robots side is
+    * one row per host — broadcast, like the limits. */
+  def hostBudgets(frontier: DataFrame, limits: DataFrame, cfg: Config,
+                  robots: Option[DataFrame] = None): DataFrame = {
     val hosts = frontier.select("host").distinct()
     val exact = limits.filter(!col("pattern").startsWith("*."))
       .withColumnRenamed("rps", "exact_rps")
     val wild = limits.filter(col("pattern").startsWith("*."))
       .select(expr("substring(pattern, 2)").as("suffix"), col("rps").as("wild_rps"))
-    hosts
+    val configured = hosts
       .join(broadcast(exact), hosts("host") === exact("pattern"), "left")
       .join(broadcast(wild), expr("endswith(host, suffix)"), "left")
       .select(col("host"),
         coalesce(col("exact_rps"), col("wild_rps"), lit(cfg.defaultRps)).as("rps"))
+    val effective = robots.filter(r =>
+        cfg.honorCrawlDelay && r.columns.contains("crawl_delay")) match {
+      case Some(r) =>
+        configured
+          .join(broadcast(r.select(col("host"), col("crawl_delay"))), Seq("host"), "left")
+          .withColumn("rps",
+            when(col("crawl_delay").isNotNull && col("crawl_delay") > 0.0,
+              least(col("rps"), lit(1.0) / col("crawl_delay")))
+              .otherwise(col("rps")))
+          .drop("crawl_delay")
+      case None => configured
+    }
+    effective
       .withColumn("budget", greatest(lit(1L), floor(col("rps") * lit(cfg.roundSeconds))))
       .select("host", "budget")
   }
@@ -162,8 +197,9 @@ object Scheduler {
   /** Rank pre-gated candidates within host and keep rank ≤ budget (W2),
     * then the W4 global cap. The candidate set is SMALL (one batch
     * partition + the carry delta), never the whole frontier. */
-  def rankSelect(candidates: DataFrame, limits: DataFrame, cfg: Config): DataFrame = {
-    val budgets = hostBudgets(candidates, limits, cfg)
+  def rankSelect(candidates: DataFrame, limits: DataFrame, cfg: Config,
+                 robots: Option[DataFrame] = None): DataFrame = {
+    val budgets = hostBudgets(candidates, limits, cfg, robots)
     val w = Window.partitionBy(col("host"))
       .orderBy(desc_nulls_last("priority"), asc("url"))
     val selected = candidates
@@ -190,7 +226,8 @@ object Scheduler {
   def schedule(frontier: DataFrame, robots: DataFrame, limits: DataFrame, cfg: Config)
       : (DataFrame, DataFrame, DataFrame) = {
     val (allowed, denied, gated) = robotsGate(frontier, robots)
-    (rankSelect(allowed, limits, cfg), denied, gated)
+    (rankSelect(allowed, limits, cfg,
+      if (cfg.honorCrawlDelay) Some(robots) else None), denied, gated)
   }
 
   /** W2 one-shot batch assignment (SURVEY §2.6): rank the WHOLE frontier
@@ -199,8 +236,9 @@ object Scheduler {
     * only batch k (a partition-pruned scan of a partitionBy("batch_no")
     * table). The O(frontier) window runs once per EPOCH, not per round —
     * per-round scheduling cost is O(batch + carry). */
-  def assignBatches(frontier: DataFrame, limits: DataFrame, cfg: Config): DataFrame = {
-    val budgets = hostBudgets(frontier, limits, cfg)
+  def assignBatches(frontier: DataFrame, limits: DataFrame, cfg: Config,
+                    robots: Option[DataFrame] = None): DataFrame = {
+    val budgets = hostBudgets(frontier, limits, cfg, robots)
     val w = Window.partitionBy(col("host"))
       .orderBy(desc_nulls_last("priority"), asc("url"))
     frontier

@@ -321,6 +321,11 @@ object CrawlJob {
     val rules = robotsRules(spark, spark.read.parquet(s"$siteDir/robots.parquet")).cache()
     val robotsDf = rules.toDF()
     val limits = spark.read.parquet(s"$siteDir/host_limits.parquet")
+    // site-declared rate caps (Crawl-delay) fold into every budget
+    // resolution when honorCrawlDelay is on — one Option threaded to all
+    // three budget call sites so the epoch assign, the per-round carry
+    // ranking, and the next-epoch pre-assign agree on the same budgets
+    val budgetRobots = if (cfg.honorCrawlDelay) Some(robotsDf) else None
 
     var round = store.latestVersion.map(_ + 1).getOrElse(0)
 
@@ -596,7 +601,7 @@ object CrawlJob {
         // inferable schema) falls out as (0, null) instead of an
         // AnalysisException
         val asgObs = org.apache.spark.sql.Observation(s"assign_epoch_r$round")
-        Scheduler.assignBatches(toAssign, limits, cfg)
+        Scheduler.assignBatches(toAssign, limits, cfg, budgetRobots)
           .observe(asgObs, count(lit(1)).as("n"), max("batch_no").as("mb"))
           .write.partitionBy("batch_no").mode("overwrite").parquet(path)
         val asgM = asgObs.get
@@ -657,7 +662,7 @@ object CrawlJob {
             val fr = notSeenDf(
               mergeFrontier(batchDf0.select(frontierCols.map(col): _*).unionByName(carryDf)),
               seen).cache()
-            (fr, Scheduler.rankSelect(fr, limits, cfg).cache())
+            (fr, Scheduler.rankSelect(fr, limits, cfg, budgetRobots).cache())
           }
         // one action gives the scheduled count AND the trace's per-host
         // lineage (the manifest requirement): when the round touches
@@ -873,7 +878,7 @@ object CrawlJob {
             nextAssignedPath = s"${store.root}/data/v$round/assigned_next"
             // stats ride the write job (see the epoch-assign Observation)
             val nxObs = org.apache.spark.sql.Observation(s"assign_next_r$round")
-            Scheduler.assignBatches(carryNext, limits, cfg)
+            Scheduler.assignBatches(carryNext, limits, cfg, budgetRobots)
               .observe(nxObs, count(lit(1)).as("n"), max("batch_no").as("mb"))
               .write.partitionBy("batch_no").mode("overwrite").parquet(nextAssignedPath)
             val nxM = nxObs.get

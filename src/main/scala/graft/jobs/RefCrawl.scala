@@ -66,13 +66,22 @@ object RefCrawl {
       // (modulo 64-bit collisions).
       recrawlEvery: Option[Int] = None,
       recrawlMinRounds: Int = 1,
-      recrawlMaxRounds: Int = 8): Result = {
+      recrawlMaxRounds: Int = 8,
+      // Crawl-delay mirror (Scheduler.hostBudgets fold): a positive
+      // robots-declared delay caps the configured rate at 1/delay.
+      honorCrawlDelay: Boolean = false): Result = {
 
-    def rpsOf(host: String): Double =
-      limits.getOrElse(host,
+    def rpsOf(host: String): Double = {
+      val configured = limits.getOrElse(host,
         limits.collectFirst {
           case (p, r) if p.startsWith("*.") && host.endsWith(p.substring(1)) => r
         }.getOrElse(defaultRps))
+      if (!honorCrawlDelay) configured
+      else robots.get(host).flatMap(_.crawl_delay) match {
+        case Some(d) if d > 0.0 => math.min(configured, 1.0 / d)
+        case _                  => configured
+      }
+    }
     def budgetOf(host: String): Int = math.max(1, math.floor(rpsOf(host) * roundSeconds).toInt)
 
     // frontier entry: url -> (depth, priority); seen: url -> last-seen round

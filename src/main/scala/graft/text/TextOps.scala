@@ -393,4 +393,97 @@ object TextOps {
         rules.map { case (n, c) => c.as(n) }) :+
         rules.map(_._2).reduce(_ && _).as("keep"): _*)
   }
+
+  /** Unicode-script census per document — the writing-system signal a
+    * multilingual curation pipeline needs BEFORE any language model:
+    * per-script character counts, fractions of total length, and the
+    * dominant script. Complements [[withLangId]] (word-marker n-gram
+    * heuristic, Latin-alphabet languages only): script detection is the
+    * cheap first split that routes Cyrillic/CJK/Arabic/Greek text to
+    * per-script pipelines and catches mixed-script spam (Latin page
+    * stuffed with CJK keywords) that word markers never see.
+    *
+    * Classes are DISJOINT single-char sets (so counts sum ≤ length):
+    * latin = ASCII + Latin-1/Extended letters (symbols × ÷ excluded),
+    * cyrillic U+0400-04FF, greek U+0370-03FF, arabic U+0600-06FF, cjk =
+    * Hiragana/Katakana + CJK Unified + Hangul syllables, digit 0-9.
+    * `other_count` = everything else except blank whitespace
+    * ([ \t\n\r] — spelled explicitly; Java's \s and RE2's \s disagree
+    * on U+000B, and the whole point is that any engine reproduces these
+    * counts bit-for-bit). Dominant script = argmax count with ties
+    * broken by class order above (all-zero → "none").
+    *
+    * Scale shape: one codegen'd projection per row — no join, shuffle,
+    * or explode; composes into the same scan stage as the other gates. */
+  val ScriptClasses: Seq[(String, String)] = Seq(
+    "latin" -> "[A-Za-z\\u00C0-\\u00D6\\u00D8-\\u00F6\\u00F8-\\u024F]",
+    "cyrillic" -> "[\\u0400-\\u04FF]",
+    "greek" -> "[\\u0370-\\u03FF]",
+    "arabic" -> "[\\u0600-\\u06FF]",
+    "cjk" -> "[\\u3040-\\u30FF\\u4E00-\\u9FFF\\uAC00-\\uD7AF]",
+    "digit" -> "[0-9]")
+
+  def scriptMix(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val nChars = length(t).cast("long")
+    val counts = ScriptClasses.map { case (name, cls) =>
+      name -> size(regexp_extract_all(t, lit(cls), lit(0))).cast("long")
+    }
+    val nWs = size(regexp_extract_all(t, lit("[ \\t\\n\\r]"), lit(0))).cast("long")
+    val other = nChars - counts.map(_._2).reduce(_ + _) - nWs
+    // argmax with class-order tie-break: max over (count, preference)
+    // structs, preference descending with class order — greatest() on
+    // structs compares fields left to right
+    val best = counts.zipWithIndex.map { case ((name, c), i) =>
+      struct(c.as("hits"), lit(ScriptClasses.size - i).as("pref"), lit(name).as("script"))
+    }
+    val bestS = greatest(best: _*)
+    df.select(
+      (col(idCol) +: nChars.as("n_chars") +:
+        counts.map { case (n, c) => c.as(s"${n}_count") }) ++ Seq(
+        other.as("other_count"),
+        when(bestS.getField("hits") === 0L, lit("none"))
+          .otherwise(bestS.getField("script")).as("dominant_script"),
+        when(nChars === 0L, lit(0.0))
+          .otherwise(round(bestS.getField("hits").cast("double") / nChars, 6))
+          .as("dominant_frac")): _*)
+  }
+
+  /** PII-density census per document — the audit side of the redaction
+    * transform ([[graft.text.PipelineOps.redact]] P20 rewrites the
+    * text; this MEASURES it): per-doc counts of email addresses, IPv4
+    * literals, dashed phone numbers, SSN-shaped ids, and card-shaped
+    * digit runs, plus the `has_pii` gate a curation pipeline filters or
+    * routes on (DO-NOT-TRAIN routing, GDPR spot-audits, corpus data
+    * cards — counting must not mutate, so this is NOT redact-then-diff).
+    *
+    * Each pattern is counted INDEPENDENTLY on the original text
+    * (non-overlapping leftmost matches). Patterns are deliberately
+    * RE2∩Java-portable: no lookaround, no backrefs, ASCII classes
+    * spelled out ([- ] rather than [-\s] — Java's \s and RE2's \s
+    * disagree on U+000B), and no alternation inside quantifiers, so
+    * greedy leftmost matching yields identical counts in any engine.
+    * Counts are integer-exact; the one shape where two families can
+    * both fire on one substring (an SSN is also a legal phone tail) is
+    * avoided by giving phone/SSN/card disjoint digit groupings
+    * (3-3-4 dashed / 3-2-4 dashed / 4×4).
+    *
+    * Scale shape: one codegen'd projection per row — no join, shuffle,
+    * or explode; composes into the same scan stage as the other gates. */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[\\w.-]+@[\\w.-]+\\.\\w+",
+    "ipv4" -> "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b",
+    "phone" -> "\\b\\d{3}-\\d{3}-\\d{4}\\b",
+    "ssn" -> "\\b\\d{3}-\\d{2}-\\d{4}\\b",
+    "card" -> "\\b\\d{4}[- ]\\d{4}[- ]\\d{4}[- ]\\d{4}\\b")
+
+  def piiSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val counts = PiiPatterns.map { case (name, pat) =>
+      name -> size(regexp_extract_all(t, lit(pat), lit(0))).cast("long")
+    }
+    df.select(
+      (col(idCol) +: counts.map { case (n, c) => c.as(s"n_$n") }) :+
+        counts.map(_._2 > 0L).reduce(_ || _).as("has_pii"): _*)
+  }
 }

@@ -104,6 +104,40 @@ class CrawlParitySpec extends AnyFunSuite {
       s"default-location sitemap fallback (S2) fed nothing into round 0: ${v0Host2.toSeq}")
   }
 
+  test("robots Crawl-delay caps per-host budgets: parity with reference") {
+    val (pages, robots, sitemaps, limits, seeds) = collectSite()
+    // the generator's robots declare Crawl-delay 1+h%3 per host, binding
+    // against every configured rps here (host0: 8 rps → 1; host1: 2 →
+    // 0.5; …) — so honoring the field must visibly change scheduling
+    val ref = RefCrawl.run(pages, robots, sitemaps, limits, seeds, honorCrawlDelay = true)
+    val refPlain = RefCrawl.run(pages, robots, sitemaps, limits, seeds)
+    assert(ref.trace != refPlain.trace,
+      "crawl-delay budgets changed nothing — the parity case would not exercise the seam")
+
+    val workDir = java.nio.file.Files.createTempDirectory("graft_crawl_cd").toString
+    val cfg = graft.frontier.Scheduler.Config(honorCrawlDelay = true)
+    val last = CrawlJob.run(spark, siteDir, workDir, cfg, bloomThreshold = 100L)
+    val got = sparkTrace(workDir, last)
+    val want = ref.trace.map(t => (t.round, t.host, t.rank, t.url)).sortBy(t => (t._1, t._2, t._3))
+    assert(got.size == want.size, s"trace size: spark=${got.size} ref=${want.size}")
+    got.zip(want).zipWithIndex.foreach { case ((g, w), i) =>
+      assert(g == w, s"trace row $i differs: spark=$g ref=$w")
+    }
+    assert(sparkSeen(workDir, last) == ref.seen)
+    // budget bound under the capped rate: per (round, host) batch size
+    // ≤ max(1, floor(min(rps, 1/delay)·roundSeconds))
+    got.groupBy(t => (t._1, t._2)).foreach { case ((_, host), rows) =>
+      val n = rows.size
+      val rps = limits.getOrElse(host, 1.0)
+      val eff = robots.get(host).flatMap(_.crawl_delay) match {
+        case Some(d) if d > 0 => math.min(rps, 1.0 / d)
+        case _                => rps
+      }
+      val budget = math.max(1, math.floor(eff * cfg.roundSeconds).toInt)
+      assert(n <= budget, s"host $host fetched $n > delay-capped budget $budget in one round")
+    }
+  }
+
   test("link-graph priority feeds the frontier: indegree re-scoring parity with reference") {
     val (pages, robots, sitemaps, limits, seeds) = collectSite()
     // exact sequential twin of LinkGraph.indegree: dedup (src,dst),

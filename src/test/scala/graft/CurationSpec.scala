@@ -278,4 +278,110 @@ class CurationSpec extends AnyFunSuite {
         s"twin drift on $u: spark=$g scala=$w")
     }
   }
+
+  // ---- Unicode script census ----
+
+  test("scriptMix: hand-counted census, disjoint classes, dominant tie-break, edges") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "hello world 42"),          // latin 10, digit 2, ws 2, other 0
+      (2L, "привет abc"),               // cyrillic 6, latin 3 → cyrillic dominates
+      (3L, "你好 мир"),                  // cjk 2, cyrillic 3 → cyrillic
+      (4L, "abc где"),                   // latin 3 = cyrillic 3 → latin (class order)
+      (5L, ""),                          // empty → none, frac 0
+      (6L, "!!! ---"),                   // only other → none
+      (7L, "αβγ مرحبا 12"),              // greek 3, arabic 5 → arabic
+      (8L, "naïve café")                 // Latin-1 letters count as latin
+    ).toDF("doc_id", "text")
+    val out = graft.text.TextOps.scriptMix(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+
+    def row(i: Int) = out(i)
+    // doc 1
+    assert(row(0).getAs[Long]("latin_count") == 10)
+    assert(row(0).getAs[Long]("digit_count") == 2)
+    assert(row(0).getAs[Long]("other_count") == 0)
+    assert(row(0).getAs[String]("dominant_script") == "latin")
+    // doc 2: 'привет' = 6 cyrillic
+    assert(row(1).getAs[Long]("cyrillic_count") == 6)
+    assert(row(1).getAs[Long]("latin_count") == 3)
+    assert(row(1).getAs[String]("dominant_script") == "cyrillic")
+    // doc 3: cjk 2 < cyrillic 3
+    assert(row(2).getAs[Long]("cjk_count") == 2)
+    assert(row(2).getAs[String]("dominant_script") == "cyrillic")
+    // doc 4: exact tie latin 3 = cyrillic 3 → class order prefers latin
+    assert(row(3).getAs[Long]("latin_count") == 3)
+    assert(row(3).getAs[Long]("cyrillic_count") == 3)
+    assert(row(3).getAs[String]("dominant_script") == "latin")
+    // doc 5: empty
+    assert(row(4).getAs[Long]("n_chars") == 0)
+    assert(row(4).getAs[String]("dominant_script") == "none")
+    assert(row(4).getAs[Double]("dominant_frac") == 0.0)
+    // doc 6: punctuation only → all class counts 0, other = 6
+    assert(row(5).getAs[String]("dominant_script") == "none")
+    assert(row(5).getAs[Long]("other_count") == 6)
+    // doc 7: arabic 5 beats greek 3
+    assert(row(6).getAs[Long]("greek_count") == 3)
+    assert(row(6).getAs[Long]("arabic_count") == 5)
+    assert(row(6).getAs[String]("dominant_script") == "arabic")
+    // doc 8: ï and é are Latin-1 letters → latin 9, other 0
+    assert(row(7).getAs[Long]("latin_count") == 9)
+    assert(row(7).getAs[Long]("other_count") == 0)
+    // counts partition the string: classes + ws + other = n_chars, every row
+    out.foreach { r =>
+      val sum = Seq("latin_count", "cyrillic_count", "greek_count", "arabic_count",
+        "cjk_count", "digit_count", "other_count").map(r.getAs[Long]).sum
+      val ws = r.getAs[Long]("n_chars") - sum
+      assert(ws >= 0, s"negative whitespace residual in ${r}")
+    }
+  }
+
+  // ---- PII census ----
+
+  test("piiSignals: hand-counted families, disjoint groupings, has_pii gate") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "write to a@b.co and c.d-e@f.example.org today"),   // 2 emails
+      (2L, "hosts 10.0.0.1 and 255.255.255.255; version 1.2.3"), // 2 ipv4 (1.2.3 is not)
+      (3L, "call 555-123-4567 or 555-987-6543"),                // 2 phones, 0 ssn
+      (4L, "ssn 123-45-6789 once"),                              // 1 ssn, 0 phone
+      (5L, "card 4242 4242 4242 4242 and 4111-1111-1111-1111"),  // 2 cards
+      (6L, "no pii here, just words and 42 numbers"),            // nothing
+      (7L, "")                                                    // empty
+    ).toDF("doc_id", "text")
+    val out = graft.text.TextOps.piiSignals(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("n_email") == 2 && out(0).getAs[Boolean]("has_pii"))
+    assert(out(1).getAs[Long]("n_ipv4") == 2, s"ipv4: ${out(1)}")
+    assert(out(2).getAs[Long]("n_phone") == 2 && out(2).getAs[Long]("n_ssn") == 0)
+    assert(out(3).getAs[Long]("n_ssn") == 1 && out(3).getAs[Long]("n_phone") == 0)
+    assert(out(4).getAs[Long]("n_card") == 2)
+    assert(!out(5).getAs[Boolean]("has_pii"))
+    assert(!out(6).getAs[Boolean]("has_pii"))
+  }
+
+  // ---- domain gate ----
+
+  test("domainGate: short-fraction block, PII block, clean host, minDocs support floor") {
+    import spark.implicits._
+    val long = (1 to 60).map(i => s"w$i").mkString(" ") // 60 tokens, not short
+    val docs =
+      // host a: 6 docs, 4 short (667‰ > 500‰) → blocked
+      (0 until 6).map(i => ("a.example", if (i < 4) "tiny doc" else long)) ++
+      // host b: 5 docs, 2 with PII (400‰ > 300‰), 0 short → blocked
+      (0 until 5).map(i => ("b.example", if (i < 2) long + " mail x@y.zz" else long)) ++
+      // host c: 6 docs, 2 short (333‰), 1 PII (167‰) → clean
+      (0 until 6).map(i => ("c.example",
+        if (i < 2) "tiny" else if (i == 2) long + " mail a@b.cc" else long)) ++
+      // host d: 4 docs (< minDocs=5), all short → NOT blocked (no support)
+      (0 until 4).map(_ => ("d.example", "tiny"))
+    val out = graft.stats.CorpusStats.domainGate(
+        docs.toDF("host", "text"), "host", "text")
+      .orderBy("host").collect()
+    assert(out(0).getAs[Long]("n_short") == 4 && out(0).getAs[Boolean]("blocked"))
+    assert(out(1).getAs[Long]("n_pii") == 2 && out(1).getAs[Boolean]("blocked"))
+    assert(!out(2).getAs[Boolean]("blocked"), s"host c wrongly blocked: ${out(2)}")
+    assert(out(3).getAs[Long]("n_short") == 4 && !out(3).getAs[Boolean]("blocked"),
+      s"minDocs floor ignored: ${out(3)}")
+  }
 }
