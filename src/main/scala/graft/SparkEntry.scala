@@ -1111,6 +1111,31 @@ object SparkEntry {
         .orderBy("urlkey")
     }),
 
+    // ---- s14: charset sniff + tolerant decode (sources.Charset) —
+    // BOM (UTF-16LE planted), HTML5 meta charset (iso-8859-1), legacy
+    // http-equiv form, and the no-declaration utf-8 fallback, each
+    // encoded IN-PLAN so the expected (charset, text) pair is a pure
+    // function of doc_id the oracle derives without seeing bytes (the
+    // x3 discipline: DuckDB never runs the sniffer). ----
+    "s14_charset_sniff" -> ((s, dir) => {
+      val p = substring(col("text"), 1, 40)
+      val payload = when(col("doc_id") % 4 === 0,
+          concat(lit(Array[Byte](0xFF.toByte, 0xFE.toByte)), encode(p, "UTF-16LE")))
+        .when(col("doc_id") % 4 === 1,
+          encode(concat(lit("<html><head><meta charset=\"iso-8859-1\"></head><body>"), p),
+            "ISO-8859-1"))
+        .when(col("doc_id") % 4 === 2,
+          encode(concat(
+            lit("<html><head><meta http-equiv=\"Content-Type\" content=\"text/html; charset=utf-8\"></head><body>"), p),
+            "UTF-8"))
+        .otherwise(encode(p, "UTF-8"))
+      val df = pq(s, dir, "documents").select(col("doc_id"), payload.as("bytes"))
+      val dec = graft.sources.Charset.decodeHtmlUdf(col("bytes"))
+      df.select(col("doc_id"),
+          dec.getField("charset").as("charset"), dec.getField("text").as("text"))
+        .orderBy("doc_id")
+    }),
+
     // ---- p24: SURT url keys — reversed-host sort keys over constructed
     // urls exercising www-strip, default/explicit ports, query sort,
     // fragment drop; DuckDB derives every expected key from doc_id. ----
@@ -1334,6 +1359,37 @@ object SparkEntry {
           .when(col("doc_id") % 12 === 2, concat(col("text"), lit(" reach admin@example.com")))
           .otherwise(col("text")).as("text"))
       graft.stats.CorpusStats.domainGate(docs, "host", "text")
+        .orderBy("host")
+    }),
+
+    // ---- x4: end-to-end quality-routing chain — the integration probe
+    // for the r5 gating stack: domainGate blocklist → anti-join the
+    // corpus → scriptMix routing (keep latin-dominant) → per-host
+    // doc/token rollup. Guards the stage-to-stage column contracts
+    // (blocklist key = host, routing key = doc_id) the way x1/x2/x3 do
+    // for the curation/incremental/ingestion stacks. Hosts 0-1 are
+    // planted all-short and host 2 all-PII (blocked, so absent from the
+    // output); every 11th remaining doc is fully Cyrillic (routed away
+    // without blocking its host). ----
+    "x4_quality_route" -> ((s, dir) => {
+      val corpus = pq(s, dir, "documents").select(
+        col("doc_id"),
+        concat(lit("h"), (col("doc_id") % 12).cast("string"), lit(".example")).as("host"),
+        when(col("doc_id") % 12 < 2, substring(col("text"), 1, 30))
+          .when(col("doc_id") % 12 === 2, concat(col("text"), lit(" reach admin@example.com")))
+          .when(col("doc_id") % 11 === 0, lit("привет мир это тест привет снова и снова"))
+          .otherwise(col("text")).as("text"))
+      val blocked = graft.stats.CorpusStats.domainGate(corpus, "host", "text")
+        .filter(col("blocked")).select("host")
+      val surviving = corpus.join(blocked, Seq("host"), "left_anti")
+      val routed = surviving.join(
+        TextOps.scriptMix(surviving, "doc_id", "text")
+          .select(col("doc_id"), col("dominant_script")),
+        Seq("doc_id"))
+        .filter(col("dominant_script") === "latin")
+      routed.groupBy("host")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextOps.tokenCount(col("text")).cast("long")).as("n_tokens"))
         .orderBy("host")
     }),
 
@@ -2452,6 +2508,24 @@ object SparkEntry {
         |      FROM documents)
         |ORDER BY urlkey""".stripMargin,
 
+    // s14: the expected (charset, decoded text) pair is a pure function
+    // of doc_id — DuckDB never sees the planted bytes or the sniffer;
+    // ASCII round-trips every planted encoding, and the UTF-16LE BOM is
+    // stripped by contract, so decoded text = the construction string.
+    "s14_charset_sniff" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 4 = 0 THEN 'utf-16le'
+        |       WHEN doc_id % 4 = 1 THEN 'iso-8859-1'
+        |       ELSE 'utf-8' END AS charset,
+        |  CASE WHEN doc_id % 4 = 1
+        |         THEN '<html><head><meta charset="iso-8859-1"></head><body>'
+        |              || substring(text, 1, 40)
+        |       WHEN doc_id % 4 = 2
+        |         THEN '<html><head><meta http-equiv="Content-Type" content="text/html; charset=utf-8"></head><body>'
+        |              || substring(text, 1, 40)
+        |       ELSE substring(text, 1, 40) END AS text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     // p24: expected SURT keys derived from the same doc_id recipe —
     // reversed labels, www/default-port/fragment dropped, query sorted.
     "p24_surt_key" ->
@@ -3110,6 +3184,57 @@ ORDER BY id_a""",
         |  (n_docs >= 5 AND (n_short * 1000 > n_docs * 500 OR n_pii * 1000 > n_docs * 300))
         |    AS blocked
         |FROM roll ORDER BY host""".stripMargin,
+
+    // x4: DuckDB recomputes the ENTIRE chain from raw strings — the
+    // planted corpus, the a10 rollup and block verdicts, the surviving
+    // set, the t13 dominant-script argmax, the latin routing, and the
+    // final per-host doc/token rollup.
+    "x4_quality_route" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, 'h' || CAST(doc_id % 12 AS VARCHAR) || '.example' AS host,
+        |    CASE WHEN doc_id % 12 < 2 THEN substring(text, 1, 30)
+        |         WHEN doc_id % 12 = 2 THEN text || ' reach admin@example.com'
+        |         WHEN doc_id % 11 = 0 THEN 'привет мир это тест привет снова и снова'
+        |         ELSE text END AS text
+        |  FROM documents),
+        |sig AS (
+        |  SELECT host,
+        |    (CASE WHEN length(trim(text)) = 0 THEN 0
+        |          ELSE len(regexp_split_to_array(trim(text), '\s+')) END) < 50 AS is_short,
+        |    (len(regexp_extract_all(text, '[\w.-]+@[\w.-]+\.\w+')) > 0
+        |     OR len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) > 0
+        |     OR len(regexp_extract_all(text, '\b\d{3}-\d{3}-\d{4}\b')) > 0
+        |     OR len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b')) > 0
+        |     OR len(regexp_extract_all(text, '\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b')) > 0) AS is_pii
+        |  FROM corpus),
+        |blocked AS (
+        |  SELECT host FROM (
+        |    SELECT host, count(*) AS n_docs,
+        |      sum(CASE WHEN is_short THEN 1 ELSE 0 END) AS n_short,
+        |      sum(CASE WHEN is_pii THEN 1 ELSE 0 END) AS n_pii
+        |    FROM sig GROUP BY 1)
+        |  WHERE n_docs >= 5 AND (n_short * 1000 > n_docs * 500 OR n_pii * 1000 > n_docs * 300)),
+        |surviving AS (
+        |  SELECT * FROM corpus WHERE host NOT IN (SELECT host FROM blocked)),
+        |census AS (
+        |  SELECT doc_id, host, text,
+        |    CAST(len(regexp_extract_all(text,
+        |      '[A-Za-z\x{00C0}-\x{00D6}\x{00D8}-\x{00F6}\x{00F8}-\x{024F}]')) AS BIGINT) AS lc,
+        |    CAST(len(regexp_extract_all(text, '[\x{0400}-\x{04FF}]')) AS BIGINT) AS cy,
+        |    CAST(len(regexp_extract_all(text, '[\x{0370}-\x{03FF}]')) AS BIGINT) AS gr,
+        |    CAST(len(regexp_extract_all(text, '[\x{0600}-\x{06FF}]')) AS BIGINT) AS ar,
+        |    CAST(len(regexp_extract_all(text,
+        |      '[\x{3040}-\x{30FF}\x{4E00}-\x{9FFF}\x{AC00}-\x{D7AF}]')) AS BIGINT) AS cj,
+        |    CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS dg
+        |  FROM surviving),
+        |routed AS (
+        |  SELECT doc_id, host, text FROM census
+        |  WHERE NOT (greatest(lc, cy, gr, ar, cj, dg) = 0)
+        |    AND lc >= cy AND lc >= gr AND lc >= ar AND lc >= cj AND lc >= dg)
+        |SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS BIGINT) AS n_tokens
+        |FROM routed GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // u1: DuckDB rebuilds the synthetic frontier URLs and recomputes
     // every signal from the same string arithmetic; ratio and score are

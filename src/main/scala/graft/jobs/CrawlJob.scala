@@ -241,7 +241,12 @@ object CrawlJob {
       .select("url", "url_hash", "host", "depth", "html", "warc_ts")
       .as[(String, Long, String, Int, Array[Byte], java.sql.Timestamp)]
       .map { case (url, hash, host, depth, html, warcTs) =>
-        val h = new String(html, java.nio.charset.StandardCharsets.UTF_8)
+        // encoding-sniffed decode (sources.Charset: BOM → meta charset →
+        // utf-8 fallback). For UTF-8 corpora (the parity site declares
+        // <meta charset="UTF-8">) this is byte-identical to a plain
+        // UTF-8 decode, so reference parity is unchanged; legacy-encoded
+        // pages (windows-125x, shift_jis…) stop being silently mangled.
+        val h = graft.sources.Charset.decodeHtml(html)._2
         val root = graft.html.HtmlParser.parse(h) // parse ONCE for doc + links
         val doc = Doc.fromRoot(root, url)
         val md = DocRender.toMarkdown(doc)

@@ -276,6 +276,26 @@ class PlanSpec extends AnyFunSuite {
     assert(!p2.contains("Exchange") && !p2.contains("Join"), p2.take(600))
   }
 
+  test("t13/t14: script and PII censuses are scan-side maps — no exchange, no join") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p1 = graft.text.TextOps.scriptMix(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!p1.contains("Exchange") && !p1.contains("Join"), p1.take(600))
+    val p2 = graft.text.TextOps.piiSignals(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!p2.contains("Exchange") && !p2.contains("Join"), p2.take(600))
+  }
+
+  test("a10: domain gate is one partial-agg'd groupBy — two HashAggregates, one Exchange") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("source").as("host"), col("text"))
+    val df = graft.stats.CorpusStats.domainGate(docs, "host", "text")
+    val p = df.queryExecution.executedPlan.toString
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p.take(900))
+    assert("Exchange".r.findAllIn(p).size == 1, p.take(900))
+    assert(!p.contains("Join") && !p.contains("Window"), p.take(900))
+  }
+
   test("t8: boilerplate chain has no cartesian/nested-loop join anywhere") {
     val df = graft.text.Boilerplate.removeBoilerplate(
       spark.read.parquet(s"$sf/documents.parquet"), "doc_id", "source", "text")

@@ -170,4 +170,56 @@ class WarcCcSpec extends AnyFunSuite {
     val bad = out(1)
     assert(bad.getAs[String]("url") == null && bad.getAs[java.sql.Timestamp]("fetch_ts") == null)
   }
+
+  // ---- charset sniff + tolerant decode ----
+
+  test("charset: BOM beats meta, meta forms, fallback, unsupported name") {
+    import graft.sources.Charset
+    // UTF-8 BOM
+    val bomUtf8 = Array(0xEF, 0xBB, 0xBF).map(_.toByte) ++ "héllo".getBytes(UTF_8)
+    assert(Charset.sniff(bomUtf8) == "utf-8")
+    assert(Charset.decode(bomUtf8, "utf-8") == "héllo") // BOM char stripped
+    // UTF-16LE BOM outranks a meta declaring something else
+    val mixed = Array(0xFF, 0xFE).map(_.toByte) ++
+      "<meta charset=\"shift_jis\">".getBytes("UTF-16LE")
+    assert(Charset.sniff(mixed) == "utf-16le")
+    // HTML5 form, unquoted + whitespace
+    assert(Charset.sniff("<html><META CharSet = windows-1251 ><body>".getBytes(UTF_8))
+      == "windows-1251")
+    // legacy http-equiv form
+    assert(Charset.sniff(
+      ("<meta http-equiv=\"Content-Type\" content=\"text/html; charset=ISO-8859-2\">")
+        .getBytes(UTF_8)) == "iso-8859-2")
+    // charset= in body text (no meta tag) does not match
+    assert(Charset.sniff("<p>use charset=koi8-r here</p>".getBytes(UTF_8)) == "utf-8")
+    // unsupported name falls back
+    assert(Charset.sniff("<meta charset=\"no-such-charset-xyz\">".getBytes(UTF_8)) == "utf-8")
+    // declaration past the scan window is ignored
+    val far = (" " * 2000 + "<meta charset=\"iso-8859-1\">").getBytes(UTF_8)
+    assert(Charset.sniff(far) == "utf-8")
+    // empty/null
+    assert(Charset.sniff(Array.emptyByteArray) == "utf-8")
+    assert(Charset.sniff(null) == "utf-8")
+  }
+
+  test("charset: legacy encodings round-trip through sniff+decode; malformed bytes quarantine as U+FFFD") {
+    import graft.sources.Charset
+    // windows-1251 Cyrillic page — the JVM decodes what Spark's encode()
+    // builtin can't produce, so the bytes are built with the JDK charset
+    val body = "<html><head><meta charset=\"windows-1251\"></head><body>Привет мир</body></html>"
+    val w1251 = body.getBytes(java.nio.charset.Charset.forName("windows-1251"))
+    val (cs, text) = Charset.decodeHtml(w1251)
+    assert(cs == "windows-1251" && text == body)
+    // shift_jis
+    val sj = "<meta charset=shift_jis>こんにちは".getBytes(
+      java.nio.charset.Charset.forName("shift_jis"))
+    val (cs2, text2) = Charset.decodeHtml(sj)
+    assert(cs2 == "shift_jis" && text2.endsWith("こんにちは"))
+    // malformed UTF-8 tail → replacement char, never an exception
+    val broken = "ok ".getBytes(UTF_8) ++ Array(0xC3.toByte) // truncated 2-byte seq
+    val (cs3, text3) = Charset.decodeHtml(broken)
+    assert(cs3 == "utf-8" && text3 == "ok �")
+    // decode with an unknown charset name falls back to utf-8
+    assert(Charset.decode("x".getBytes(UTF_8), "bogus!!name") == "x")
+  }
 }
