@@ -1136,6 +1136,56 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- p25: robots-meta directives + rel=canonical + followable
+    // links (html.PageDirectives) — six head variants (noindex /
+    // NOFOLLOW case / none / two-tag union / alternate-canonical
+    // relative href / bare) and a body whose sponsored/ugc anchors are
+    // excluded, built IN-PLAN from doc_id so the oracle derives every
+    // expected field from doc_id alone (the s14/x3 discipline: DuckDB
+    // never sees HTML or the parser). ----
+    "p25_robots_meta" -> ((s, dir) => {
+      val id = col("doc_id").cast("string")
+      val head = when(col("doc_id") % 6 === 0,
+          concat(lit("<meta name=\"robots\" content=\"noindex\"><link rel=\"canonical\" href=\"https://canon.example/c"), id, lit("\">")))
+        .when(col("doc_id") % 6 === 1, lit("<meta name=\"ROBOTS\" content=\"NOFOLLOW, noarchive\">"))
+        .when(col("doc_id") % 6 === 2, lit("<meta name=\"robots\" content=\"none\">"))
+        .when(col("doc_id") % 6 === 3, lit("<meta name=\"robots\" content=\"noindex\"><meta name=\"robots\" content=\"nofollow\">"))
+        .when(col("doc_id") % 6 === 4, concat(lit("<link rel=\"alternate canonical\" href=\"/rel"), id, lit("\">")))
+        .otherwise(lit(""))
+      val body = concat(
+        lit("<a href=\"https://x.example/k1\">k</a><a href=\"https://x.example/s\" rel=\"sponsored\">s</a><a href=\"/u\" rel=\"ugc\">u</a>"),
+        when(col("doc_id") % 2 === 0, lit("<a href=\"https://x.example/k2\">k2</a>")).otherwise(lit("")))
+      val html = concat(lit("<html><head>"), head, lit("</head><body>"), body, lit("</body></html>"))
+      val url = concat(lit("https://h.example/p"), id)
+      val dirFn = udf((h: String, u: String) => {
+        val d = graft.html.PageDirectives.fromHtml(h, u)
+        (d.noindex, d.nofollow, d.canonical,
+          graft.html.PageDirectives.followableLinks(h, u).size)
+      })
+      pq(s, dir, "documents").filter(col("doc_id") < 60)
+        .select(col("doc_id"), dirFn(html, url).as("d"))
+        .select(col("doc_id"), col("d._1").as("noindex"), col("d._2").as("nofollow"),
+          col("d._3").as("canonical_url"), col("d._4").as("n_follow"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- a11: rel=canonical consolidation (PipelineOps.canonicalGroups)
+    // — targets c0-c4 carry self-canonical captures, c5-c9 only variant
+    // captures (min-url representative), null-canonical rows form
+    // singleton self groups; ONE map-side-combinable groupBy (min-struct
+    // representative inside partial agg — PlanSpec pins the shape). ----
+    "a11_canonical_group" -> ((s, dir) => {
+      val id = col("doc_id").cast("string")
+      val corpus = pq(s, dir, "documents").filter(col("doc_id") < 200).select(
+        when(col("doc_id") < 5, concat(lit("https://s.example/c"), id))
+          .otherwise(concat(lit("https://s.example/v"), id)).as("url"),
+        when(col("doc_id") % 4 === 3 && col("doc_id") >= 5, lit(null).cast("string"))
+          .otherwise(concat(lit("https://s.example/c"), (col("doc_id") % 10).cast("string")))
+          .as("canonical"))
+      graft.text.PipelineOps.canonicalGroups(corpus, "url", "canonical")
+        .orderBy("canonical_url")
+    }),
+
     // ---- p24: SURT url keys — reversed-host sort keys over constructed
     // urls exercising www-strip, default/explicit ports, query sort,
     // fragment drop; DuckDB derives every expected key from doc_id. ----
@@ -2525,6 +2575,42 @@ object SparkEntry {
         |              || substring(text, 1, 40)
         |       ELSE substring(text, 1, 40) END AS text
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // p25: every expected field is a pure function of doc_id — the six
+    // head variants and the anchor rel rules are fixed by construction;
+    // DuckDB never sees HTML or the parser.
+    "p25_robots_meta" ->
+      """SELECT doc_id,
+        |  doc_id % 6 IN (0, 2, 3) AS noindex,
+        |  doc_id % 6 IN (1, 2, 3) AS nofollow,
+        |  CASE WHEN doc_id % 6 = 0
+        |         THEN 'https://canon.example/c' || CAST(doc_id AS VARCHAR)
+        |       WHEN doc_id % 6 = 4
+        |         THEN 'https://h.example/rel' || CAST(doc_id AS VARCHAR)
+        |       ELSE NULL END AS canonical_url,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS INTEGER) AS n_follow
+        |FROM documents WHERE doc_id < 60 ORDER BY doc_id""".stripMargin,
+
+    // a11: DuckDB rebuilds the capture table from the doc_id recipe and
+    // recomputes representative (min (nonself, url)), variant count, and
+    // has_self with its own window functions.
+    "a11_canonical_group" ->
+      """WITH corpus AS (
+        |  SELECT CASE WHEN doc_id < 5 THEN 'https://s.example/c' || CAST(doc_id AS VARCHAR)
+        |              ELSE 'https://s.example/v' || CAST(doc_id AS VARCHAR) END AS url,
+        |         CASE WHEN doc_id % 4 = 3 AND doc_id >= 5 THEN NULL
+        |              ELSE 'https://s.example/c' || CAST(doc_id % 10 AS VARCHAR) END AS canonical
+        |  FROM documents WHERE doc_id < 200),
+        |g AS (
+        |  SELECT coalesce(canonical, url) AS canonical_url, url,
+        |         CASE WHEN url = coalesce(canonical, url) THEN 0 ELSE 1 END AS nonself
+        |  FROM corpus)
+        |SELECT canonical_url, representative_url, n_variants, has_self FROM (
+        |  SELECT canonical_url, url AS representative_url,
+        |    count(*) OVER (PARTITION BY canonical_url) AS n_variants,
+        |    (min(nonself) OVER (PARTITION BY canonical_url) = 0) AS has_self,
+        |    row_number() OVER (PARTITION BY canonical_url ORDER BY nonself, url) AS rn
+        |  FROM g) WHERE rn = 1 ORDER BY canonical_url""".stripMargin,
 
     // p24: expected SURT keys derived from the same doc_id recipe —
     // reversed labels, www/default-port/fragment dropped, query sorted.

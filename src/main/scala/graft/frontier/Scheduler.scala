@@ -86,7 +86,16 @@ object Scheduler {
       // default: the reference ignores the field entirely (its
       // RequestThrottler rates are operator-configured only), so parity
       // crawls keep reference semantics unless a run opts in.
-      honorCrawlDelay: Boolean = false)
+      honorCrawlDelay: Boolean = false,
+      // Honor page-level robots meta directives at extract
+      // (html.PageDirectives): noindex suppresses the page's
+      // markdown/chunks from the corpus sink (the url still enters the
+      // seen set — it WAS fetched), nofollow drops its outlinks from
+      // frontier expansion, and per-anchor rel=nofollow/sponsored/ugc
+      // excludes single links. Off by default: the reference follows
+      // every <a href> and indexes every page (html_parser.rs:80-111),
+      // so parity crawls keep reference semantics unless a run opts in.
+      honorPageDirectives: Boolean = false)
 
   object Config {
     /** Layered config (the reference's env/YAML/JSON layering,
@@ -123,7 +132,9 @@ object Scheduler {
         recrawlMaxRounds = oi("recrawlMaxRounds", base.recrawlMaxRounds),
         recrawlEvery = i("recrawlEvery", base.recrawlEvery),
         honorCrawlDelay = c.getOption("spark.graft.honorCrawlDelay")
-          .map(_.toBoolean).getOrElse(base.honorCrawlDelay))
+          .map(_.toBoolean).getOrElse(base.honorCrawlDelay),
+        honorPageDirectives = c.getOption("spark.graft.honorPageDirectives")
+          .map(_.toBoolean).getOrElse(base.honorPageDirectives))
     }
   }
 

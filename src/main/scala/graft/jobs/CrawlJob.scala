@@ -249,11 +249,29 @@ object CrawlJob {
         val h = graft.sources.Charset.decodeHtml(html)._2
         val root = graft.html.HtmlParser.parse(h) // parse ONCE for doc + links
         val doc = Doc.fromRoot(root, url)
-        val md = DocRender.toMarkdown(doc)
-        val links = Doc.extractLinksFromRoot(root, url)
-        val chunks = Chunker.semanticChunks(md, url, warcTs.toInstant.toString,
-          cfg.chunkSize, cfg.chunkOverlap)
-        Extracted(url, hash, host, depth, doc.title, md, links, chunks, 200, chunks.length)
+        if (cfg.honorPageDirectives) {
+          // robots meta + per-anchor rel (html.PageDirectives): noindex
+          // suppresses corpus content (url still enters the seen set —
+          // it was fetched), nofollow zeroes outlink expansion, anchor
+          // rel=nofollow/sponsored/ugc drops single links. Same parsed
+          // root — no second parse.
+          val dir = graft.html.PageDirectives.fromRoot(root, url)
+          val links =
+            if (dir.nofollow) Seq.empty[String]
+            else graft.html.PageDirectives.followableLinksFromRoot(root, url)
+          val md = if (dir.noindex) "" else DocRender.toMarkdown(doc)
+          val chunks =
+            if (dir.noindex) Seq.empty[ChunkRec]
+            else Chunker.semanticChunks(md, url, warcTs.toInstant.toString,
+              cfg.chunkSize, cfg.chunkOverlap)
+          Extracted(url, hash, host, depth, doc.title, md, links, chunks, 200, chunks.length)
+        } else {
+          val md = DocRender.toMarkdown(doc)
+          val links = Doc.extractLinksFromRoot(root, url)
+          val chunks = Chunker.semanticChunks(md, url, warcTs.toInstant.toString,
+            cfg.chunkSize, cfg.chunkOverlap)
+          Extracted(url, hash, host, depth, doc.title, md, links, chunks, 200, chunks.length)
+        }
       }
   }
 

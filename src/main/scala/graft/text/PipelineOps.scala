@@ -229,4 +229,38 @@ object PipelineOps {
     concat(loc,
       when(priority.isNotNull, concat(lit(","), priority.cast("string"))).otherwise(lit("")),
       when(lastmod.isNotNull, concat(lit(","), lastmod)).otherwise(lit("")))
+
+  /** rel=canonical consolidation — the web's own dedup signal, applied
+    * BEFORE content-hash dedup: every capture is attributed to its
+    * declared canonical target (undeclared → itself), and each target
+    * keeps ONE representative capture — the self-canonical capture when
+    * present (the page the site says is authoritative), else the
+    * lexicographic-min variant url (deterministic under any
+    * partitioning). Variants whose BYTES differ (mobile/print/tracking
+    * renders of one page) collapse here even though no fingerprint
+    * matches — cheaper than any similarity pass and exact by site
+    * declaration.
+    *
+    * Input: one row per capture with `urlCol` and a nullable
+    * `canonicalCol` (from [[graft.html.PageDirectives]]). Output: one
+    * row per canonical target — (canonical_url, representative_url,
+    * n_variants, has_self).
+    *
+    * Scale shape: ONE map-side-combinable groupBy — `min(struct)` picks
+    * the representative inside partial aggregation, so a target with a
+    * million tracking-param variants collapses in-task; no window, no
+    * second pass, no skew surface beyond the aggregate Spark already
+    * handles. */
+  def canonicalGroups(df: DataFrame, urlCol: String, canonicalCol: String): DataFrame = {
+    df.select(coalesce(col(canonicalCol), col(urlCol)).as("canonical_url"),
+        col(urlCol).as("_cg_u"))
+      .groupBy("canonical_url")
+      .agg(
+        min(struct(
+          when(col("_cg_u") === col("canonical_url"), 0).otherwise(1).as("nonself"),
+          col("_cg_u").as("u"))).as("_cg_rep"),
+        count(lit(1)).as("n_variants"))
+      .select(col("canonical_url"), col("_cg_rep.u").as("representative_url"),
+        col("n_variants"), (col("_cg_rep.nonself") === 0).as("has_self"))
+  }
 }

@@ -1,0 +1,145 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+
+import graft.html.PageDirectives
+
+/** Page-level crawl directives: robots meta (noindex/nofollow/none),
+  * rel=canonical resolution, per-anchor rel exclusion, and the
+  * canonical-consolidation aggregate. */
+class DirectivesSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  private val base = "https://host.example/dir/page"
+
+  test("robots meta: tokens, case, none, union across tags, unknown ignored") {
+    def d(html: String) = PageDirectives.fromHtml(html, base)
+    assert(d("""<meta name="robots" content="noindex">""") ==
+      PageDirectives.Directives(noindex = true, nofollow = false, null))
+    assert(d("""<meta name="ROBOTS" content="NOFOLLOW, noarchive">""") ==
+      PageDirectives.Directives(noindex = false, nofollow = true, null))
+    assert(d("""<meta name="robots" content="none">""") ==
+      PageDirectives.Directives(noindex = true, nofollow = true, null))
+    // union across multiple tags — most restrictive combination wins
+    assert(d("""<meta name="robots" content="noindex"><meta name="robots" content="nofollow">""") ==
+      PageDirectives.Directives(noindex = true, nofollow = true, null))
+    // whitespace around tokens; unknown tokens ignored
+    assert(d("""<meta name="robots" content=" max-snippet:50 , noindex ">""") ==
+      PageDirectives.Directives(noindex = true, nofollow = false, null))
+    // other meta names don't count; missing content is safe
+    assert(d("""<meta name="description" content="noindex"><meta name="robots">""") ==
+      PageDirectives.Directives(noindex = false, nofollow = false, null))
+    assert(d("<p>plain page</p>") ==
+      PageDirectives.Directives(noindex = false, nofollow = false, null))
+  }
+
+  test("rel=canonical: first wins, token list, relative resolve, absolute normalize") {
+    def c(html: String) = PageDirectives.fromHtml(html, base).canonical
+    assert(c("""<link rel="canonical" href="https://canon.example/x">""")
+      == "https://canon.example/x")
+    // first declaration wins
+    assert(c("""<link rel="canonical" href="https://a.example/1"><link rel="canonical" href="https://b.example/2">""")
+      == "https://a.example/1")
+    // rel is a whitespace-separated token list
+    assert(c("""<link rel="alternate canonical" href="/clean">""")
+      == "https://host.example/clean")
+    // relative href resolves against the page url (sibling path)
+    assert(c("""<link rel="canonical" href="other">""")
+      == "https://host.example/dir/other")
+    // absolute href is normalized (default port dropped)
+    assert(c("""<link rel="canonical" href="https://canon.example:443/x">""")
+      == "https://canon.example/x")
+    // stylesheet link is not canonical; empty href ignored
+    assert(c("""<link rel="stylesheet" href="/s.css">""") == null)
+    assert(c("""<link rel="canonical" href="">""") == null)
+    assert(c("<p>none</p>") == null)
+  }
+
+  test("followable links: anchor rel nofollow/sponsored/ugc excluded, Q9 sort+dedup kept") {
+    val html =
+      """<a href="https://z.example/keep2">k2</a>
+        |<a href="/keep1">k1</a>
+        |<a href="https://x.example/drop" rel="nofollow">d</a>
+        |<a href="https://x.example/drop2" rel="external sponsored">d2</a>
+        |<a href="https://x.example/drop3" rel="UGC">d3</a>
+        |<a href="https://z.example/keep2">dup</a>
+        |<a href="javascript:void(0)">js</a>
+        |<a href="#frag">frag</a>
+        |<a href="https://y.example/keep3" rel="external">k3</a>""".stripMargin
+    val links = PageDirectives.followableLinks(html, base)
+    assert(links == Seq("https://host.example/keep1", "https://y.example/keep3",
+      "https://z.example/keep2"))
+    // without the rel filter the baseline extractor keeps all five targets
+    assert(graft.html.Doc.extractLinks(html, base).size == 6)
+  }
+
+  test("canonicalGroups: self-canonical preferred, min-url fallback, counts") {
+    import spark.implicits._
+    val rows = Seq(
+      // three variants declare c1; the self capture is present
+      ("https://s.example/c1", "https://s.example/c1"),
+      ("https://s.example/c1?utm=1", "https://s.example/c1"),
+      ("https://s.example/print/c1", "https://s.example/c1"),
+      // two variants declare c2; no self capture → min url represents
+      ("https://s.example/m/c2", "https://s.example/c2"),
+      ("https://s.example/amp/c2", "https://s.example/c2"),
+      // undeclared → itself
+      ("https://s.example/solo", null)
+    ).toDF("url", "canonical")
+    val out = graft.text.PipelineOps.canonicalGroups(rows, "url", "canonical")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getBoolean(3)))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq(
+      ("https://s.example/c1", "https://s.example/c1", 3L, true),
+      ("https://s.example/c2", "https://s.example/amp/c2", 2L, false),
+      ("https://s.example/solo", "https://s.example/solo", 1L, true)))
+  }
+
+  test("extract honors directives only when opted in (config-gated)") {
+    import spark.implicits._
+    val html =
+      ("""<html><head><meta charset="UTF-8"><title>T</title>""" +
+       """<meta name="robots" content="noindex"></head>""" +
+       """<body><h1>T</h1><p>body text here</p>""" +
+       """<a href="/next">n</a><a href="/ad" rel="sponsored">a</a></body></html>""")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val fetched = Seq(
+      ("https://h.example/p", 1L, "h.example", 0, html,
+        java.sql.Timestamp.valueOf("2026-01-01 00:00:00"))
+    ).toDF("url", "url_hash", "host", "depth", "html", "warc_ts")
+
+    val off = graft.jobs.CrawlJob.extract(spark, fetched,
+      graft.frontier.Scheduler.Config()).collect().head
+    assert(off.markdown.nonEmpty && off.chunks.nonEmpty)
+    assert(off.outlinks == Seq("https://h.example/ad", "https://h.example/next"))
+
+    val on = graft.jobs.CrawlJob.extract(spark, fetched,
+      graft.frontier.Scheduler.Config(honorPageDirectives = true)).collect().head
+    assert(on.markdown.isEmpty && on.chunks.isEmpty) // noindex suppresses content
+    assert(on.outlinks == Seq("https://h.example/next")) // sponsored anchor dropped
+    assert(on.title == "T") // metadata survives (seen-set/metrics row intact)
+
+    // nofollow zeroes expansion while content stays indexable
+    val html2 =
+      ("""<html><head><meta charset="UTF-8"><title>U</title>""" +
+       """<meta name="robots" content="nofollow"></head>""" +
+       """<body><h1>U</h1><p>text</p><a href="/next">n</a></body></html>""")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val fetched2 = Seq(
+      ("https://h.example/q", 2L, "h.example", 0, html2,
+        java.sql.Timestamp.valueOf("2026-01-01 00:00:00"))
+    ).toDF("url", "url_hash", "host", "depth", "html", "warc_ts")
+    val on2 = graft.jobs.CrawlJob.extract(spark, fetched2,
+      graft.frontier.Scheduler.Config(honorPageDirectives = true)).collect().head
+    assert(on2.markdown.nonEmpty && on2.outlinks.isEmpty)
+  }
+}

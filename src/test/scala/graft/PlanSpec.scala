@@ -296,6 +296,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join") && !p.contains("Window"), p.take(900))
   }
 
+  test("a11: canonical consolidation is one partial-agg'd groupBy — no window, no join") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(concat(lit("https://s.example/v"), col("doc_id")).as("url"),
+        concat(lit("https://s.example/c"), (col("doc_id") % 10)).as("canonical"))
+    val p = graft.text.PipelineOps.canonicalGroups(docs, "url", "canonical")
+      .queryExecution.executedPlan.toString
+    assert("HashAggregate|SortAggregate".r.findAllIn(p).size >= 2, p.take(900))
+    assert("Exchange".r.findAllIn(p).size == 1, p.take(900))
+    assert(!p.contains("Join") && !p.contains("Window"), p.take(900))
+  }
+
   test("t8: boilerplate chain has no cartesian/nested-loop join anywhere") {
     val df = graft.text.Boilerplate.removeBoilerplate(
       spark.read.parquet(s"$sf/documents.parquet"), "doc_id", "source", "text")
