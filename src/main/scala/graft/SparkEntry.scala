@@ -1443,6 +1443,34 @@ object SparkEntry {
         .orderBy("host")
     }),
 
+    // ---- u2: HTTP redirect-chain resolution (url.Redirects) — a
+    // planted capture table with short 3xx chains, a long chain
+    // straddling the hop cap (u100..u110 → u99: 8 hops resolves, 9+
+    // is too_many), mutual-loop pairs (mod-50 8/9), and dangling
+    // Locations. All locations are absolute+canonical by construction
+    // so DuckDB's recursive CTE walks the same map by string equality
+    // without the resolver. ----
+    "u2_redirects" -> ((s, dir) => {
+      val id = col("doc_id")
+      def u(n: org.apache.spark.sql.Column) =
+        concat(lit("https://r.example/u"), n.cast("string"))
+      val caps = pq(s, dir, "documents").filter(id < 300).select(
+        u(id).as("url"),
+        when(id >= 100 && id < 111, lit(301))
+          .when(id % 50 === 7, lit(302))
+          .when(id % 50 === 8 || id % 50 === 9, lit(301))
+          .when(id % 5 === 1 || id % 5 === 2, lit(302))
+          .otherwise(lit(200)).as("status"),
+        when(id >= 100 && id < 111, u(id - 1))
+          .when(id % 50 === 7, concat(u(id), lit("/gone")))
+          .when(id % 50 === 8, u(id + 1))
+          .when(id % 50 === 9, u(id - 1))
+          .when(id % 5 === 1 || id % 5 === 2, u(id - 1))
+          .otherwise(lit(null).cast("string")).as("location"))
+      graft.url.Redirects.resolve(caps, "url", "status", "location", 8)
+        .orderBy("url")
+    }),
+
     // ---- u1: URL-shape quality signals over a synthesized frontier
     // (path depth, query params, digit ratio, tracking params,
     // composite score) — pure string arithmetic DuckDB recomputes,
@@ -3321,6 +3349,59 @@ ORDER BY id_a""",
         |  CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
         |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS BIGINT) AS n_tokens
         |FROM routed GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // u2: DuckDB rebuilds the capture table from the same doc_id CASE
+    // (identical branch order), then walks the redirect map with its
+    // OWN recursive CTE — bounded by the same hop cap and stopped at
+    // path cycles — and classifies with the same decision order
+    // (terminal→resolved/dangling, in-flight→loop only below the cap,
+    // else too_many). The resolver never runs in DuckDB.
+    "u2_redirects" ->
+      """WITH RECURSIVE caps AS (
+        |  SELECT 'https://r.example/u' || CAST(doc_id AS VARCHAR) AS url,
+        |    CASE WHEN doc_id >= 100 AND doc_id < 111 THEN 301
+        |         WHEN doc_id % 50 = 7 THEN 302
+        |         WHEN doc_id % 50 IN (8, 9) THEN 301
+        |         WHEN doc_id % 5 IN (1, 2) THEN 302
+        |         ELSE 200 END AS status,
+        |    CASE WHEN doc_id >= 100 AND doc_id < 111
+        |           THEN 'https://r.example/u' || CAST(doc_id - 1 AS VARCHAR)
+        |         WHEN doc_id % 50 = 7
+        |           THEN 'https://r.example/u' || CAST(doc_id AS VARCHAR) || '/gone'
+        |         WHEN doc_id % 50 = 8
+        |           THEN 'https://r.example/u' || CAST(doc_id + 1 AS VARCHAR)
+        |         WHEN doc_id % 50 = 9
+        |           THEN 'https://r.example/u' || CAST(doc_id - 1 AS VARCHAR)
+        |         WHEN doc_id % 5 IN (1, 2)
+        |           THEN 'https://r.example/u' || CAST(doc_id - 1 AS VARCHAR)
+        |         ELSE NULL END AS location
+        |  FROM documents WHERE doc_id < 300),
+        |rmap AS (
+        |  SELECT url AS src, min(location) AS dst FROM caps
+        |  WHERE status BETWEEN 300 AND 399 AND location IS NOT NULL GROUP BY url),
+        |walk(start, cur, hops, path) AS (
+        |  SELECT url, url, 0, [url] FROM (SELECT DISTINCT url FROM caps)
+        |  UNION ALL
+        |  SELECT w.start, r.dst, w.hops + 1, list_append(w.path, r.dst)
+        |  FROM walk w JOIN rmap r ON w.cur = r.src
+        |  WHERE w.hops < 8 AND NOT list_contains(w.path, r.dst)),
+        |fin AS (
+        |  SELECT * FROM (
+        |    SELECT w.*, row_number() OVER (PARTITION BY start ORDER BY hops DESC) AS rn
+        |    FROM walk w) WHERE rn = 1)
+        |SELECT f.start AS url,
+        |  CASE WHEN r.src IS NOT NULL AND f.hops < 8 AND list_contains(f.path, r.dst)
+        |         THEN r.dst ELSE f.cur END AS final_url,
+        |  CAST(CASE WHEN r.src IS NOT NULL AND f.hops < 8 AND list_contains(f.path, r.dst)
+        |              THEN f.hops + 1 ELSE f.hops END AS INTEGER) AS hops,
+        |  CASE WHEN r.src IS NULL AND c.url IS NOT NULL THEN 'resolved'
+        |       WHEN r.src IS NULL THEN 'dangling'
+        |       WHEN f.hops < 8 AND list_contains(f.path, r.dst) THEN 'loop'
+        |       ELSE 'too_many' END AS outcome
+        |FROM fin f
+        |LEFT JOIN rmap r ON f.cur = r.src
+        |LEFT JOIN (SELECT DISTINCT url FROM caps) c ON f.cur = c.url
+        |ORDER BY url""".stripMargin,
 
     // u1: DuckDB rebuilds the synthetic frontier URLs and recomputes
     // every signal from the same string arithmetic; ratio and score are

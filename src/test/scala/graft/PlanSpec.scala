@@ -307,6 +307,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join") && !p.contains("Window"), p.take(900))
   }
 
+  test("u2: redirect walk is equi-joins only — no cartesian/nested-loop, no window") {
+    val p = planOf("u2_redirects", execute = true)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(900))
+    assert(!p.contains("Window"), p.take(900))
+  }
+
   test("t8: boilerplate chain has no cartesian/nested-loop join anywhere") {
     val df = graft.text.Boilerplate.removeBoilerplate(
       spark.read.parquet(s"$sf/documents.parquet"), "doc_id", "source", "text")

@@ -1,0 +1,92 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+
+/** HTTP redirect-chain resolution (url.Redirects): chains, dangling
+  * targets, loops, hop caps, relative Locations, duplicate captures. */
+class RedirectsSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  private def run(rows: Seq[(String, Int, String)], maxHops: Int = 8) = {
+    import spark.implicits._
+    graft.url.Redirects.resolve(rows.toDF("url", "status", "location"),
+        "url", "status", "location", maxHops)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getInt(2), r.getString(3))))
+      .toMap
+  }
+
+  test("chain, terminal, dangling") {
+    val out = run(Seq(
+      ("https://a.example/1", 301, "https://a.example/2"),
+      ("https://a.example/2", 302, "https://a.example/3"),
+      ("https://a.example/3", 200, null),
+      ("https://a.example/4", 301, "https://gone.example/x")))
+    assert(out("https://a.example/1") == (("https://a.example/3", 2, "resolved")))
+    assert(out("https://a.example/2") == (("https://a.example/3", 1, "resolved")))
+    assert(out("https://a.example/3") == (("https://a.example/3", 0, "resolved")))
+    assert(out("https://a.example/4") == (("https://gone.example/x", 1, "dangling")))
+  }
+
+  test("loops: mutual pair and self-redirect") {
+    val out = run(Seq(
+      ("https://b.example/f", 301, "https://b.example/g"),
+      ("https://b.example/g", 301, "https://b.example/f"),
+      ("https://b.example/self", 301, "https://b.example/self")))
+    assert(out("https://b.example/f") == (("https://b.example/f", 2, "loop")))
+    assert(out("https://b.example/g") == (("https://b.example/g", 2, "loop")))
+    assert(out("https://b.example/self") == (("https://b.example/self", 1, "loop")))
+  }
+
+  test("too_many at the hop cap; exactly-maxHops chain still resolves") {
+    val chain = (0 to 5).map { i =>
+      ("https://c.example/" + i, if (i == 0) 200 else 301,
+        if (i == 0) null else "https://c.example/" + (i - 1))
+    }
+    val out = run(chain, maxHops = 3)
+    assert(out("https://c.example/3") == (("https://c.example/0", 3, "resolved")))
+    assert(out("https://c.example/4")._3 == "too_many")
+    assert(out("https://c.example/4")._2 == 3) // stopped at the cap
+    assert(out("https://c.example/5")._3 == "too_many")
+  }
+
+  test("relative Location resolves against the url (RFC 9110 10.2.2)") {
+    val out = run(Seq(
+      ("https://d.example/old/page", 301, "/new/page"),
+      ("https://d.example/new/page", 200, null),
+      ("https://d.example/a/b", 302, "sibling"),
+      ("https://d.example/a/sibling", 200, null)))
+    assert(out("https://d.example/old/page") == (("https://d.example/new/page", 1, "resolved")))
+    assert(out("https://d.example/a/b") == (("https://d.example/a/sibling", 1, "resolved")))
+  }
+
+  test("duplicate 3xx captures collapse deterministically; resolveLatest prefers newest") {
+    import spark.implicits._
+    val out = run(Seq(
+      ("https://e.example/p", 301, "https://e.example/zzz"),
+      ("https://e.example/p", 301, "https://e.example/aaa"),
+      ("https://e.example/aaa", 200, null),
+      ("https://e.example/zzz", 200, null)))
+    assert(out("https://e.example/p") == (("https://e.example/aaa", 1, "resolved"))) // min dst
+
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val hist = Seq(
+      ("https://e.example/q", 301, "https://e.example/moved", ts("2026-01-01 00:00:00")),
+      ("https://e.example/q", 200, null, ts("2026-02-01 00:00:00")), // moved back
+      ("https://e.example/moved", 200, null, ts("2026-01-01 00:00:00"))
+    ).toDF("url", "status", "location", "warc_ts")
+    val latest = graft.url.Redirects
+      .resolveLatest(hist, "url", "status", "location", "warc_ts")
+      .collect().map(r => r.getString(0) -> ((r.getString(1), r.getInt(2), r.getString(3)))).toMap
+    assert(latest("https://e.example/q") == (("https://e.example/q", 0, "resolved")))
+  }
+}
