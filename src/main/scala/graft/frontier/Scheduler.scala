@@ -95,7 +95,17 @@ object Scheduler {
       // excludes single links. Off by default: the reference follows
       // every <a href> and indexes every page (html_parser.rs:80-111),
       // so parity crawls keep reference semantics unless a run opts in.
-      honorPageDirectives: Boolean = false)
+      honorPageDirectives: Boolean = false,
+      // Redirect-chain hop cap for corpora that record 3xx captures as
+      // rows (a `redirects` side table next to the pages table — WARC
+      // corpora carry these as first-class records). The reference's
+      // HTTP client follows redirects invisibly (requests' default,
+      // scraper.py:158-169: destination content attributed to the
+      // REQUESTED url); a batch engine follows them explicitly, capped
+      // like real clients (RFC 9110 permits a cap; browsers stop ~20).
+      // Loops and over-cap chains fail the fetch (counted in
+      // `missing`), exactly like an HTTP client erroring out.
+      redirectMaxHops: Int = 8)
 
   object Config {
     /** Layered config (the reference's env/YAML/JSON layering,
@@ -134,7 +144,8 @@ object Scheduler {
         honorCrawlDelay = c.getOption("spark.graft.honorCrawlDelay")
           .map(_.toBoolean).getOrElse(base.honorCrawlDelay),
         honorPageDirectives = c.getOption("spark.graft.honorPageDirectives")
-          .map(_.toBoolean).getOrElse(base.honorPageDirectives))
+          .map(_.toBoolean).getOrElse(base.honorPageDirectives),
+        redirectMaxHops = i("redirectMaxHops", base.redirectMaxHops))
     }
   }
 

@@ -350,6 +350,31 @@ object CrawlJob {
     // ranking, and the next-epoch pre-assign agree on the same budgets
     val budgetRobots = if (cfg.honorCrawlDelay) Some(robotsDf) else None
 
+    // Redirect aliases (requests' invisible-follow made explicit — see
+    // Scheduler.Config.redirectMaxHops): when the corpus carries a
+    // `redirects` side table (WARC corpora record 3xx hops as rows),
+    // the chain map is flattened ONCE per crawl via
+    // Redirects.resolveMap — alias → terminal destination; loop /
+    // over-cap chains → null = fetch failure — so each round pays
+    // exactly ONE broadcast left-join on the budget-bounded batch, no
+    // per-round iteration. At 10^10 the flatten is one bounded
+    // O(maxHops)-equi-join job over only the 3xx captures (a few
+    // percent of a web corpus), amortized over the whole crawl.
+    val aliasMap: Option[DataFrame] = {
+      val rp = s"$siteDir/redirects.parquet"
+      if (!new java.io.File(rp).exists()) None
+      else {
+        val rmap = spark.read.parquet(rp)
+          .groupBy(col("src")).agg(min("dst").as("dst")).localCheckpoint(true)
+        Some(graft.url.Redirects
+          .resolveMap(rmap.select(col("src").as("url")), rmap, cfg.redirectMaxHops)
+          .select(col("start").as("url"),
+            when(col("k") === "terminal", col("cur")).as("redirect_final"),
+            lit(true).as("redir"))
+          .localCheckpoint(true))
+      }
+    }
+
     var round = store.latestVersion.map(_ + 1).getOrElse(0)
 
     // ---- epoch + carry state (resumable from the last manifest) ----
@@ -759,19 +784,50 @@ object CrawlJob {
           // table joined on url_hash (no big-side shuffle either); AQE
           // skew-join covers the fallback path.
           val batchCols = selected.select("url", "url_hash", "host", "depth", "rank")
-          val fetched = cfg.bucketedPagesTable match {
-            case Some(_) =>
-              // bucketed fetch: no broadcast hint — the bucket-aligned
-              // pages scan has no Exchange either way, and letting the
-              // planner shuffle only the batch side into bucket
-              // alignment is the 10^10 shape (a broadcast batch also
-              // preserves it; AQE picks per batch size).
-              pages.join(batchCols, Seq("url"), "inner")
-            case None =>
-              if (nScheduled <= 2000000L)
-                pages.join(broadcast(batchCols), Seq("url"), "inner")
-              else selected.join(pages, Seq("url"), "inner")
+          val fetched = aliasMap match {
+            case None => cfg.bucketedPagesTable match {
+              case Some(_) =>
+                // bucketed fetch: no broadcast hint — the bucket-aligned
+                // pages scan has no Exchange either way, and letting the
+                // planner shuffle only the batch side into bucket
+                // alignment is the 10^10 shape (a broadcast batch also
+                // preserves it; AQE picks per batch size).
+                pages.join(batchCols, Seq("url"), "inner")
+              case None =>
+                if (nScheduled <= 2000000L)
+                  pages.join(broadcast(batchCols), Seq("url"), "inner")
+                else selected.join(pages, Seq("url"), "inner")
+            }
+            case Some(am) =>
+              // alias resolution folds into the batch side of the SAME
+              // fetch plan: rows whose chain failed (redir set,
+              // redirect_final null) are unfetchable and land in
+              // `missing`; the rest fetch the destination's payload and
+              // attribute it to the REQUESTED url (scraper.py:158-169 —
+              // cache key, conversion base, chunk source_url all use the
+              // requested url).
+              val bf = batchCols.join(broadcast(am), Seq("url"), "left")
+                .filter(col("redir").isNull || col("redirect_final").isNotNull)
+                .select(col("url").as("req_url"), col("url_hash"), col("host"),
+                  col("depth"), col("rank"),
+                  coalesce(col("redirect_final"), col("url")).as("fetch_url"))
+              val pj = cfg.bucketedPagesTable match {
+                case Some(_) => pages.join(bf, pages("url") === bf("fetch_url"), "inner")
+                case None =>
+                  if (nScheduled <= 2000000L)
+                    pages.join(broadcast(bf), pages("url") === bf("fetch_url"), "inner")
+                  else pages.join(bf, pages("url") === bf("fetch_url"), "inner")
+              }
+              pj.drop("url").withColumnRenamed("req_url", "url")
           }
+          // redirect accounting rides the extract write (url != fetch_url
+          // ⇔ the row arrived via an alias) — no extra job
+          val redirObs = org.apache.spark.sql.Observation(s"redir_r$round")
+          val fetchedForExtract =
+            if (aliasMap.isDefined)
+              fetched.observe(redirObs, coalesce(sum(when(
+                col("url") =!= col("fetch_url"), 1L)), lit(0L)).as("n_redirected"))
+            else fetched
           // one typed parse pass written STRAIGHT to the snapshot's results
           // table (markdown + outlinks + chunk structs inline) — parquet IS
           // the round's materialization; persist()/cache() of this wide DF
@@ -782,7 +838,7 @@ object CrawlJob {
           // accounting (row count + chunk sum) rides the WRITE job as an
           // Observation — zero extra jobs, zero re-scan of the output
           val exObs = org.apache.spark.sql.Observation(s"extract_r$round")
-          extract(spark, fetched, cfg).toDF()
+          extract(spark, fetchedForExtract, cfg).toDF()
             .withColumn("round", lit(round))
             // content fingerprint, stored AT extract so the adaptive-
             // recrawl history pass reads (url, round, fp) columnar and
@@ -932,7 +988,11 @@ object CrawlJob {
               "epoch_start" -> committedEpochStart.toDouble,
               "assigned_total" -> committedTotal.toDouble,
               "assigned_consumed" -> committedConsumed.toDouble,
-              "assigned_max_batch" -> committedMax.toDouble),
+              "assigned_max_batch" -> committedMax.toDouble) ++
+              (if (aliasMap.isDefined)
+                Map("redirects_followed" ->
+                  redirObs.get("n_redirected").asInstanceOf[Long].toDouble)
+              else Map.empty),
             partitionKeyCol = Some("host"),
             knownCounts = Map(
               "visited" -> (nScheduled + nDenied),

@@ -29,6 +29,12 @@ object RefCrawl {
       sitemaps: Map[String, String], // sitemap url -> xml
       limits: Map[String, Double], // pattern -> rps
       seedLines: Seq[String],
+      // 3xx capture map (src -> Location): followed invisibly at fetch
+      // like requests does — destination content attributed to the
+      // REQUESTED url; loops / chains past redirectMaxHops / dangling
+      // targets fail the fetch (url still seen, nothing extracted).
+      redirects: Map[String, String] = Map.empty,
+      redirectMaxHops: Int = 8,
       defaultRps: Double = 1.0,
       roundSeconds: Double = 5.0,
       maxDepth: Int = 3,
@@ -83,6 +89,22 @@ object RefCrawl {
       }
     }
     def budgetOf(host: String): Int = math.max(1, math.floor(rpsOf(host) * roundSeconds).toInt)
+
+    // redirect chain walk — same classification as Redirects.resolveMap:
+    // after redirectMaxHops hops a url that STILL redirects is too_many;
+    // a next hop already on the path is a loop; both fail the fetch
+    def followRedirects(u: String): Option[String] = {
+      var cur = u
+      var hops = 0
+      val path = mutable.Set(u)
+      while (redirects.contains(cur)) {
+        if (hops >= redirectMaxHops) return None // too_many
+        val nxt = redirects(cur)
+        if (path.contains(nxt)) return None // loop
+        path += nxt; cur = nxt; hops += 1
+      }
+      Some(cur) // terminal (dangling falls out of pages.get)
+    }
 
     // frontier entry: url -> (depth, priority); seen: url -> last-seen round
     val frontier = mutable.Map.empty[String, (Int, Option[Double])]
@@ -229,7 +251,7 @@ object RefCrawl {
         trace += TraceRow(round, host, rank, url)
         seen(url) = round
         frontier.remove(url)
-        pages.get(url).foreach { html =>
+        followRedirects(url).flatMap(pages.get).foreach { html =>
           val md = graft.html.DocRender.toMarkdown(Doc.fromHtml(html, url))
           if (recrawlEvery.isDefined)
             history.getOrElseUpdate(url, mutable.ListBuffer.empty) += ((round, md))

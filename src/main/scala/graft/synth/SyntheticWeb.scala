@@ -208,10 +208,30 @@ object SyntheticWeb {
 
   /** Write the full synthetic site: pages, robots, sitemaps, seeds,
     * host_limits parquet tables under `dir`. Distributed + deterministic. */
+  /** Deterministic redirect map for `withRedirects` corpora: a page id
+    * is a redirect SOURCE when it falls in one of four families, tested
+    * in precedence order — mutual-loop pairs (%211 ∈ {9,10} → each
+    * other), dangling targets (%293 == 17 → a url outside the corpus),
+    * and next-id hops (%97 ∈ {11,12} or %29 == 3 → id+1; adjacent
+    * sources compose into multi-hop chains). A source's own pages-table
+    * row still exists (a stale capture — realistic in a WARC corpus)
+    * but is SHADOWED: the crawl must fetch the destination's content
+    * and attribute it to the requested url, mirroring requests'
+    * invisible-follow semantics (scraper.py:158-169). */
+  def redirectOf(i: Long, nPages: Long, nHosts: Int, seed: Long): Option[String] = {
+    if (i % 211 == 9) Some(urlOf((i + 1) % nPages, nHosts, seed))
+    else if (i % 211 == 10) Some(urlOf(i - 1, nHosts, seed))
+    else if (i % 293 == 17) Some(urlOf(i, nHosts, seed) + "/gone")
+    else if (i % 97 == 11 || i % 97 == 12 || i % 29 == 3)
+      Some(urlOf((i + 1) % nPages, nHosts, seed))
+    else None
+  }
+
   def generate(spark: SparkSession, dir: String, nPages: Long, nHosts: Int, seed: Long = 42L,
                partitions: Int = 32, withExpectedText: Boolean = true,
                benchRps: Option[Double] = None,
-               sitemapCapOverride: Option[Int] = None): Unit = {
+               sitemapCapOverride: Option[Int] = None,
+               withRedirects: Boolean = false): Unit = {
     import spark.implicits._
     val pages = spark.range(0, nPages, 1, partitions).map { i =>
       val url = urlOf(i, nHosts, seed)
@@ -222,6 +242,13 @@ object SyntheticWeb {
       graft.model.Page(url, tsOf(i), html.getBytes("UTF-8"), md, "en")
     }
     pages.write.mode("overwrite").parquet(s"$dir/pages.parquet")
+
+    if (withRedirects) {
+      val redirects = spark.range(0, nPages, 1, partitions)
+        .map(i => (urlOf(i, nHosts, seed), redirectOf(i, nPages, nHosts, seed).orNull))
+        .toDF("src", "dst").filter($"dst".isNotNull)
+      redirects.write.mode("overwrite").parquet(s"$dir/redirects.parquet")
+    }
 
     val robots = (0 until nHosts).map(h => (s"host$h.example", robotsOf(h))).toDF("host", "body")
     robots.write.mode("overwrite").parquet(s"$dir/robots.parquet")

@@ -4,20 +4,25 @@ import graft.jobs.CrawlJob
 import graft.synth.SyntheticWeb
 
 /** Generate the deterministic synthetic site tables (FIXTURES.md §1-2).
-  * Usage: runMain graft.tools.SiteGenCli <dir> <nPages> <nHosts> [cpus] */
+  * Usage: runMain graft.tools.SiteGenCli <dir> <nPages> <nHosts> [cpus]
+  * [benchRps] [redirects] — trailing literal `redirects` also writes the
+  * 3xx side table (SyntheticWeb.redirectOf chains/loops/dangling). */
 object SiteGenCli {
   def main(args: Array[String]): Unit = {
-    val dir = args(0)
-    val nPages = args(1).toLong
-    val nHosts = args(2).toInt
-    val cpus = if (args.length > 3) args(3).toInt else 8
+    val withRedirects = args.contains("redirects")
+    val a = args.filterNot(_ == "redirects")
+    val dir = a(0)
+    val nPages = a(1).toLong
+    val nHosts = a(2).toInt
+    val cpus = if (a.length > 3) a(3).toInt else 8
     // optional bench mode: high per-host rps limits, no expected-text
     // column (matches Bench.ensureBenchSite's corpus shape)
-    val benchRps = if (args.length > 4) Some(args(4).toDouble) else None
+    val benchRps = if (a.length > 4) Some(a(4).toDouble) else None
     val spark = CrawlJob.session(cpus, "graft-sitegen")
     val t0 = System.nanoTime()
     SyntheticWeb.generate(spark, dir, nPages, nHosts, partitions = cpus,
-      withExpectedText = benchRps.isEmpty, benchRps = benchRps)
+      withExpectedText = benchRps.isEmpty, benchRps = benchRps,
+      withRedirects = withRedirects)
     println(f"generated $nPages pages / $nHosts hosts in ${(System.nanoTime() - t0) / 1e9}%.1fs at $dir")
     spark.stop()
   }

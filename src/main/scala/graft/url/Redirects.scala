@@ -67,9 +67,28 @@ object Redirects {
     // membership set for the resolved-vs-dangling call at the end
     val captured = caps.select(col("url").as("m_url")).distinct().localCheckpoint(true)
 
-    var active = caps.select(col("url").as("start")).distinct()
-      .select(col("start"), col("start").as("cur"), lit(0).as("hops"),
-        array(col("start")).as("path"))
+    resolveMap(caps.select(col("url")).distinct(), rmap, maxHops)
+      .join(captured, col("cur") === col("m_url"), "left")
+      .select(col("start").as("url"), col("cur").as("final_url"), col("hops"),
+        when(col("k") =!= "terminal", col("k"))
+          .when(col("m_url").isNotNull, lit("resolved"))
+          .otherwise(lit("dangling")).as("outcome"))
+  }
+
+  /** The walk alone, against a prebuilt key-unique redirect map — the
+    * shape the crawl loop needs (it derives the map once per crawl and
+    * re-walks only each round's budget-bounded batch). `urls` must have
+    * a distinct `url` column; `rmap` columns (src, dst), key-unique on
+    * src. Returns (start, cur, hops, k) with k ∈ terminal | loop |
+    * too_many — `terminal` means the chain stopped redirecting at
+    * `cur` (whether cur is fetchable is the CALLER's membership
+    * question: `resolve` answers it against the capture set, the crawl
+    * answers it against the pages table by the fetch join itself). */
+  def resolveMap(urls: DataFrame, rmap: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
+    var active = urls
+      .select(col("url").as("start"), col("url").as("cur"), lit(0).as("hops"),
+        array(col("url")).as("path"))
       .localCheckpoint(true)
     val done = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
 
@@ -96,11 +115,6 @@ object Redirects {
       .select(col("start"), col("cur"), col("hops"), lit("too_many").as("k"))
 
     done.reduce(_ unionByName _)
-      .join(captured, col("cur") === col("m_url"), "left")
-      .select(col("start").as("url"), col("cur").as("final_url"), col("hops"),
-        when(col("k") =!= "terminal", col("k"))
-          .when(col("m_url").isNotNull, lit("resolved"))
-          .otherwise(lit("dangling")).as("outcome"))
   }
 
   /** Convenience over a Warc-shaped frame: keeps the latest capture per

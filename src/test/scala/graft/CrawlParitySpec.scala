@@ -508,6 +508,76 @@ class CrawlParitySpec extends AnyFunSuite {
     assert(sparkTrace(workKill, lastResumed) == got)
   }
 
+  test("redirect chains: invisible-follow parity with reference, attribution, loop/dangling failure") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_site_redir").toString
+    SyntheticWeb.generate(spark, dir, nPages, nHosts, seed = 42L, partitions = 4,
+      withRedirects = true)
+    val pages = spark.read.parquet(s"$dir/pages.parquet")
+      .select("url", "html").as[(String, Array[Byte])].collect()
+      .map { case (u, h) => u -> new String(h, "UTF-8") }.toMap
+    val robots = spark.read.parquet(s"$dir/robots.parquet")
+      .as[(String, String)].collect()
+      .map { case (h, b) => h -> graft.robots.Robots.parse(h, b) }.toMap
+    val sitemaps = spark.read.parquet(s"$dir/sitemaps.parquet")
+      .as[(String, String, String)].collect().map { case (_, u, x) => u -> x }.toMap
+    val limits = spark.read.parquet(s"$dir/host_limits.parquet")
+      .as[(String, Double)].collect().toMap
+    val seeds = spark.read.text(s"$dir/seeds.txt").as[String].collect().toSeq
+    val redirects = spark.read.parquet(s"$dir/redirects.parquet")
+      .as[(String, String)].collect().toMap
+    assert(redirects.nonEmpty, "generator produced no redirects")
+
+    val ref = RefCrawl.run(pages, robots, sitemaps, limits, seeds, redirects = redirects)
+    val workDir = java.nio.file.Files.createTempDirectory("graft_crawl_redir").toString
+    val last = CrawlJob.run(spark, dir, workDir, maxRounds = 50, bloomThreshold = 100L)
+
+    val got = sparkTrace(workDir, last)
+    val want = ref.trace.map(t => (t.round, t.host, t.rank, t.url)).sortBy(t => (t._1, t._2, t._3))
+    assert(got.size == want.size, s"trace size: spark=${got.size} ref=${want.size}")
+    got.zip(want).foreach { case (g, w) => assert(g == w, s"trace row differs: spark=$g ref=$w") }
+    assert(sparkSeen(workDir, last) == ref.seen)
+
+    // attribution: a fetched alias row must carry the DESTINATION's
+    // content rendered with the ALIAS as base (scraper.py:158-169); a
+    // failed chain (loop / too_many / dangling) must extract nothing
+    val store = new SnapshotStore(workDir)
+    val byUrl = (0 to last).flatMap { v =>
+      store.readTable(spark, v, "results")
+        .select("url", "markdown").as[(String, String)].collect()
+    }.toMap
+    def follow(u: String): Option[String] = { // mirror of RefCrawl.followRedirects
+      var cur = u; var hops = 0; val path = scala.collection.mutable.Set(u)
+      while (redirects.contains(cur)) {
+        if (hops >= 8) return None
+        val nxt = redirects(cur)
+        if (path.contains(nxt)) return None
+        path += nxt; cur = nxt; hops += 1
+      }
+      Some(cur)
+    }
+    val visitedAliases = ref.trace.map(_.url).filter(redirects.contains).distinct
+    assert(visitedAliases.nonEmpty, "crawl never reached a redirect source")
+    var nOk = 0; var nFail = 0
+    visitedAliases.foreach { a =>
+      follow(a).filter(pages.contains) match {
+        case Some(dst) =>
+          val expect = graft.html.DocRender.toMarkdown(graft.html.Doc.fromHtml(pages(dst), a))
+          assert(byUrl.get(a).contains(expect), s"alias $a: wrong content attribution")
+          nOk += 1
+        case None =>
+          assert(!byUrl.contains(a), s"failed-chain alias $a must not be extracted")
+          nFail += 1
+      }
+    }
+    assert(nOk > 0, "no successful alias follow exercised")
+    assert(nFail > 0, "no failed chain (loop/dangling/too_many) exercised")
+    // manifest accounting: redirects_followed = successful alias fetches
+    val redirTotal = (0 to last)
+      .map(v => store.manifest(v).metrics.getOrElse("redirects_followed", 0.0)).sum.toLong
+    assert(redirTotal == nOk.toLong, s"redirects_followed=$redirTotal, expected $nOk")
+  }
+
   test("politeness: per-round per-host batch sizes never exceed budget") {
     val (_, _, _, limits, _) = collectSite()
     val workDir = java.nio.file.Files.createTempDirectory("graft_budget").toString
