@@ -1471,6 +1471,35 @@ object SparkEntry {
         .orderBy("url")
     }),
 
+    // ---- u3: fetch-retry classification (frontier.FetchRetry) — a
+    // planted fault table with recover-on-attempt-2 (%31==3 → 1 fault),
+    // recover-on-the-last-allowed-attempt (%31==4 → 2), fail exactly at
+    // the cap (%31==5 → 3), and fail-hopelessly (%61==17 → 1000, with a
+    // DUPLICATE lower-count capture row that the key-unique collapse
+    // must max away). No doc_id under 400 sits in both a %31 family and
+    // the %61 family (first solutions are 871/810/749), so the oracle's
+    // precedence-free CASE agrees with the probe's when-chain. ----
+    "u3_fetch_retry" -> ((s, dir) => {
+      val id = col("doc_id")
+      def u(n: org.apache.spark.sql.Column) =
+        concat(lit("https://f.example/p"), n.cast("string"))
+      val docs = pq(s, dir, "documents").filter(id < 400)
+      val batch = docs.select(u(id).as("url"))
+      val base = docs.select(u(id).as("url"),
+          when(id % 31 === 3, lit(1)).when(id % 31 === 4, lit(2))
+            .when(id % 31 === 5, lit(3)).when(id % 61 === 17, lit(1000))
+            .otherwise(lit(null).cast("int")).as("fail_times"))
+        .filter(col("fail_times").isNotNull)
+      val dup = docs.filter(id % 61 === 17)
+        .select(u(id).as("url"), lit(1).as("fail_times"))
+      val faults = base.unionByName(dup) // loadFaults' max-collapse, in-plan
+        .groupBy("url").agg(max("fail_times").as("fail_times"))
+      graft.frontier.FetchRetry.withAttempts(batch, faults, 3)
+        .select(col("url"), col("fetch_ok").cast("long").as("ok"),
+          col("fetch_attempts").cast("long").as("attempts"))
+        .orderBy("url")
+    }),
+
     // ---- u1: URL-shape quality signals over a synthesized frontier
     // (path depth, query params, digit ratio, tracking params,
     // composite score) — pure string arithmetic DuckDB recomputes,
@@ -3402,6 +3431,25 @@ ORDER BY id_a""",
         |LEFT JOIN rmap r ON f.cur = r.src
         |LEFT JOIN (SELECT DISTINCT url FROM caps) c ON f.cur = c.url
         |ORDER BY url""".stripMargin,
+
+    // u3: DuckDB rebuilds the fault table from the same doc_id CASE
+    // (families non-overlapping under 400, so branch order is moot),
+    // collapses the planted duplicate with its own max(), and
+    // recomputes ok = fx < 3 and attempts = least(fx + 1, 3). The
+    // FetchRetry operator never runs in DuckDB.
+    "u3_fetch_retry" ->
+      """WITH f AS (
+        |  SELECT doc_id AS id,
+        |    greatest(
+        |      CASE WHEN doc_id % 31 = 3 THEN 1
+        |           WHEN doc_id % 31 = 4 THEN 2
+        |           WHEN doc_id % 31 = 5 THEN 3 ELSE 0 END,
+        |      CASE WHEN doc_id % 61 = 17 THEN 1000 ELSE 0 END) AS fx
+        |  FROM documents WHERE doc_id < 400)
+        |SELECT 'https://f.example/p' || CAST(id AS VARCHAR) AS url,
+        |  CAST(CASE WHEN fx < 3 THEN 1 ELSE 0 END AS BIGINT) AS ok,
+        |  CAST(least(fx + 1, 3) AS BIGINT) AS attempts
+        |FROM f ORDER BY url""".stripMargin,
 
     // u1: DuckDB rebuilds the synthetic frontier URLs and recomputes
     // every signal from the same string arithmetic; ratio and score are

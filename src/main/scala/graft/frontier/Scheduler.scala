@@ -105,7 +105,16 @@ object Scheduler {
       // like real clients (RFC 9110 permits a cap; browsers stop ~20).
       // Loops and over-cap chains fail the fetch (counted in
       // `missing`), exactly like an HTTP client erroring out.
-      redirectMaxHops: Int = 8)
+      redirectMaxHops: Int = 8,
+      // Per-request attempt cap for corpora that record transient fetch
+      // faults (a `faults` side table: url → number of attempts that
+      // fail before one succeeds — the deterministic stand-in for the
+      // 5xx/timeout/connection errors scraper.py:228-287 retries with
+      // 2^attempt sleeps INSIDE one visit). A url whose fault count
+      // reaches this cap is a permanent fetch failure: visited and seen
+      // like the reference's exhausted-retries RequestException, but
+      // nothing extracted. Default mirrors scraper.py:43 max_retries=3.
+      fetchMaxRetries: Int = 3)
 
   object Config {
     /** Layered config (the reference's env/YAML/JSON layering,
@@ -145,7 +154,8 @@ object Scheduler {
           .map(_.toBoolean).getOrElse(base.honorCrawlDelay),
         honorPageDirectives = c.getOption("spark.graft.honorPageDirectives")
           .map(_.toBoolean).getOrElse(base.honorPageDirectives),
-        redirectMaxHops = i("redirectMaxHops", base.redirectMaxHops))
+        redirectMaxHops = i("redirectMaxHops", base.redirectMaxHops),
+        fetchMaxRetries = i("fetchMaxRetries", base.fetchMaxRetries))
     }
   }
 

@@ -375,6 +375,16 @@ object CrawlJob {
       }
     }
 
+    // Transient-fault replay (scraper.py's in-visit retry loop made a
+    // recorded per-row fact — see frontier.FetchRetry): loaded + key-
+    // uniquified ONCE per crawl; each round pays one broadcast left-join
+    // on the budget-bounded batch, exactly the alias-map shape.
+    val faultMap: Option[DataFrame] = {
+      val fp = s"$siteDir/faults.parquet"
+      if (!new java.io.File(fp).exists()) None
+      else Some(graft.frontier.FetchRetry.loadFaults(spark, fp))
+    }
+
     var round = store.latestVersion.map(_ + 1).getOrElse(0)
 
     // ---- epoch + carry state (resumable from the last manifest) ----
@@ -823,11 +833,31 @@ object CrawlJob {
           // redirect accounting rides the extract write (url != fetch_url
           // ⇔ the row arrived via an alias) — no extra job
           val redirObs = org.apache.spark.sql.Observation(s"redir_r$round")
-          val fetchedForExtract =
+          val fetchedAliased =
             if (aliasMap.isDefined)
               fetched.observe(redirObs, coalesce(sum(when(
                 col("url") =!= col("fetch_url"), 1L)), lit(0L)).as("n_redirected"))
             else fetched
+          // transient-fault replay (FetchRetry): attempt classification
+          // + exhausted-row removal fold into the same fetch plan; the
+          // failure/retry counts ride the extract write's Observation
+          // (CollectMetrics sits BELOW the fetch_ok filter, so it sees
+          // every scheduled-and-present row) — no extra job
+          val faultObs = org.apache.spark.sql.Observation(s"fault_r$round")
+          val fetchedForExtract = faultMap match {
+            case None => fetchedAliased
+            case Some(fm) =>
+              graft.frontier.FetchRetry
+                .withAttempts(fetchedAliased, fm, cfg.fetchMaxRetries)
+                .observe(faultObs,
+                  coalesce(sum(when(!col("fetch_ok"), 1L)), lit(0L))
+                    .as("n_fetch_failed"),
+                  coalesce(sum(when(col("fetch_ok"),
+                    col("fetch_attempts").cast("long") - 1L)), lit(0L))
+                    .as("n_retry_attempts"))
+                .filter(col("fetch_ok"))
+                .drop("fetch_ok", "fetch_attempts")
+          }
           // one typed parse pass written STRAIGHT to the snapshot's results
           // table (markdown + outlinks + chunk structs inline) — parquet IS
           // the round's materialization; persist()/cache() of this wide DF
@@ -992,7 +1022,14 @@ object CrawlJob {
               (if (aliasMap.isDefined)
                 Map("redirects_followed" ->
                   redirObs.get("n_redirected").asInstanceOf[Long].toDouble)
-              else Map.empty),
+              else Map.empty) ++
+              (if (faultMap.isDefined) {
+                val fm = faultObs.get
+                Map("fetch_failed" ->
+                  fm("n_fetch_failed").asInstanceOf[Long].toDouble,
+                  "retry_attempts" ->
+                    fm("n_retry_attempts").asInstanceOf[Long].toDouble)
+              } else Map.empty),
             partitionKeyCol = Some("host"),
             knownCounts = Map(
               "visited" -> (nScheduled + nDenied),

@@ -35,6 +35,13 @@ object RefCrawl {
       // targets fail the fetch (url still seen, nothing extracted).
       redirects: Map[String, String] = Map.empty,
       redirectMaxHops: Int = 8,
+      // transient-fault map (url -> leading attempts that fail): the
+      // in-visit retry loop (scraper.py:228-287) replayed — a url with
+      // fail_times >= fetchMaxRetries exhausts its retries and the
+      // visit yields nothing (url still seen, like the reference's
+      // RequestException after the last attempt)
+      faults: Map[String, Int] = Map.empty,
+      fetchMaxRetries: Int = 3,
       defaultRps: Double = 1.0,
       roundSeconds: Double = 5.0,
       maxDepth: Int = 3,
@@ -251,7 +258,11 @@ object RefCrawl {
         trace += TraceRow(round, host, rank, url)
         seen(url) = round
         frontier.remove(url)
-        followRedirects(url).flatMap(pages.get).foreach { html =>
+        // fault gate first: _fetch_with_retries wraps the WHOLE request
+        // (redirect follow included), so exhausted retries fail the
+        // visit before any content question arises
+        val fetchable = faults.getOrElse(url, 0) < fetchMaxRetries
+        if (fetchable) followRedirects(url).flatMap(pages.get).foreach { html =>
           val md = graft.html.DocRender.toMarkdown(Doc.fromHtml(html, url))
           if (recrawlEvery.isDefined)
             history.getOrElseUpdate(url, mutable.ListBuffer.empty) += ((round, md))

@@ -218,6 +218,22 @@ object SyntheticWeb {
     * but is SHADOWED: the crawl must fetch the destination's content
     * and attribute it to the requested url, mirroring requests'
     * invisible-follow semantics (scraper.py:158-169). */
+  /** Deterministic transient-fault count for `withFaults` corpora: how
+    * many leading fetch attempts fail before one succeeds (the batch
+    * stand-in for the 5xx/timeout errors scraper.py:228-287 retries).
+    * Families against the default fetchMaxRetries=3: recover on attempt
+    * 2 (%131==7 → 1 fault), recover on the LAST allowed attempt
+    * (%131==8 → 2), fail at exactly the cap (%131==9 → 3 — the
+    * boundary permanent failure), and fail hopelessly (%263==21 → 1000,
+    * e.g. a dead host). */
+  def faultOf(i: Long): Option[Int] = {
+    if (i % 131 == 7) Some(1)
+    else if (i % 131 == 8) Some(2)
+    else if (i % 131 == 9) Some(3)
+    else if (i % 263 == 21) Some(1000)
+    else None
+  }
+
   def redirectOf(i: Long, nPages: Long, nHosts: Int, seed: Long): Option[String] = {
     if (i % 211 == 9) Some(urlOf((i + 1) % nPages, nHosts, seed))
     else if (i % 211 == 10) Some(urlOf(i - 1, nHosts, seed))
@@ -231,7 +247,8 @@ object SyntheticWeb {
                partitions: Int = 32, withExpectedText: Boolean = true,
                benchRps: Option[Double] = None,
                sitemapCapOverride: Option[Int] = None,
-               withRedirects: Boolean = false): Unit = {
+               withRedirects: Boolean = false,
+               withFaults: Boolean = false): Unit = {
     import spark.implicits._
     val pages = spark.range(0, nPages, 1, partitions).map { i =>
       val url = urlOf(i, nHosts, seed)
@@ -248,6 +265,13 @@ object SyntheticWeb {
         .map(i => (urlOf(i, nHosts, seed), redirectOf(i, nPages, nHosts, seed).orNull))
         .toDF("src", "dst").filter($"dst".isNotNull)
       redirects.write.mode("overwrite").parquet(s"$dir/redirects.parquet")
+    }
+
+    if (withFaults) {
+      val faults = spark.range(0, nPages, 1, partitions)
+        .map(i => (urlOf(i, nHosts, seed), faultOf(i).map(_.toLong).getOrElse(-1L)))
+        .toDF("url", "fail_times").filter($"fail_times" >= 0L)
+      faults.write.mode("overwrite").parquet(s"$dir/faults.parquet")
     }
 
     val robots = (0 until nHosts).map(h => (s"host$h.example", robotsOf(h))).toDF("host", "body")

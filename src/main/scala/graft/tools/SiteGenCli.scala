@@ -5,12 +5,15 @@ import graft.synth.SyntheticWeb
 
 /** Generate the deterministic synthetic site tables (FIXTURES.md §1-2).
   * Usage: runMain graft.tools.SiteGenCli <dir> <nPages> <nHosts> [cpus]
-  * [benchRps] [redirects] — trailing literal `redirects` also writes the
-  * 3xx side table (SyntheticWeb.redirectOf chains/loops/dangling). */
+  * [benchRps] [redirects] [faults] — trailing literal `redirects` also
+  * writes the 3xx side table (SyntheticWeb.redirectOf chains/loops/
+  * dangling); literal `faults` writes the transient-fault side table
+  * (SyntheticWeb.faultOf retry/permanent-failure families). */
 object SiteGenCli {
   def main(args: Array[String]): Unit = {
     val withRedirects = args.contains("redirects")
-    val a = args.filterNot(_ == "redirects")
+    val withFaults = args.contains("faults")
+    val a = args.filterNot(x => x == "redirects" || x == "faults")
     val dir = a(0)
     val nPages = a(1).toLong
     val nHosts = a(2).toInt
@@ -22,7 +25,7 @@ object SiteGenCli {
     val t0 = System.nanoTime()
     SyntheticWeb.generate(spark, dir, nPages, nHosts, partitions = cpus,
       withExpectedText = benchRps.isEmpty, benchRps = benchRps,
-      withRedirects = withRedirects)
+      withRedirects = withRedirects, withFaults = withFaults)
     println(f"generated $nPages pages / $nHosts hosts in ${(System.nanoTime() - t0) / 1e9}%.1fs at $dir")
     spark.stop()
   }

@@ -578,6 +578,80 @@ class CrawlParitySpec extends AnyFunSuite {
     assert(redirTotal == nOk.toLong, s"redirects_followed=$redirTotal, expected $nOk")
   }
 
+  test("fetch retry: transient faults compose with redirects, exhausted retries fail the visit") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_site_fault").toString
+    SyntheticWeb.generate(spark, dir, nPages, nHosts, seed = 42L, partitions = 4,
+      withRedirects = true, withFaults = true)
+    val pages = spark.read.parquet(s"$dir/pages.parquet")
+      .select("url", "html").as[(String, Array[Byte])].collect()
+      .map { case (u, h) => u -> new String(h, "UTF-8") }.toMap
+    val robots = spark.read.parquet(s"$dir/robots.parquet")
+      .as[(String, String)].collect()
+      .map { case (h, b) => h -> graft.robots.Robots.parse(h, b) }.toMap
+    val sitemaps = spark.read.parquet(s"$dir/sitemaps.parquet")
+      .as[(String, String, String)].collect().map { case (_, u, x) => u -> x }.toMap
+    val limits = spark.read.parquet(s"$dir/host_limits.parquet")
+      .as[(String, Double)].collect().toMap
+    val seeds = spark.read.text(s"$dir/seeds.txt").as[String].collect().toSeq
+    val redirects = spark.read.parquet(s"$dir/redirects.parquet")
+      .as[(String, String)].collect().toMap
+    val faults = spark.read.parquet(s"$dir/faults.parquet")
+      .as[(String, Long)].collect().map { case (u, n) => u -> n.toInt }.toMap
+    assert(faults.nonEmpty, "generator produced no faults")
+
+    val ref = RefCrawl.run(pages, robots, sitemaps, limits, seeds,
+      redirects = redirects, faults = faults)
+    val workDir = java.nio.file.Files.createTempDirectory("graft_crawl_fault").toString
+    val last = CrawlJob.run(spark, dir, workDir, maxRounds = 50, bloomThreshold = 100L)
+
+    val got = sparkTrace(workDir, last)
+    val want = ref.trace.map(t => (t.round, t.host, t.rank, t.url)).sortBy(t => (t._1, t._2, t._3))
+    assert(got.size == want.size, s"trace size: spark=${got.size} ref=${want.size}")
+    got.zip(want).foreach { case (g, w) => assert(g == w, s"trace row differs: spark=$g ref=$w") }
+    assert(sparkSeen(workDir, last) == ref.seen)
+
+    // observable contract per visited url u with fault count fx:
+    //   fx >= 3 (fetchMaxRetries) → nothing extracted, counted in
+    //     fetch_failed iff its payload would otherwise have arrived
+    //   0 < fx < 3 → extracted normally; fx rides retry_attempts
+    val store = new SnapshotStore(workDir)
+    val extracted = (0 to last).flatMap { v =>
+      store.readTable(spark, v, "results").select("url").as[String].collect()
+    }.toSet
+    def follow(u: String): Option[String] = {
+      var cur = u; var hops = 0; val path = scala.collection.mutable.Set(u)
+      while (redirects.contains(cur)) {
+        if (hops >= 8) return None
+        val nxt = redirects(cur)
+        if (path.contains(nxt)) return None
+        path += nxt; cur = nxt; hops += 1
+      }
+      Some(cur)
+    }
+    val visited = ref.trace.map(_.url).distinct
+    def payloadPresent(u: String): Boolean = follow(u).exists(pages.contains)
+    var nExhausted = 0L; var nRetried = 0L; var retrySum = 0L
+    visited.foreach { u =>
+      val fx = faults.getOrElse(u, 0)
+      if (fx >= 3) {
+        assert(!extracted.contains(u), s"exhausted-retries url $u must not be extracted")
+        if (payloadPresent(u)) nExhausted += 1
+      } else if (payloadPresent(u)) {
+        assert(extracted.contains(u), s"recoverable url $u (fx=$fx) must be extracted")
+        if (fx > 0) { nRetried += 1; retrySum += fx }
+      }
+    }
+    assert(nExhausted > 0, "no exhausted-retry url exercised")
+    assert(nRetried > 0, "no recovered-after-retry url exercised")
+    val mFailed = (0 to last)
+      .map(v => store.manifest(v).metrics.getOrElse("fetch_failed", 0.0)).sum.toLong
+    val mRetries = (0 to last)
+      .map(v => store.manifest(v).metrics.getOrElse("retry_attempts", 0.0)).sum.toLong
+    assert(mFailed == nExhausted, s"fetch_failed=$mFailed, expected $nExhausted")
+    assert(mRetries == retrySum, s"retry_attempts=$mRetries, expected $retrySum")
+  }
+
   test("politeness: per-round per-host batch sizes never exceed budget") {
     val (_, _, _, limits, _) = collectSite()
     val workDir = java.nio.file.Files.createTempDirectory("graft_budget").toString
