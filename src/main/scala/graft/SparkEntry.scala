@@ -1089,6 +1089,36 @@ object SparkEntry {
         .orderBy("doc_id", "rec_pos")
     }),
 
+    // ---- s15: WARC writer framing (sources.WarcWriter) — each doc row
+    // becomes a response record via responseRecord, parsed straight
+    // back by Warc.rowsOf; the probe emits the round-tripped fields
+    // plus the record's total byte count. The oracle recomputes the
+    // ENTIRE framing arithmetic (HTTP head + WARC head + trailer) from
+    // string lengths — the record id is a fixed-width 36-char UUID, so
+    // even the header length is derivable without running the writer. ----
+    "s15_warc_write" -> ((s, dir) => {
+      val mk = udf((id: Long, text: String) => {
+        val url = s"https://h${id % 4}.example/doc/$id"
+        val ts = java.sql.Timestamp.from(
+          java.time.Instant.parse("2026-01-01T00:00:00Z").plusSeconds(id * 61L))
+        val status = if (id % 7 == 3) 404L else 200L
+        val rec = graft.sources.WarcWriter.responseRecord(
+          url, ts, status, text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val rows = graft.sources.Warc.rowsOf(rec)
+        val r = rows.head
+        (r.url, r.warc_ts.toInstant.toString, r.status, r.content_length,
+          new String(r.body, java.nio.charset.StandardCharsets.UTF_8),
+          rec.length.toLong, rows.size.toLong)
+      })
+      pq(s, dir, "documents").select(col("doc_id"),
+          mk(col("doc_id"), col("text")).as("r"))
+        .select(col("doc_id"), col("r._1").as("url"),
+          col("r._2").as("warc_date"), col("r._3").as("status"),
+          col("r._4").as("content_length"), col("r._5").as("body"),
+          col("r._6").as("record_bytes"), col("r._7").as("n_records"))
+        .orderBy("doc_id")
+    }),
+
     // ---- s13: CDXJ capture-index lines (the selection plane a 100 TB
     // pipeline scans BEFORE touching WARC payloads) — constructed from
     // the documents table, parsed by the codegen'd projection. ----
@@ -2600,6 +2630,44 @@ object SparkEntry {
 
     // s13: DuckDB rebuilds the CDXJ line fields directly from doc_id /
     // text — the parse must land on exactly these values and types.
+    // s15: DuckDB rebuilds every field from the doc recipe and
+    // recomputes the framing arithmetic as pure string lengths (the
+    // record id contributes a constant 36 chars); the writer and
+    // parser never run in DuckDB.
+    "s15_warc_write" ->
+      """WITH rows AS (
+        |  SELECT doc_id,
+        |    'https://h' || CAST(doc_id % 4 AS VARCHAR) || '.example/doc/'
+        |      || CAST(doc_id AS VARCHAR) AS url,
+        |    strftime(TIMESTAMP '2026-01-01 00:00:00'
+        |      + to_seconds(CAST(doc_id * 61 AS BIGINT)), '%Y-%m-%dT%H:%M:%SZ') AS wdate,
+        |    CASE WHEN doc_id % 7 = 3 THEN 404 ELSE 200 END AS status,
+        |    text
+        |  FROM documents),
+        |calc AS (
+        |  SELECT doc_id, url, wdate, status, text,
+        |    strlen('HTTP/1.1 ' || CAST(status AS VARCHAR)
+        |      || CASE WHEN status = 404 THEN ' Not Found' ELSE ' OK' END
+        |      || chr(13) || chr(10) || 'content-type: text/html; charset=UTF-8'
+        |      || chr(13) || chr(10) || 'content-length: '
+        |      || CAST(strlen(text) AS VARCHAR)
+        |      || chr(13) || chr(10) || chr(13) || chr(10))
+        |      + strlen(text) AS payload_len
+        |  FROM rows)
+        |SELECT doc_id, url, wdate AS warc_date, CAST(status AS BIGINT) AS status,
+        |  CAST(payload_len AS BIGINT) AS content_length, text AS body,
+        |  CAST(strlen('WARC/1.0' || chr(13) || chr(10)
+        |    || 'WARC-Type: response' || chr(13) || chr(10)
+        |    || 'WARC-Target-URI: ' || url || chr(13) || chr(10)
+        |    || 'WARC-Date: ' || wdate || chr(13) || chr(10)
+        |    || 'WARC-Record-ID: <urn:uuid:' || repeat('0', 36) || '>' || chr(13) || chr(10)
+        |    || 'Content-Type: application/http; msgtype=response' || chr(13) || chr(10)
+        |    || 'Content-Length: ' || CAST(payload_len AS VARCHAR)
+        |    || chr(13) || chr(10) || chr(13) || chr(10))
+        |    + payload_len + 4 AS BIGINT) AS record_bytes,
+        |  CAST(1 AS BIGINT) AS n_records
+        |FROM calc ORDER BY doc_id""".stripMargin,
+
     "s13_cdxj_parse" ->
       """SELECT
         |  'example,h' || (doc_id % 4) || ')/doc/' || doc_id AS urlkey,

@@ -1,0 +1,127 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets.{US_ASCII, UTF_8}
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** WARC writer — the inverse of [[Warc]]'s reader and the native
+  * output format of a real crawl: results leave the engine as the same
+  * member-per-record archives Common Crawl distributes, paired with a
+  * capture index whose (offset, length) rows drive [[Warc.recordAt]]
+  * range fetches. The reference scrapes to markdown/json/xml files
+  * (core/scraper.py save paths); archiving the RAW captures is the
+  * batch-corpus step upstream of that — write once as WARC, re-extract
+  * forever — so this sink is beyond-reference but the canonical one
+  * for the corpus shape this engine crawls from.
+  *
+  * Byte-level contract (WARC/1.0, ISO 28500): record = version line,
+  * named headers, empty line, Content-Length payload bytes, CRLF CRLF
+  * trailer. Response records wrap an HTTP/1.1 response (status line,
+  * headers, empty line, body) as `application/http; msgtype=response`.
+  * Gzip layout = one complete gzip member per record, concatenated —
+  * the member boundary IS the range-fetch unit (java.util.zip writes
+  * MTIME=0, so members are deterministic).
+  *
+  * Everything here is a pure function of the row: WARC-Date truncates
+  * to whole seconds (WARC/1.0 forbids fractions) and WARC-Record-ID is
+  * a name-based UUID of (url, date) — same row, same bytes, any
+  * cluster size, any retry. */
+object WarcWriter {
+
+  private val reasons = Map(200L -> "OK", 301L -> "Moved Permanently",
+    302L -> "Found", 304L -> "Not Modified", 404L -> "Not Found",
+    410L -> "Gone", 500L -> "Internal Server Error",
+    503L -> "Service Unavailable")
+
+  /** Deterministic name-based record id: UUIDv3 over (url, date). */
+  def recordId(url: String, tsIso: String): String =
+    "<urn:uuid:" + java.util.UUID.nameUUIDFromBytes(
+      (url + "\n" + tsIso).getBytes(UTF_8)) + ">"
+
+  private def tsIsoOf(ts: java.sql.Timestamp): String =
+    ts.toInstant.truncatedTo(java.time.temporal.ChronoUnit.SECONDS).toString
+
+  /** One complete response record (uncompressed bytes, trailer
+    * included): [[Warc.parseRecords]] of the result yields exactly this
+    * record; [[Warc.httpResponse]] of its payload yields (status,
+    * headers, body) with the body byte-identical. */
+  def responseRecord(url: String, ts: java.sql.Timestamp, status: Long,
+                     body: Array[Byte],
+                     contentType: String = "text/html; charset=UTF-8"): Array[Byte] = {
+    val tsIso = tsIsoOf(ts)
+    val httpHead =
+      s"HTTP/1.1 $status ${reasons.getOrElse(status, "Status")}\r\n" +
+        s"content-type: $contentType\r\n" +
+        s"content-length: ${body.length}\r\n\r\n"
+    val headBytes = httpHead.getBytes(US_ASCII)
+    val payloadLen = headBytes.length + body.length
+    val warcHead =
+      "WARC/1.0\r\n" +
+        "WARC-Type: response\r\n" +
+        s"WARC-Target-URI: $url\r\n" +
+        s"WARC-Date: $tsIso\r\n" +
+        s"WARC-Record-ID: ${recordId(url, tsIso)}\r\n" +
+        "Content-Type: application/http; msgtype=response\r\n" +
+        s"Content-Length: $payloadLen\r\n\r\n"
+    val wh = warcHead.getBytes(UTF_8)
+    val out = new Array[Byte](wh.length + payloadLen + 4)
+    System.arraycopy(wh, 0, out, 0, wh.length)
+    System.arraycopy(headBytes, 0, out, wh.length, headBytes.length)
+    System.arraycopy(body, 0, out, wh.length + headBytes.length, body.length)
+    out(out.length - 4) = '\r'; out(out.length - 3) = '\n'
+    out(out.length - 2) = '\r'; out(out.length - 1) = '\n'
+    out
+  }
+
+  /** One gzip member holding exactly `bytes` (MTIME=0 header — the JDK
+    * writes a fixed header, so the member is deterministic). */
+  def gzipMember(bytes: Array[Byte]): Array[Byte] = {
+    val bo = new java.io.ByteArrayOutputStream(bytes.length / 2 + 64)
+    val gz = new java.util.zip.GZIPOutputStream(bo)
+    gz.write(bytes); gz.close()
+    bo.toByteArray
+  }
+
+  /** Write a pages-shaped frame (url, warc_ts, status, html:binary) as
+    * WARC files — one file per partition, one task per file (the
+    * layout WARC is distributed in; pre-`repartition` to choose the
+    * file count, `sortWithinPartitions` for reproducible archives).
+    * Returns the capture index (filename, url, warc_ts, offset,
+    * length): each (offset, length) slice is an independently
+    * parseable unit for [[Warc.recordAt]] in BOTH layouts. The index
+    * is eagerly materialized (`localCheckpoint`) so the write runs
+    * exactly once however often the returned frame is reused; local
+    * filesystem IO here — a cluster deployment swaps in the Hadoop
+    * FileSystem API at the marked seam, same task shape. */
+  def writeWarcFiles(df: DataFrame, dir: String, gzip: Boolean = false): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    new java.io.File(dir).mkdirs()
+    val ext = if (gzip) "warc.gz" else "warc"
+    df.select(col("url"), col("warc_ts"), col("status").cast("long"), col("html"))
+      .as[(String, java.sql.Timestamp, Long, Array[Byte])]
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val name = f"part-$pid%05d.$ext"
+        // seam: new Path(dir, name).getFileSystem(conf).create(...) on a cluster
+        val file = new java.io.File(dir, name)
+        val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(file))
+        var offset = 0L
+        val rows = try {
+          it.map { case (url, ts, status, body) =>
+            val rec = responseRecord(url, ts, status, body)
+            val bytes = if (gzip) gzipMember(rec) else rec
+            out.write(bytes)
+            val r = (name, url, ts, offset, bytes.length.toLong)
+            offset += bytes.length
+            r
+          }.toVector
+        } finally out.close()
+        if (rows.isEmpty) file.delete() // empty partition → no empty archive
+        rows.iterator
+      }
+      .toDF("filename", "url", "warc_ts", "offset", "length")
+      .localCheckpoint(true)
+  }
+}

@@ -222,4 +222,78 @@ class WarcCcSpec extends AnyFunSuite {
     // decode with an unknown charset name falls back to utf-8
     assert(Charset.decode("x".getBytes(UTF_8), "bogus!!name") == "x")
   }
+
+  test("warc writer: responseRecord round-trips through the parser byte-identically") {
+    import graft.sources.WarcWriter
+    val ts = java.sql.Timestamp.from(java.time.Instant.parse("2026-02-03T04:05:06Z"))
+    val body = "<html><body>héllo — ¤</body></html>".getBytes(UTF_8)
+    val rec = WarcWriter.responseRecord("https://w.example/a?x=1", ts, 200L, body)
+    val (recs, err) = Warc.parseRecords(rec)
+    assert(err.isEmpty && recs.size == 1)
+    val r = recs.head
+    assert(r.headers("warc-type") == "response")
+    assert(r.headers("warc-target-uri") == "https://w.example/a?x=1")
+    assert(r.headers("warc-date") == "2026-02-03T04:05:06Z")
+    assert(r.headers("warc-record-id") ==
+      WarcWriter.recordId("https://w.example/a?x=1", "2026-02-03T04:05:06Z"))
+    val (status, hdrs, gotBody) = Warc.httpResponse(r.payload)
+    assert(status == 200L && hdrs("content-type") == "text/html; charset=UTF-8")
+    assert(java.util.Arrays.equals(gotBody, body))
+    // non-mapped status code still frames correctly; fractional-second
+    // timestamps truncate to WARC/1.0's whole-second grammar
+    val ts2 = new java.sql.Timestamp(ts.getTime + 123L)
+    val rec2 = WarcWriter.responseRecord("https://w.example/b", ts2, 299L, Array[Byte]())
+    val (recs2, err2) = Warc.parseRecords(rec2)
+    assert(err2.isEmpty && recs2.head.headers("warc-date") == "2026-02-03T04:05:06Z")
+    assert(Warc.httpResponse(recs2.head.payload)._1 == 299L)
+    // determinism: same row → same bytes
+    assert(java.util.Arrays.equals(rec,
+      WarcWriter.responseRecord("https://w.example/a?x=1", ts, 200L, body)))
+  }
+
+  test("warc writer: file sink round-trips via readWarcFiles and recordAt, both layouts") {
+    import spark.implicits._
+    import graft.sources.WarcWriter
+    val rows = (0 until 37).map { i =>
+      (s"https://w$i.example/p$i",
+        java.sql.Timestamp.from(java.time.Instant.parse("2026-01-01T00:00:00Z")
+          .plusSeconds(i * 61L)),
+        if (i % 7 == 3) 404L else 200L,
+        s"<html><body>doc $i ${"x" * (i * 13 % 97)}</body></html>".getBytes(UTF_8))
+    }
+    val df = rows.toDF("url", "warc_ts", "status", "html")
+      .repartition(3, $"url").sortWithinPartitions("url")
+    for (gzip <- Seq(false, true)) {
+      val dir = Files.createTempDirectory(s"graft_warc_out_$gzip").toString
+      val idx = WarcWriter.writeWarcFiles(df, dir, gzip = gzip)
+      assert(idx.count() == 37L)
+      // read the whole archive back: every row survives byte-identically
+      val back = Warc.readWarcFiles(spark, s"$dir/*.${warcExt(gzip)}")
+        .select("url", "warc_ts", "status", "html")
+        .as[(String, java.sql.Timestamp, Long, Array[Byte])].collect()
+        .map { case (u, t, s0, b) => (u, t, s0, new String(b, UTF_8)) }.toSet
+      val want = rows.map { case (u, t, s0, b) => (u, t, s0, new String(b, UTF_8)) }.toSet
+      assert(back == want)
+      // range fetch: every index row addresses exactly its record
+      val files = idx.select("filename").distinct().as[String].collect()
+        .map(n => n -> java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(dir, n))).toMap
+      idx.as[(String, String, java.sql.Timestamp, Long, Long)].collect().foreach {
+        case (fn, url, _, off, len) =>
+          val got = Warc.recordAt(files(fn), off, len)
+          assert(got.isRight, s"recordAt failed for $url: $got")
+          assert(got.toOption.get.headers("warc-target-uri") == url)
+      }
+      // determinism: a second write of the same frame produces identical files
+      val dir2 = Files.createTempDirectory(s"graft_warc_out2_$gzip").toString
+      WarcWriter.writeWarcFiles(df, dir2, gzip = gzip)
+      files.keys.foreach { n =>
+        assert(java.util.Arrays.equals(files(n),
+          java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(dir2, n))),
+          s"file $n differs between identical writes")
+      }
+    }
+  }
+
+  private def warcExt(gzip: Boolean): String = if (gzip) "warc.gz" else "warc"
 }
