@@ -114,7 +114,15 @@ object Scheduler {
       // reaches this cap is a permanent fetch failure: visited and seen
       // like the reference's exhausted-retries RequestException, but
       // nothing extracted. Default mirrors scraper.py:43 max_retries=3.
-      fetchMaxRetries: Int = 3)
+      fetchMaxRetries: Int = 3,
+      // Archive each round's successfully-fetched raw payloads as
+      // member-per-record gzip WARC + a range-fetchable capture index
+      // under the round's snapshot dir (sources.WarcWriter) — the
+      // write-once-re-extract-forever step a production crawl performs
+      // upstream of extraction. Opt-in: it re-runs the budget-bounded
+      // fetch join once more per round (a second sink cannot ride the
+      // extract write's scan).
+      archiveWarc: Boolean = false)
 
   object Config {
     /** Layered config (the reference's env/YAML/JSON layering,
@@ -155,7 +163,9 @@ object Scheduler {
         honorPageDirectives = c.getOption("spark.graft.honorPageDirectives")
           .map(_.toBoolean).getOrElse(base.honorPageDirectives),
         redirectMaxHops = i("redirectMaxHops", base.redirectMaxHops),
-        fetchMaxRetries = i("fetchMaxRetries", base.fetchMaxRetries))
+        fetchMaxRetries = i("fetchMaxRetries", base.fetchMaxRetries),
+        archiveWarc = c.getOption("spark.graft.archiveWarc")
+          .map(_.toBoolean).getOrElse(base.archiveWarc))
     }
   }
 

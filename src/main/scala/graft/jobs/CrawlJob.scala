@@ -883,6 +883,31 @@ object CrawlJob {
           val nChunks = exM("n_chunks").asInstanceOf[Long]
           phase("fetch+extract")
 
+          // opt-in raw-capture archive (Config.archiveWarc): the round's
+          // successful payloads leave as member-per-record gzip WARC +
+          // a recordAt-addressable index under the snapshot dir. Rebuilt
+          // from `fetched` WITHOUT the metric Observations (a second
+          // action on the observed plan would double-fire them); the
+          // fault filter is re-applied so only payloads that actually
+          // arrived are archived. Capture attribution matches extract:
+          // requested url, the matched page row's warc_ts.
+          var nWarcCaptures = -1L
+          if (cfg.archiveWarc) {
+            val src = faultMap match {
+              case None => fetched
+              case Some(fm) => graft.frontier.FetchRetry
+                .withAttempts(fetched, fm, cfg.fetchMaxRetries)
+                .filter(col("fetch_ok"))
+            }
+            val idx = graft.sources.WarcWriter.writeWarcFiles(
+              src.select(col("url"), col("warc_ts"), lit(200L).as("status"), col("html")),
+              s"${store.root}/data/v$round/warc", gzip = true)
+            idx.write.mode("overwrite")
+              .parquet(s"${store.root}/data/v$round/warc_index")
+            nWarcCaptures = idx.count() // local: idx is checkpointed
+            phase("warc-archive")
+          }
+
           // frontier growth: outlinks → canonical keys → depth+1 (G6),
           // seen-filtered, then robots-gated AT INSERT (F7)
           val newLinks0 = extracted
@@ -1029,7 +1054,10 @@ object CrawlJob {
                   fm("n_fetch_failed").asInstanceOf[Long].toDouble,
                   "retry_attempts" ->
                     fm("n_retry_attempts").asInstanceOf[Long].toDouble)
-              } else Map.empty),
+              } else Map.empty) ++
+              (if (cfg.archiveWarc)
+                Map("warc_captures" -> nWarcCaptures.toDouble)
+              else Map.empty),
             partitionKeyCol = Some("host"),
             knownCounts = Map(
               "visited" -> (nScheduled + nDenied),

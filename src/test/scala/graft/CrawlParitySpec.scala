@@ -652,6 +652,69 @@ class CrawlParitySpec extends AnyFunSuite {
     assert(mRetries == retrySum, s"retry_attempts=$mRetries, expected $retrySum")
   }
 
+  test("warc archive: per-round captures round-trip with requested-url attribution") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_site_warc").toString
+    SyntheticWeb.generate(spark, dir, nPages, nHosts, seed = 42L, partitions = 4,
+      withRedirects = true, withFaults = true)
+    val pages = spark.read.parquet(s"$dir/pages.parquet")
+      .select("url", "html").as[(String, Array[Byte])].collect()
+      .map { case (u, h) => u -> new String(h, "UTF-8") }.toMap
+    val redirects = spark.read.parquet(s"$dir/redirects.parquet")
+      .as[(String, String)].collect().toMap
+    val workDir = java.nio.file.Files.createTempDirectory("graft_crawl_warc").toString
+    val cfg = graft.frontier.Scheduler.Config(archiveWarc = true)
+    val last = CrawlJob.run(spark, dir, workDir, cfg, maxRounds = 50, bloomThreshold = 100L)
+
+    val store = new SnapshotStore(workDir)
+    val results = (0 to last).flatMap { v =>
+      store.readTable(spark, v, "results").select("url").as[String].collect()
+    }
+    assert(results.nonEmpty)
+
+    // every extracted url has exactly one archived capture carrying the
+    // DESTINATION page's raw bytes attributed to the REQUESTED url
+    val back = graft.sources.Warc
+      .readWarcFiles(spark, s"$workDir/data/v*/warc/*.warc.gz")
+      .filter($"rec_type" === "response")
+      .select("url", "html").as[(String, Array[Byte])].collect()
+      .map { case (u, b) => u -> new String(b, "UTF-8") }
+    assert(back.length == results.size, s"${back.length} captures vs ${results.size} results")
+    assert(back.map(_._1).toSet == results.toSet)
+    def follow(u: String): String = {
+      var cur = u
+      while (redirects.contains(cur)) cur = redirects(cur)
+      cur
+    }
+    back.foreach { case (u, body) =>
+      assert(body == pages(follow(u)), s"capture $u body != destination page") }
+
+    // each round's index addresses its own archive files via recordAt
+    var nIdx = 0L
+    (0 to last).foreach { v =>
+      val idxPath = new java.io.File(s"$workDir/data/v$v/warc_index")
+      if (idxPath.exists()) {
+        val idx = spark.read.parquet(idxPath.toString)
+          .select("filename", "url", "offset", "length")
+          .as[(String, String, Long, Long)].collect()
+        val files = idx.map(_._1).distinct
+          .map(n => n -> java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(s"$workDir/data/v$v/warc", n))).toMap
+        idx.foreach { case (fn, url, off, len) =>
+          val got = graft.sources.Warc.recordAt(files(fn), off, len)
+          assert(got.isRight && got.toOption.get.headers("warc-target-uri") == url,
+            s"recordAt($fn, $off, $len) for $url: $got")
+        }
+        nIdx += idx.length
+      }
+    }
+    assert(nIdx == results.size.toLong)
+    // manifest accounting: warc_captures = per-round extracted rows
+    val mCaps = (0 to last)
+      .map(v => store.manifest(v).metrics.getOrElse("warc_captures", 0.0)).sum.toLong
+    assert(mCaps == results.size.toLong, s"warc_captures=$mCaps, expected ${results.size}")
+  }
+
   test("politeness: per-round per-host batch sizes never exceed budget") {
     val (_, _, _, limits, _) = collectSite()
     val workDir = java.nio.file.Files.createTempDirectory("graft_budget").toString
