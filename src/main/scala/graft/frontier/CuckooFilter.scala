@@ -1,0 +1,242 @@
+package graft.frontier
+
+import org.apache.spark.sql.DataFrame
+
+/** Partial-key cuckoo filter over 64-bit keys (Fan et al., "Cuckoo
+  * Filter: Practically Better Than Bloom", CoNEXT'14) — the OTHER
+  * approximate-membership sketch the URL-seen set can ride
+  * (`Scheduler.Config.seenSketch = "cuckoo"`). What it buys over the
+  * Bloom sketch is DELETION: a TTL'd seen window can retire an expired
+  * round by deleting that round's url_hash delta — O(round delta) —
+  * where the Bloom path must periodically rebuild from the whole
+  * window — O(window). Same correctness contract as the Bloom in
+  * [[Frontier.notSeen]]: NO false negatives ever (a false negative
+  * would classify a seen url definitely-new, skip the exact anti-join,
+  * and re-crawl it — trace divergence); false positives only cost an
+  * exact-join probe.
+  *
+  * Design notes, all serving that contract:
+  *   - MULTISET semantics: every insert stores an entry (duplicate
+  *     (bucket, fingerprint) pairs occupy separate slots), so deleting
+  *     one key removes exactly one entry and any colliding key that
+  *     was inserted separately remains covered — the classic "deletion
+  *     is only safe for inserted keys" caveat is discharged by never
+  *     deduplicating on insert (the crawl inserts each (round, url)
+  *     delta row once and deletes it once).
+  *   - Overflow degrades CONSERVATIVELY: an insert that exhausts the
+  *     eviction walk parks its fingerprint in a bounded stash; a full
+  *     stash marks the filter saturated, after which `mightContain`
+  *     answers true for everything (correct, just prefilter-useless)
+  *     and the crawl's resize-rebuild takes over.
+  *   - Deterministic end to end: splitmix64 fingerprint/index hashing,
+  *     LCG-driven victim selection seeded at construction — same
+  *     inserts in the same order, same filter; no wall-clock, no
+  *     global Random.
+  *
+  * Sizing: 4-slot buckets, 16-bit fingerprints, power-of-two bucket
+  * count at ≤~0.95 load → ~2.4 bytes/key at high occupancy (vs ~1.1
+  * bytes/key for the 3% Bloom) — deletion costs ~2× space. At the
+  * 10^10 design point the same hash-range sharding as
+  * [[ShardedBloom]] applies; this class is the single-sketch cell. */
+final class CuckooFilter private (
+    val numBuckets: Int, // power of two
+    private val slots: Array[Short], // numBuckets * 4, 0 = empty
+    private var stash: List[(Int, Short)],
+    private var lcg: Long,
+    private var saturatedFlag: Boolean) extends Serializable {
+
+  import CuckooFilter._
+
+  def this(numBuckets: Int) =
+    this(numBuckets, new Array[Short](numBuckets * 4), Nil, 0x5DEECE66DL, false)
+
+  def saturated: Boolean = saturatedFlag
+  def stashSize: Int = stash.size
+
+  private def altIndex(i: Int, fp: Short): Int =
+    (i ^ (mix(fp.toLong & 0xffffL) .toInt)) & (numBuckets - 1)
+
+  private def tryPut(i: Int, fp: Short): Boolean = {
+    val base = i * 4
+    var s = 0
+    while (s < 4) {
+      if (slots(base + s) == 0) { slots(base + s) = fp; return true }
+      s += 1
+    }
+    false
+  }
+
+  /** Insert; returns false only when the filter saturated (the key is
+    * still covered — saturation makes membership answer true). */
+  def insert(key: Long): Boolean = {
+    if (saturatedFlag) return false
+    val fp = fingerprint(key)
+    val i1 = index(key, numBuckets)
+    if (tryPut(i1, fp)) return true
+    val i2 = altIndex(i1, fp)
+    if (tryPut(i2, fp)) return true
+    // eviction walk: displace a deterministic victim slot up to maxKicks
+    var curI = if (nextBit()) i1 else i2
+    var curFp = fp
+    var kicks = 0
+    while (kicks < MaxKicks) {
+      val slot = nextSlot()
+      val base = curI * 4
+      val victim = slots(base + slot)
+      slots(base + slot) = curFp
+      curFp = victim
+      curI = altIndex(curI, curFp)
+      if (tryPut(curI, curFp)) return true
+      kicks += 1
+    }
+    stash = (curI, curFp) :: stash
+    if (stash.size > StashCap) { saturatedFlag = true; stash = Nil }
+    true
+  }
+
+  /** Delete ONE entry for the key; returns whether an entry was found.
+    * On a saturated filter membership is degenerate — nothing is
+    * deleted (the caller falls back to rebuild). */
+  def delete(key: Long): Boolean = {
+    if (saturatedFlag) return false
+    val fp = fingerprint(key)
+    val i1 = index(key, numBuckets)
+    val i2 = altIndex(i1, fp)
+    var i = 0
+    for (b <- Seq(i1, i2)) {
+      val base = b * 4
+      i = 0
+      while (i < 4) {
+        if (slots(base + i) == fp) { slots(base + i) = 0; return true }
+        i += 1
+      }
+    }
+    stash.indexWhere { case (bi, f) => (bi == i1 || bi == i2) && f == fp } match {
+      case -1 => false
+      case k =>
+        stash = stash.patch(k, Nil, 1)
+        true
+    }
+  }
+
+  def mightContain(key: Long): Boolean = {
+    if (saturatedFlag) return true
+    val fp = fingerprint(key)
+    val i1 = index(key, numBuckets)
+    val i2 = altIndex(i1, fp)
+    var i = 0
+    for (b <- Seq(i1, i2)) {
+      val base = b * 4
+      i = 0
+      while (i < 4) {
+        if (slots(base + i) == fp) return true
+        i += 1
+      }
+    }
+    stash.exists { case (bi, f) => (bi == i1 || bi == i2) && f == fp }
+  }
+
+  /** Fold `other`'s entries into this filter (same numBuckets
+    * required): each stored fingerprint re-inserts by its (bucket,
+    * fingerprint) identity — either of its two homes is derivable from
+    * either index, so the merged filter covers the union (multiset:
+    * entry counts add). */
+  def mergeInPlace(other: CuckooFilter): this.type = {
+    require(other.numBuckets == numBuckets,
+      s"cannot merge cuckoo filters of different geometry ($numBuckets vs ${other.numBuckets})")
+    if (other.saturatedFlag) { saturatedFlag = true; stash = Nil; return this }
+    var b = 0
+    while (b < numBuckets && !saturatedFlag) {
+      var s = 0
+      while (s < 4) {
+        val fp = other.slots(b * 4 + s)
+        if (fp != 0) insertFp(b, fp)
+        s += 1
+      }
+      b += 1
+    }
+    other.stash.foreach { case (bi, fp) => if (!saturatedFlag) insertFp(bi, fp) }
+    this
+  }
+
+  private def insertFp(i: Int, fp: Short): Unit = {
+    if (tryPut(i, fp)) return
+    val i2 = altIndex(i, fp)
+    if (tryPut(i2, fp)) return
+    var curI = i2
+    var curFp = fp
+    var kicks = 0
+    while (kicks < MaxKicks) {
+      val slot = nextSlot()
+      val base = curI * 4
+      val victim = slots(base + slot)
+      slots(base + slot) = curFp
+      curFp = victim
+      curI = altIndex(curI, curFp)
+      if (tryPut(curI, curFp)) return
+      kicks += 1
+    }
+    stash = (curI, curFp) :: stash
+    if (stash.size > StashCap) { saturatedFlag = true; stash = Nil }
+  }
+
+  private def nextBit(): Boolean = { lcg = lcg * 6364136223846793005L + 1442695040888963407L; (lcg >>> 63) != 0L }
+  private def nextSlot(): Int = { lcg = lcg * 6364136223846793005L + 1442695040888963407L; ((lcg >>> 33) & 3L).toInt }
+
+  /** Independent copy (cloned slot array) — the crawl mutates a copy
+    * for TTL deletes and republishes, so in-flight plans holding a
+    * broadcast of the previous sketch never see shared mutation (the
+    * same no-shared-mutation discipline as the Bloom delta-merge). */
+  def copySketch(): CuckooFilter =
+    new CuckooFilter(numBuckets, slots.clone(), stash, lcg, saturatedFlag)
+}
+
+object CuckooFilter {
+  private val MaxKicks = 500
+  private val StashCap = 64
+
+  /** splitmix64 finalizer — the same deterministic mixing discipline as
+    * the sampling gates; no seeds, no wall-clock. */
+  private def mix(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  private def fingerprint(key: Long): Short = {
+    val h = mix(key ^ 0xC0FFEE1234567890L)
+    val fp = (h & 0xffffL).toShort
+    if (fp == 0) 1.toShort else fp
+  }
+
+  private def index(key: Long, m: Int): Int = (mix(key).toInt) & (m - 1)
+
+  /** Geometry for an expected multiset size: 4-slot buckets at ≤0.84
+    * nominal load (eviction walks stay short), power-of-two buckets. */
+  def bucketsFor(expectedItems: Long): Int = {
+    val wanted = math.max(16L, math.ceil(expectedItems / (4 * 0.84)).toLong)
+    var m = 16
+    while (m < wanted && m < (1 << 29)) m <<= 1
+    m
+  }
+
+  def apply(expectedItems: Long): CuckooFilter = new CuckooFilter(bucketsFor(expectedItems))
+
+  /** Build over a url_hash column: per-partition filters of the SAME
+    * geometry (mergeable by fingerprint re-insert), tree-merged to the
+    * driver — the cuckoo twin of [[Frontier.buildBloom]]. RDD
+    * treeAggregate because the accumulator is this custom sketch. */
+  def build(df: DataFrame, expectedItems: Long): CuckooFilter =
+    buildWithBuckets(df, bucketsFor(expectedItems))
+
+  /** Build at an EXPLICIT geometry — the delta-merge path must match
+    * the main sketch's bucket count to merge. */
+  def buildWithBuckets(df: DataFrame, m: Int): CuckooFilter = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select("url_hash").as[Long].rdd.treeAggregate(new CuckooFilter(m))(
+      (f, k) => { f.insert(k); f },
+      (a, b) => a.mergeInPlace(b))
+  }
+}

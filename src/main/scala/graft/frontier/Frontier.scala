@@ -65,6 +65,26 @@ object Frontier {
     }
   }
 
+  /** [[notSeen]] with the cuckoo sketch as the prefilter — same split
+    * (definitely-new bypasses the exact anti-join; maybe-seen pays it),
+    * same no-false-negative contract, but the sketch supports the TTL
+    * path's per-round DELETES (see [[CuckooFilter]]). */
+  def notSeenCuckoo(frontier: DataFrame, seen: DataFrame,
+                    cuckoo: Option[CuckooFilter]): DataFrame = {
+    cuckoo match {
+      case Some(cf) =>
+        val spark = frontier.sparkSession
+        val bcast = spark.sparkContext.broadcast(cf)
+        val mightContain = udf((h: Long) => bcast.value.mightContain(h))
+        val definitelyNew = frontier.filter(!mightContain(col("url_hash")))
+        val maybeSeen = frontier.filter(mightContain(col("url_hash")))
+        definitelyNew.unionByName(
+          maybeSeen.join(seen.select("url_hash"), Seq("url_hash"), "left_anti"))
+      case None =>
+        frontier.join(seen.select("url_hash"), Seq("url_hash"), "left_anti")
+    }
+  }
+
   /** Build the Bloom sketch over the seen set. Sized from the actual
     * count; at the 10^10 design point expectedNumItems is the frontier
     * cardinality estimate and fpp trades broadcast bytes vs wasted exact

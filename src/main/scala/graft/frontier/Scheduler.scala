@@ -122,7 +122,17 @@ object Scheduler {
       // upstream of extraction. Opt-in: it re-runs the budget-bounded
       // fetch join once more per round (a second sink cannot ride the
       // extract write's scan).
-      archiveWarc: Boolean = false)
+      archiveWarc: Boolean = false,
+      // Approximate-membership sketch fronting the exact seen anti-join
+      // (single-sketch path only; bloomShards overrides both): "bloom"
+      // (Spark's sketch — add-only, so a TTL'd window accumulates stale
+      // positives until a growth-triggered rebuild) or "cuckoo"
+      // (frontier.CuckooFilter — supports DELETE, so expired rounds
+      // retire in O(round delta) and the sketch stays tight through an
+      // arbitrarily long TTL crawl). Both sit in front of the same
+      // exact join: the choice affects only prefilter efficiency,
+      // never the trace.
+      seenSketch: String = "bloom")
 
   object Config {
     /** Layered config (the reference's env/YAML/JSON layering,
@@ -165,7 +175,9 @@ object Scheduler {
         redirectMaxHops = i("redirectMaxHops", base.redirectMaxHops),
         fetchMaxRetries = i("fetchMaxRetries", base.fetchMaxRetries),
         archiveWarc = c.getOption("spark.graft.archiveWarc")
-          .map(_.toBoolean).getOrElse(base.archiveWarc))
+          .map(_.toBoolean).getOrElse(base.archiveWarc),
+        seenSketch = c.getOption("spark.graft.seenSketch")
+          .getOrElse(base.seenSketch))
     }
   }
 

@@ -317,6 +317,8 @@ object CrawlJob {
           bloomThreshold: Long = 100000L): Int = {
     require(cfg.linkPriorityMode.forall(Set("indegree", "pagerank", "urlshape")),
       s"linkPriorityMode must be indegree|pagerank|urlshape, got ${cfg.linkPriorityMode}")
+    require(Set("bloom", "cuckoo")(cfg.seenSketch),
+      s"seenSketch must be bloom|cuckoo, got ${cfg.seenSketch}")
     require(cfg.linkPriorityEvery > 0,
       s"linkPriorityEvery must be positive, got ${cfg.linkPriorityEvery}")
     require(cfg.recrawlMinRounds.isDefined == cfg.recrawlMaxRounds.isDefined,
@@ -525,11 +527,45 @@ object CrawlJob {
       ShardedBloom.clear(sh.dir)
       if (seenCount > 0) ShardedBloom.add(seen, sh)
     }
+    // "cuckoo" swaps the single-sketch prefilter for a deletable one
+    // (frontier.CuckooFilter): trace-identical by construction (both
+    // sketches front the SAME exact anti-join), but under a seen TTL
+    // the expired rounds' deltas are DELETED from the sketch per round
+    // instead of accumulating as stale positives until a rebuild
+    val cuckooMode = shardCfg.isEmpty && cfg.seenSketch == "cuckoo"
     var bloom: Option[BloomFilter] =
-      if (shardCfg.isEmpty && seenCount > bloomThreshold)
+      if (shardCfg.isEmpty && !cuckooMode && seenCount > bloomThreshold)
         Some(Frontier.buildBloom(seen, bloomCap)) else None
+    var cuckoo: Option[graft.frontier.CuckooFilter] =
+      if (cuckooMode && seenCount > bloomThreshold)
+        Some(graft.frontier.CuckooFilter.build(seen, bloomCap)) else None
+    // rounds whose deltas are already absent from the cuckoo sketch
+    // (deleted, or excluded by a rebuild from the windowed seen)
+    var cuckooDeletedThrough =
+      cfg.seenTtlRounds.map(ttl => round - ttl - 1).getOrElse(-1)
+    // expiry accounting (manifest metrics when cuckooMode): cumulative
+    // deleted entries + fallback rebuild count — the observable proof
+    // that the delete path, not its rebuild safety net, carried expiry
+    var cuckooExpiredDeletes = 0L
+    var cuckooExpiryRebuilds = 0L
     def bloomAdd(delta: DataFrame): Unit = shardCfg match {
       case Some(sh) => ShardedBloom.add(delta, sh)
+      case None if cuckooMode =>
+        if (seenCount > bloomThreshold) {
+          if (cuckoo.isEmpty || seenCount > bloomCap / 2) {
+            bloomCap = math.max(seenCount * 4, bloomCap)
+            cuckoo = Some(graft.frontier.CuckooFilter.build(seen, bloomCap))
+            cfg.seenTtlRounds.foreach(ttl => cuckooDeletedThrough = round - ttl - 1)
+          } else {
+            // same no-shared-mutation discipline as the bloom branch:
+            // fold the published sketch INTO the fresh delta sketch
+            // (mergeInPlace only READS its argument) and republish
+            val merged = graft.frontier.CuckooFilter
+              .buildWithBuckets(delta, cuckoo.get.numBuckets)
+            merged.mergeInPlace(cuckoo.get)
+            cuckoo = Some(merged)
+          }
+        }
       case None if seenCount > bloomThreshold =>
         if (bloom.isEmpty || seenCount > bloomCap / 2) {
           bloomCap = math.max(seenCount * 4, bloomCap)
@@ -549,6 +585,7 @@ object CrawlJob {
     }
     def notSeenDf(df: DataFrame, seenDf: DataFrame): DataFrame = shardCfg match {
       case Some(sh) => ShardedBloom.notSeen(df, seenDf, sh)
+      case None if cuckooMode => Frontier.notSeenCuckoo(df, seenDf, cuckoo)
       case None => Frontier.notSeen(df, seenDf, bloom)
     }
 
@@ -572,6 +609,46 @@ object CrawlJob {
       if (cfg.seenTtlRounds.isDefined || (adaptive && dueFrontierDf != null)) {
         seen = seenWithDue(round)
         seenCount = activeSeenMeta(round).map(_._3).sum
+        // cuckoo expiry: rounds that left the TTL window retire by
+        // DELETING their deltas from a COPY of the sketch (republish —
+        // in-flight broadcasts of the old sketch never see mutation).
+        // O(expired delta + slot-array memcpy) per shift vs the bloom
+        // path's stale positives. A missing delta file (snapshot expire
+        // already dropped it), a not-found delete (bookkeeping drift),
+        // or a saturated sketch falls back to a full rebuild from the
+        // windowed seen — the self-healing path; either way no false
+        // negative can be introduced (deletes only ever remove entries
+        // whose round is OUTSIDE the exact-join window).
+        if (cuckooMode && cfg.seenTtlRounds.isDefined && cuckoo.isDefined) {
+          val ttl = cfg.seenTtlRounds.get
+          val expiring = seenMeta.filter { case (v, _, _) =>
+            v > cuckooDeletedThrough && round - v > ttl }
+          if (expiring.nonEmpty) {
+            val cf = cuckoo.get.copySketch()
+            var ok = !cf.saturated
+            var nDeleted = 0L
+            expiring.foreach { case (_, path, _) =>
+              if (ok) {
+                if (!new java.io.File(path).exists()) ok = false
+                else {
+                  val it = spark.read.parquet(path).select("url_hash")
+                    .as[Long](org.apache.spark.sql.Encoders.scalaLong).toLocalIterator()
+                  while (ok && it.hasNext) {
+                    ok = cf.delete(it.next())
+                    if (ok) nDeleted += 1
+                  }
+                }
+              }
+            }
+            if (ok) { cuckoo = Some(cf); cuckooExpiredDeletes += nDeleted }
+            else {
+              bloomCap = math.max(seenCount * 4, bloomCap)
+              cuckoo = Some(graft.frontier.CuckooFilter.build(seen, bloomCap))
+              cuckooExpiryRebuilds += 1L
+            }
+            cuckooDeletedThrough = math.max(cuckooDeletedThrough, round - ttl - 1)
+          }
+        }
       }
 
       // ---- epoch boundary: one-shot W2 batch assignment ----
@@ -1057,6 +1134,10 @@ object CrawlJob {
               } else Map.empty) ++
               (if (cfg.archiveWarc)
                 Map("warc_captures" -> nWarcCaptures.toDouble)
+              else Map.empty) ++
+              (if (cuckooMode)
+                Map("cuckoo_expired_deletes" -> cuckooExpiredDeletes.toDouble,
+                  "cuckoo_expiry_rebuilds" -> cuckooExpiryRebuilds.toDouble)
               else Map.empty),
             partitionKeyCol = Some("host"),
             knownCounts = Map(

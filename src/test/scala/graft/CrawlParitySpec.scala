@@ -330,6 +330,46 @@ class CrawlParitySpec extends AnyFunSuite {
     assert(sparkSeen(workDir, last) == ref.seen)
   }
 
+  test("cuckoo seen sketch: TTL crawl parity, sketch engaged with per-round expiry deletes") {
+    val (pages, robots, sitemaps, limits, seeds) = collectSite()
+    val ttl = 3
+    val rounds = 14
+    val ref = RefCrawl.run(pages, robots, sitemaps, limits, seeds,
+      maxRounds = rounds, seenTtlRounds = Some(ttl))
+    assert(ref.trace.groupBy(_.url).values.count(_.size > 1) > 0)
+
+    // bloomThreshold 10 forces the sketch path immediately, so BOTH the
+    // delta-merge publish and the TTL delete-and-republish run; the
+    // sketch is a prefilter over the same exact join, so the trace must
+    // be IDENTICAL to the bloom path's (and to the reference)
+    val workDir = java.nio.file.Files.createTempDirectory("graft_cuckoo").toString
+    val cfg = graft.frontier.Scheduler.Config(seenTtlRounds = Some(ttl),
+      seenSketch = "cuckoo")
+    val last = CrawlJob.run(spark, siteDir, workDir, cfg, maxRounds = rounds,
+      bloomThreshold = 10L)
+    val got = sparkTrace(workDir, last)
+    val want = ref.trace.map(t => (t.round, t.host, t.rank, t.url)).sortBy(t => (t._1, t._2, t._3))
+    assert(got.size == want.size, s"trace size: spark=${got.size} ref=${want.size}")
+    got.zip(want).foreach { case (g, w) => assert(g == w, s"trace differs: spark=$g ref=$w") }
+    assert(sparkSeen(workDir, last) == ref.seen)
+
+    // the DELETE path carried expiry — not its rebuild safety net
+    val store = new SnapshotStore(workDir)
+    val finalMetrics = store.manifest(last).metrics
+    assert(finalMetrics.getOrElse("cuckoo_expired_deletes", 0.0) > 0.0,
+      s"no expiry deletes recorded: $finalMetrics")
+    assert(finalMetrics.getOrElse("cuckoo_expiry_rebuilds", -1.0) == 0.0,
+      s"expiry fell back to rebuild: $finalMetrics")
+
+    // bad sketch name rejected up front
+    val err = intercept[IllegalArgumentException] {
+      CrawlJob.run(spark, siteDir,
+        java.nio.file.Files.createTempDirectory("graft_cuckoo_bad").toString,
+        graft.frontier.Scheduler.Config(seenSketch = "xor"), maxRounds = 1)
+    }
+    assert(err.getMessage.contains("seenSketch"))
+  }
+
   test("adaptive recrawl: due urls re-enter with backoff, parity with reference") {
     val (pages, robots, sitemaps, limits, seeds) = collectSite()
     val rounds = 7 // bounded: adaptive crawls re-fetch forever on purpose

@@ -1,0 +1,89 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.frontier.CuckooFilter
+
+/** The cuckoo seen-sketch's contract: NO false negatives ever (the
+  * crawl-correctness invariant), multiset delete safety, conservative
+  * saturation, deterministic merge — plus the Spark build path. */
+class CuckooFilterSpec extends AnyFunSuite {
+
+  private def keys(n: Int, seed: Long): Array[Long] = {
+    val r = new scala.util.Random(seed)
+    Array.fill(n)(r.nextLong())
+  }
+
+  test("no false negatives over 100k keys; fp rate on a disjoint set is small") {
+    val ins = keys(100000, 1L)
+    val cf = CuckooFilter(ins.length.toLong)
+    ins.foreach(cf.insert)
+    assert(!cf.saturated)
+    assert(ins.forall(cf.mightContain), "false negative on an inserted key")
+    val probe = keys(100000, 2L).filterNot(ins.toSet)
+    val fp = probe.count(cf.mightContain).toDouble / probe.length
+    assert(fp < 0.01, s"false-positive rate $fp — 16-bit fingerprints should sit well under 1%")
+  }
+
+  test("delete removes exactly one entry; colliding separate inserts stay covered") {
+    val cf = CuckooFilter(1000L)
+    val a = 42L
+    cf.insert(a); cf.insert(a) // multiset: two entries
+    assert(cf.delete(a) && cf.mightContain(a), "second entry must survive the first delete")
+    assert(cf.delete(a) && !cf.mightContain(a))
+    assert(!cf.delete(a), "nothing left to delete")
+    // a full TTL cycle: insert window, delete expired rounds, membership
+    // tracks the live window with zero false negatives
+    val rounds = (0 until 5).map(r => keys(2000, 100L + r))
+    val big = CuckooFilter(10000L)
+    rounds.foreach(_.foreach(big.insert))
+    rounds.take(3).foreach(_.foreach(k => assert(big.delete(k))))
+    rounds.drop(3).foreach(_.foreach(k =>
+      assert(big.mightContain(k), "live round lost after expiring older rounds")))
+  }
+
+  test("saturation degrades to answer-true-for-everything, never false negatives") {
+    val cf = CuckooFilter(16L) // 32 buckets min floor → saturate with far more keys
+    val many = keys(100000, 3L)
+    many.foreach(cf.insert)
+    assert(cf.saturated)
+    assert(many.forall(cf.mightContain))
+    assert(cf.mightContain(123456789L), "saturated filter must answer true")
+    assert(!cf.delete(many(0)), "saturated filter refuses deletes (caller rebuilds)")
+  }
+
+  test("merge covers the union; same-geometry requirement enforced") {
+    val a = CuckooFilter(4000L)
+    val b = CuckooFilter(4000L)
+    val ka = keys(2000, 4L); val kb = keys(2000, 5L)
+    ka.foreach(a.insert); kb.foreach(b.insert)
+    a.mergeInPlace(b)
+    assert((ka ++ kb).forall(a.mightContain))
+    val c = CuckooFilter(100000L)
+    assertThrows[IllegalArgumentException](a.mergeInPlace(c))
+  }
+
+  test("serialization round-trip preserves answers") {
+    val cf = CuckooFilter(5000L)
+    val ks = keys(4000, 6L)
+    ks.foreach(cf.insert)
+    val bo = new java.io.ByteArrayOutputStream()
+    val oo = new java.io.ObjectOutputStream(bo); oo.writeObject(cf); oo.close()
+    val back = new java.io.ObjectInputStream(
+      new java.io.ByteArrayInputStream(bo.toByteArray)).readObject().asInstanceOf[CuckooFilter]
+    assert(ks.forall(back.mightContain))
+  }
+
+  test("spark build matches sequential insert answers") {
+    val spark = org.apache.spark.sql.SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val ks = keys(50000, 7L)
+    val df = ks.toSeq.toDF("url_hash").repartition(8)
+    val cf = CuckooFilter.build(df, ks.length.toLong)
+    assert(!cf.saturated)
+    assert(ks.forall(cf.mightContain), "false negative after distributed build+merge")
+  }
+}
