@@ -368,6 +368,22 @@ class PlanSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
 
+  test("u3/fetch-retry: fault table joins by broadcast, classification stays codegen'd") {
+    val p = planOf("u3_fetch_retry", execute = true)
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(!p.contains("SortMergeJoin"),
+      "fault join degraded to SMJ — the batch side would shuffle every round")
+    assert(p.contains("*("), s"classification lost codegen:\n${p.take(600)}")
+  }
+
+  test("s15/warc-write: framing is one projection over the scan — no join, no exchange") {
+    val p = planOf("s15_warc_write")
+    assert(!p.contains("Join"), s"warc framing grew a join:\n${p.take(600)}")
+    // sort for the probe's orderBy is fine; no shuffle before the project
+    assert(!p.matches("(?s).*Exchange.*Exchange.*"),
+      s"warc framing grew extra exchanges:\n${p.take(900)}")
+  }
+
   test("whole-stage codegen present on the relational core") {
     Seq("q1_agg", "w1_priority_topk", "f3_priority_filter").foreach { q =>
       val p = planOf(q, execute = true)
