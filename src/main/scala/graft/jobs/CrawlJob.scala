@@ -1255,7 +1255,12 @@ object CrawlJob {
     println(f"warmup complete: sec=$warmSec%.1f (excluded from crawl timing)")
     // layered config: defaults ← spark.graft.* conf (spark-submit --conf)
     val t0 = System.nanoTime()
-    val last = run(spark, siteDir, workDir, Scheduler.Config.fromSpark(spark))
+    // sketch engagement point (run() default 100k suits the bench
+    // corpus; a TTL/cuckoo CLI run on a small corpus lowers it)
+    val bloomThreshold = spark.conf.getOption("spark.graft.bloomThreshold")
+      .map(_.toLong).getOrElse(100000L)
+    val last = run(spark, siteDir, workDir, Scheduler.Config.fromSpark(spark),
+      bloomThreshold = bloomThreshold)
     val crawlSec = (System.nanoTime() - t0) / 1e9
     val store = new SnapshotStore(workDir)
     val seenTotal = (0 to last).map(v => store.manifest(v).tables("seen_delta").rows).sum
