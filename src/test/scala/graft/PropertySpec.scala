@@ -159,4 +159,84 @@ class PropertySpec extends AnyFunSuite {
       assert(a == b)
     }
   }
+
+  private lazy val spark = {
+    val s = org.apache.spark.sql.SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  test("redirect walk matches a sequential walker over random maps (incl. loops/self/deep chains)") {
+    import spark.implicits._
+    val universe = (0 until 40).map(i => s"https://p.example/u$i")
+    val mapGen: Gen[Map[String, String]] = Gen.listOfN(40,
+      Gen.option(Gen.choose(0, 39))).map { picks =>
+      universe.zip(picks).collect { case (src, Some(t)) => src -> universe(t) }.toMap
+    }
+    forAll(Gen.zip(mapGen, Gen.choose(1, 6)), n = 10) { case (rmap, maxHops) =>
+      // sequential twin of resolveMap's conventions: a cycle-closing
+      // hop is COUNTED and reported at the repeated node (loop); only a
+      // chain still redirecting after maxHops full steps is too_many
+      def walk(u: String): (String, Int, String) = { // (cur, hops, kind)
+        var cur = u; var hops = 0
+        val path = scala.collection.mutable.Set(u)
+        while (rmap.contains(cur) && hops < maxHops) {
+          val nxt = rmap(cur)
+          if (path.contains(nxt)) return (nxt, hops + 1, "loop")
+          path += nxt; cur = nxt; hops += 1
+        }
+        (cur, hops, if (rmap.contains(cur)) "too_many" else "terminal")
+      }
+      val urls = universe.toDF("url")
+      val rdf = rmap.toSeq.toDF("src", "dst")
+      val got = graft.url.Redirects.resolveMap(urls, rdf, maxHops)
+        .as[(String, String, Int, String)].collect()
+        .map { case (s0, c, h, k) => s0 -> ((c, h, k)) }.toMap
+      universe.foreach { u =>
+        assert(got(u) == walk(u), s"url $u maxHops=$maxHops: spark=${got(u)} seq=${walk(u)}")
+      }
+    }
+  }
+
+  test("fetch-retry classification matches the scalar rule over random fault tables") {
+    import spark.implicits._
+    val faultsGen = Gen.listOfN(30, Gen.option(Gen.choose(0, 6))).map { fs =>
+      fs.zipWithIndex.collect { case (Some(n), i) => (s"https://f.example/u$i", n) }
+    }
+    forAll(Gen.zip(faultsGen, Gen.choose(1, 5)), n = 10) { case (faults, maxRetries) =>
+      val batch = (0 until 30).map(i => s"https://f.example/u$i").toDF("url")
+      val fdf = faults.toDF("url", "fail_times")
+      val got = graft.frontier.FetchRetry.withAttempts(batch, fdf, maxRetries)
+        .select("url", "fetch_ok", "fetch_attempts")
+        .as[(String, Boolean, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      val fmap = faults.toMap
+      (0 until 30).foreach { i =>
+        val u = s"https://f.example/u$i"
+        val fx = fmap.getOrElse(u, 0)
+        val want = (fx < maxRetries, math.min(fx + 1, maxRetries))
+        assert(got(u) == want, s"$u fx=$fx maxRetries=$maxRetries: got ${got(u)}, want $want")
+      }
+    }
+  }
+
+  test("cuckoo: random interleaved insert/delete sequences never produce a false negative") {
+    forAll(Gen.choose(1L, Long.MaxValue), n = 30) { seed =>
+      val r = new scala.util.Random(seed)
+      val cf = graft.frontier.CuckooFilter(4000L)
+      val live = scala.collection.mutable.ArrayBuffer.empty[Long]
+      (0 until 2000).foreach { _ =>
+        if (live.nonEmpty && r.nextInt(3) == 0) {
+          val k = live.remove(r.nextInt(live.size))
+          assert(cf.delete(k), s"delete of a live key failed (seed=$seed)")
+        } else {
+          val k = r.nextLong()
+          cf.insert(k); live += k
+        }
+      }
+      assert(!cf.saturated)
+      live.foreach(k => assert(cf.mightContain(k), s"false negative (seed=$seed)"))
+    }
+  }
 }
