@@ -11,13 +11,28 @@ import graft.frontier.Scheduler
   * sinks — and the upper bound the crawl loop is measured against.
   *
   * Usage: runMain graft.jobs.ExtractJob <siteDir> <outDir> [cpus]
+  *
+  * `siteDir` is either a synthetic-site dir (reads `pages.parquet`) or
+  * `warc:<glob>` — raw WARC archives (incl. the crawl's own
+  * `Config.archiveWarc` output) read via [[graft.sources.Warc
+  * .readWarcFiles]] and re-extracted: the write-once-re-extract-forever
+  * loop closed at the CLI. Only 200-status response records with a
+  * payload extract; revisit/request/error rows fall away.
   */
 object ExtractJob {
 
   def run(spark: SparkSession, siteDir: String, outDir: String,
           cfg: Scheduler.Config = Scheduler.Config()): (Long, Long) = {
     import spark.implicits._
-    val pages = spark.read.parquet(s"$siteDir/pages.parquet")
+    val source =
+      if (siteDir.startsWith("warc:"))
+        graft.sources.Warc.readWarcFiles(spark, siteDir.stripPrefix("warc:"))
+          .filter(col("rec_type") === "response" && col("status") === 200 &&
+            col("html").isNotNull)
+          .select(col("url"), col("html"), col("warc_ts"))
+      else spark.read.parquet(s"$siteDir/pages.parquet")
+        .select(col("url"), col("html"), col("warc_ts"))
+    val pages = source
       .select(col("url"), xxhash64(col("url")).as("url_hash"),
         graft.frontier.Frontier.hostUdf(col("url")).as("host"),
         lit(0).as("depth"), col("html"), col("warc_ts"))

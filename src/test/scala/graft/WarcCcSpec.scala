@@ -296,4 +296,33 @@ class WarcCcSpec extends AnyFunSuite {
   }
 
   private def warcExt(gzip: Boolean): String = if (gzip) "warc.gz" else "warc"
+
+  test("warc extract: ExtractJob re-extracts an archive byte-identically to the source html") {
+    import spark.implicits._
+    import graft.sources.WarcWriter
+    val rows = (0 until 9).map { i =>
+      val html = s"<html><head><title>T$i</title></head><body><h1>H$i</h1>" +
+        s"<p>para $i</p><a href=\"/l$i\">link</a></body></html>"
+      (s"https://wx$i.example/p$i",
+        java.sql.Timestamp.from(java.time.Instant.parse("2026-03-01T00:00:00Z")
+          .plusSeconds(i * 3600L)),
+        if (i == 4) 404L else 200L, // the 404 capture must NOT extract
+        html.getBytes(UTF_8))
+    }
+    val dir = Files.createTempDirectory("graft_warc_ex").toString
+    WarcWriter.writeWarcFiles(
+      rows.toDF("url", "warc_ts", "status", "html").repartition(2, $"url"),
+      dir, gzip = true)
+    val out = Files.createTempDirectory("graft_warc_ex_out").toString
+    val (nPages, nChunks) = graft.jobs.ExtractJob.run(spark, s"warc:$dir/*.warc.gz", out)
+    assert(nPages == 8L && nChunks > 0L)
+    val got = spark.read.parquet(s"$out/extracted.parquet")
+      .select("url", "markdown").as[(String, String)].collect().toMap
+    rows.filter(_._3 == 200L).foreach { case (u, _, _, html) =>
+      val want = graft.html.DocRender.toMarkdown(
+        graft.html.Doc.fromHtml(new String(html, UTF_8), u))
+      assert(got(u) == want, s"re-extracted markdown differs for $u")
+    }
+    assert(!got.contains("https://wx4.example/p4"), "non-200 capture must not extract")
+  }
 }
