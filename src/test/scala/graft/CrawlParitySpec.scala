@@ -548,6 +548,43 @@ class CrawlParitySpec extends AnyFunSuite {
     assert(sparkTrace(workKill, lastResumed) == got)
   }
 
+  test("sharded-Bloom composed with redirects + faults: the 10^10 seen path carries the fetch-side features") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_site_shall").toString
+    SyntheticWeb.generate(spark, dir, nPages, nHosts, seed = 42L, partitions = 4,
+      withRedirects = true, withFaults = true)
+    val pages = spark.read.parquet(s"$dir/pages.parquet")
+      .select("url", "html").as[(String, Array[Byte])].collect()
+      .map { case (u, h) => u -> new String(h, "UTF-8") }.toMap
+    val robots = spark.read.parquet(s"$dir/robots.parquet")
+      .as[(String, String)].collect()
+      .map { case (h, b) => h -> graft.robots.Robots.parse(h, b) }.toMap
+    val sitemaps = spark.read.parquet(s"$dir/sitemaps.parquet")
+      .as[(String, String, String)].collect().map { case (_, u, x) => u -> x }.toMap
+    val limits = spark.read.parquet(s"$dir/host_limits.parquet")
+      .as[(String, Double)].collect().toMap
+    val seeds = spark.read.text(s"$dir/seeds.txt").as[String].collect().toSeq
+    val redirects = spark.read.parquet(s"$dir/redirects.parquet")
+      .as[(String, String)].collect().toMap
+    val faults = spark.read.parquet(s"$dir/faults.parquet")
+      .as[(String, Long)].collect().map { case (u, n) => u -> n.toInt }.toMap
+
+    val ref = RefCrawl.run(pages, robots, sitemaps, limits, seeds,
+      redirects = redirects, faults = faults)
+    val cfg = graft.frontier.Scheduler.Config(bloomShards = Some(4))
+    val workDir = java.nio.file.Files.createTempDirectory("graft_crawl_shall").toString
+    val last = CrawlJob.run(spark, dir, workDir, cfg, maxRounds = 50, bloomThreshold = 100L)
+    val got = sparkTrace(workDir, last)
+    val want = ref.trace.map(t => (t.round, t.host, t.rank, t.url)).sortBy(t => (t._1, t._2, t._3))
+    assert(got.size == want.size, s"trace size: spark=${got.size} ref=${want.size}")
+    got.zip(want).foreach { case (g, w) => assert(g == w, s"trace differs: spark=$g ref=$w") }
+    assert(sparkSeen(workDir, last) == ref.seen)
+    val store = new SnapshotStore(workDir)
+    def total(k: String) = (0 to last)
+      .map(v => store.manifest(v).metrics.getOrElse(k, 0.0)).sum.toLong
+    assert(total("redirects_followed") > 0L && total("fetch_failed") > 0L)
+  }
+
   test("redirect chains: invisible-follow parity with reference, attribution, loop/dangling failure") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_site_redir").toString
