@@ -622,6 +622,27 @@ object SparkEntry {
         .orderBy("dst", "anchor_rank")
     }),
 
+    // ---- l3: HOST-graph weighted PageRank — the rank a 10^10-URL
+    // frontier actually computes (page-level PR is 10^11+ edges; the
+    // host graph is ~10^7 nodes, and every URL inherits its host's
+    // rank). URL pairs derived from doc_id mod 60 so the same pair
+    // recurs ~8x — the url-level DISTINCT inside hostGraph is
+    // load-bearing; DuckDB re-derives hosts by string split, rebuilds
+    // the weighted host edges, and recomputes three weighted damped
+    // iterations as unrolled CTEs — rank VALUES checked. ----
+    "l3_host_rank" -> ((s, dir) => {
+      val m = col("doc_id") % 60
+      val urls = pq(s, dir, "documents").select(
+        concat(lit("https://h"), (m % 9).cast("string"), lit(".example/p"),
+          m.cast("string")).as("src_url"),
+        concat(lit("https://h"), ((m * 2 + 1) % 9).cast("string"), lit(".example/q"),
+          ((m * 5) % 37).cast("string")).as("dst_url"))
+      val hg = graft.graph.LinkGraph.hostGraph(urls, "src_url", "dst_url")
+      graft.graph.LinkGraph.weightedPagerank(hg, "src_host", "dst_host", "weight", iters = 3)
+        .select(col("node"), round(col("rank"), 6).as("rank"))
+        .orderBy("node")
+    }),
+
     // ---- w9: link-graph rank FEEDING the politeness schedule — the
     // integration seam the crawl uses (CrawlJob re-scores frontier
     // priority from LinkGraph between epochs, then Scheduler.rankSelect
@@ -1119,6 +1140,66 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- s16: WET conversion-record framing (WarcWriter.conversionRecord
+    // → Warc.wetRowsOf round trip) — Common Crawl's text-extract file
+    // type. The oracle recomputes the whole framing arithmetic from
+    // string lengths exactly like s15 (fixed-width record id), plus the
+    // parsed-back url/date/text fields from the doc recipe. ----
+    "s16_wet_roundtrip" -> ((s, dir) => {
+      val mk = udf((id: Long, text: String) => {
+        val url = s"https://h${id % 4}.example/doc/$id"
+        val ts = java.sql.Timestamp.from(
+          java.time.Instant.parse("2026-01-01T00:00:00Z").plusSeconds(id * 61L))
+        val rec = graft.sources.WarcWriter.conversionRecord(url, ts, text)
+        val rows = graft.sources.Warc.wetRowsOf(rec)
+        val r = rows.head
+        (r.url, r.warc_ts.toInstant.toString, r.content_length, r.text,
+          rec.length.toLong, rows.size.toLong)
+      })
+      pq(s, dir, "documents").select(col("doc_id"),
+          mk(col("doc_id"), col("text")).as("r"))
+        .select(col("doc_id"), col("r._1").as("url"),
+          col("r._2").as("warc_date"), col("r._3").as("content_length"),
+          col("r._4").as("text"), col("r._5").as("record_bytes"),
+          col("r._6").as("n_records"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- s17: WAT metadata-envelope parsing (CommonCrawl.parseWat) —
+    // Common Crawl's metadata file type, the link-graph input that
+    // needs no HTML payload. The envelope is constructed IN-PLAN from
+    // doc_id arithmetic (title = md5(text) so no free text ever enters
+    // the JSON unescaped); DuckDB re-derives every parsed column. ----
+    "s17_wat_parse" -> ((s, dir) => {
+      val host = (col("doc_id") % 4).cast("string")
+      val idStr = col("doc_id").cast("string")
+      val linkObj = (k: Int) => concat(
+        lit("{\"path\": \"A@/href\", \"url\": \"https://h"), host,
+        lit(s".example/l/"), idStr, lit(s"-$k"),
+        lit(s"\", \"text\": \"anchor $k\"}"))
+      val links = when(col("doc_id") % 3 === 0, lit("[]"))
+        .when(col("doc_id") % 3 === 1, concat(lit("["), linkObj(0), lit("]")))
+        .otherwise(concat(lit("["), linkObj(0), lit(", "), linkObj(1), lit("]")))
+      val json = concat(
+        lit("{\"Envelope\": {\"WARC-Header-Metadata\": {\"WARC-Target-URI\": \"https://h"),
+        host, lit(".example/doc/"), idStr,
+        lit("\", \"WARC-Date\": \"2026-01-"),
+        lpad(((col("doc_id") % 28) + 1).cast("string"), 2, "0"),
+        lit("T12:00:00Z\"}, \"Payload-Metadata\": {\"HTTP-Response-Metadata\": "),
+        lit("{\"Response-Message\": {\"Status\": \""),
+        when(col("doc_id") % 7 === 3, lit("404")).otherwise(lit("200")),
+        lit("\"}, \"HTML-Metadata\": {\"Head\": {\"Title\": \""), md5(col("text")),
+        lit("\"}, \"Links\": "), links, lit("}}}}}"))
+      graft.sources.CommonCrawl.parseWat(
+          pq(s, dir, "documents").select(json.as("json")), "json")
+        .select(
+          col("url"), col("warc_ts"), col("status"), col("title"),
+          size(col("links")).cast("long").as("n_links"),
+          // try_: an empty links array must yield NULL, not an ANSI error
+          try_element_at(col("links"), lit(1)).getField("url").as("link1_url"))
+        .orderBy("url")
+    }),
+
     // ---- s13: CDXJ capture-index lines (the selection plane a 100 TB
     // pipeline scans BEFORE touching WARC payloads) — constructed from
     // the documents table, parsed by the codegen'd projection. ----
@@ -1369,6 +1450,23 @@ object SparkEntry {
 
     "m2_modality_stats" -> ((s, dir) => {
       Multimodal.modalityStats(Multimodal.extractFeatures(Multimodal.synthMedia(s, 600, 8)))
+    }),
+
+    // ---- m3: compressed-image decode (REAL JDK ImageIO codecs). The
+    // corpus is closed-form PNG/BMP/GIF (all three round-trip the planted
+    // raster bit-exactly — GIF because the grayscale recipe fits one
+    // palette), so DuckDB recomputes width/height/component-sum/max from
+    // the generation arithmetic without ever seeing image bytes or a
+    // codec. n_bytes is deliberately NOT compared (encoded size is
+    // codec-internal, not part of the decode contract). ----
+    "m3_compressed_images" -> ((s, dir) => {
+      Multimodal.extractFeatures(Multimodal.synthCompressedImages(s, 240, 8)).toDF()
+        .select(col("media_id"),
+          element_at(col("features"), 1).cast("double").as("w"),
+          element_at(col("features"), 2).cast("double").as("h"),
+          element_at(col("features"), 3).cast("double").as("px_sum"),
+          element_at(col("features"), 4).cast("double").as("px_max"))
+        .orderBy("media_id")
     }),
 
     // ---- t8: line-frequency boilerplate removal (CCNet/RefinedWeb line
@@ -1696,6 +1794,38 @@ object SparkEntry {
         .orderBy("host")
     }),
 
+    // ---- x5: WET-ingestion chain — text-extract corpus entry end-to-
+    // end: conversion records framed by WarcWriter.conversionRecord
+    // (with doc_id%6 clone records duplicating content under new urls)
+    // → Warc.wetRowsOf byte-level parse → length quality gate → md5
+    // fingerprint → per-host rollup with distinct-content counts.
+    // DuckDB derives every per-host count from the documents table
+    // alone — it never sees WET bytes, the writer, or the parser. ----
+    "x5_wet_chain" -> ((s, dir) => {
+      val docs = pq(s, dir, "documents").select(col("doc_id"), col("text"))
+      val clones = docs.filter(col("doc_id") % 6 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+      val corpus = docs.unionByName(clones)
+      val mk = udf((id: Long, text: String) => {
+        val url = s"https://h${id % 5}.example/wet/$id"
+        val ts = java.sql.Timestamp.from(java.time.Instant.parse("2026-01-01T00:00:00Z"))
+        val rows = graft.sources.Warc.wetRowsOf(
+          graft.sources.WarcWriter.conversionRecord(url, ts, text))
+        val r = rows.head
+        (r.url, r.text, rows.size.toLong)
+      })
+      corpus.select(mk(col("doc_id"), col("text")).as("r"))
+        .select(col("r._1").as("url"), col("r._2").as("text"), col("r._3").as("n_recs"))
+        .filter(col("n_recs") === 1 && octet_length(col("text")) >= 200)
+        .withColumn("host", substring_index(substring_index(col("url"), "/", 3), "/", -1))
+        .withColumn("fp", md5(col("text")))
+        .groupBy("host")
+        .agg(count(lit(1)).as("n_docs"),
+          count_distinct(col("fp")).as("n_unique_docs"),
+          sum(octet_length(col("text"))).as("n_bytes"))
+        .orderBy("host")
+    }),
+
     // ---- w10: adaptive recrawl scheduling (Cho–Garcia-Molina change-
     // rate estimation in exact integer-rational form — no ln/exp, so
     // both engines produce identical bits). The probe synthesizes a
@@ -1842,6 +1972,17 @@ object SparkEntry {
     (1 to iters).map { i =>
       s"""c$i AS (SELECT e.dst AS node, sum(r.rank / od.deg) AS inflow
          |  FROM e JOIN od ON od.src = e.src JOIN r${i - 1} r ON r.node = e.src GROUP BY 1),
+         |r$i AS (SELECT n.node,
+         |    CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE) * coalesce(c$i.inflow, 0) AS rank
+         |  FROM nodes n LEFT JOIN c$i ON c$i.node = n.node)""".stripMargin
+    }.mkString(",\n")
+
+  /** Weighted variant of [[pagerankIterCtes]]: contribution
+    * rank·w/wout, with `e(src, dst, w)` and `ow(src, wout)` CTEs. */
+  private def weightedPagerankIterCtes(iters: Int): String =
+    (1 to iters).map { i =>
+      s"""c$i AS (SELECT e.dst AS node, sum(r.rank * e.w / ow.wout) AS inflow
+         |  FROM e JOIN ow ON ow.src = e.src JOIN r${i - 1} r ON r.node = e.src GROUP BY 1),
          |r$i AS (SELECT n.node,
          |    CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE) * coalesce(c$i.inflow, 0) AS rank
          |  FROM nodes n LEFT JOIN c$i ON c$i.node = n.node)""".stripMargin
@@ -2295,6 +2436,29 @@ object SparkEntry {
          |${pagerankIterCtes(3)}
          |SELECT CAST(node AS BIGINT) AS node, round(rank, 6) AS rank FROM r3 ORDER BY node""".stripMargin,
 
+    // l3: DuckDB rebuilds the url pairs from doc_id mod 60, extracts
+    // hosts by string split (an independent path from UrlCanonical),
+    // recomputes the distinct-pair host weights, and unrolls three
+    // weighted damped iterations — rank VALUES checked.
+    "l3_host_rank" ->
+      s"""WITH urls AS (
+         |  SELECT DISTINCT
+         |    'https://h' || CAST((doc_id % 60) % 9 AS VARCHAR) || '.example/p'
+         |      || CAST(doc_id % 60 AS VARCHAR) AS su,
+         |    'https://h' || CAST(((doc_id % 60) * 2 + 1) % 9 AS VARCHAR) || '.example/q'
+         |      || CAST(((doc_id % 60) * 5) % 37 AS VARCHAR) AS du
+         |  FROM documents),
+         |e AS (
+         |  SELECT split_part(su, '/', 3) AS src, split_part(du, '/', 3) AS dst,
+         |         CAST(count(*) AS DOUBLE) AS w
+         |  FROM urls WHERE split_part(su, '/', 3) <> split_part(du, '/', 3)
+         |  GROUP BY 1, 2),
+         |nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+         |ow AS (SELECT src, sum(w) AS wout FROM e GROUP BY 1),
+         |r0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS rank FROM nodes),
+         |${weightedPagerankIterCtes(3)}
+         |SELECT node, round(rank, 6) AS rank FROM r3 ORDER BY node""".stripMargin,
+
     // l2: DuckDB rebuilds the derived link table (same variant/blank
     // rules), renormalizes anchors, and recomputes counts + ranks.
     "l2_anchor_topk" ->
@@ -2668,6 +2832,47 @@ object SparkEntry {
         |  CAST(1 AS BIGINT) AS n_records
         |FROM calc ORDER BY doc_id""".stripMargin,
 
+    // s16: same framing-arithmetic discipline as s15, conversion-record
+    // geometry — the writer and parser never run in DuckDB.
+    "s16_wet_roundtrip" ->
+      """WITH rows AS (
+        |  SELECT doc_id,
+        |    'https://h' || CAST(doc_id % 4 AS VARCHAR) || '.example/doc/'
+        |      || CAST(doc_id AS VARCHAR) AS url,
+        |    strftime(TIMESTAMP '2026-01-01 00:00:00'
+        |      + to_seconds(CAST(doc_id * 61 AS BIGINT)), '%Y-%m-%dT%H:%M:%SZ') AS wdate,
+        |    text
+        |  FROM documents)
+        |SELECT doc_id, url, wdate AS warc_date,
+        |  CAST(strlen(text) AS BIGINT) AS content_length, text,
+        |  CAST(strlen('WARC/1.0' || chr(13) || chr(10)
+        |    || 'WARC-Type: conversion' || chr(13) || chr(10)
+        |    || 'WARC-Target-URI: ' || url || chr(13) || chr(10)
+        |    || 'WARC-Date: ' || wdate || chr(13) || chr(10)
+        |    || 'WARC-Record-ID: <urn:uuid:' || repeat('0', 36) || '>' || chr(13) || chr(10)
+        |    || 'Content-Type: text/plain' || chr(13) || chr(10)
+        |    || 'Content-Length: ' || CAST(strlen(text) AS VARCHAR)
+        |    || chr(13) || chr(10) || chr(13) || chr(10))
+        |    + strlen(text) + 4 AS BIGINT) AS record_bytes,
+        |  CAST(1 AS BIGINT) AS n_records
+        |FROM rows ORDER BY doc_id""".stripMargin,
+
+    // s17: every parsed WAT column re-derived from the doc_id recipe
+    // (title is md5(text), links are pure doc_id arithmetic) — DuckDB
+    // never sees the JSON envelope or the parser.
+    "s17_wat_parse" ->
+      """SELECT
+        |  'https://h' || (doc_id % 4) || '.example/doc/' || doc_id AS url,
+        |  strptime('2026-01-' || lpad(CAST((doc_id % 28) + 1 AS VARCHAR), 2, '0')
+        |    || ' 12:00:00', '%Y-%m-%d %H:%M:%S') AS warc_ts,
+        |  CAST(CASE WHEN doc_id % 7 = 3 THEN 404 ELSE 200 END AS BIGINT) AS status,
+        |  md5(text) AS title,
+        |  CAST(doc_id % 3 AS BIGINT) AS n_links,
+        |  CASE WHEN doc_id % 3 = 0 THEN NULL
+        |       ELSE 'https://h' || (doc_id % 4) || '.example/l/' || doc_id || '-0'
+        |  END AS link1_url
+        |FROM documents ORDER BY url""".stripMargin,
+
     "s13_cdxj_parse" ->
       """SELECT
         |  'example,h' || (doc_id % 4) || ')/doc/' || doc_id AS urlkey,
@@ -3031,6 +3236,35 @@ ORDER BY id_a""",
         |SELECT CAST(media_id AS BIGINT) AS media_id, CAST(modality AS VARCHAR) AS modality,
         |       CAST(n_bytes AS INTEGER) AS n_bytes, f0, f1, f2, f3
         |FROM allf ORDER BY media_id""".stripMargin,
+
+    // independent oracle for the ImageIO decode path: the compressed
+    // corpus is closed-form (Multimodal.synthCompressedOne: png/bmp RGB
+    // component j of image i = (31i+7j) mod 256 at w=16+((i/3)%4)*8,
+    // h=12+((i/3)%3)*4; gif grayscale pixel p = (11i+5p) mod 256 at
+    // 16x12), and all three codecs round-trip it bit-exactly, so DuckDB
+    // recomputes every decoded statistic from the arithmetic alone — the
+    // row matches only if the JDK codec decode reproduces the planted
+    // raster exactly.
+    "m3_compressed_images" ->
+      """WITH rgbimg AS (
+        |  SELECT i, 16 + ((i//3)%4)*8 AS w, 12 + ((i//3)%3)*4 AS h
+        |  FROM range(0, 240) t(i) WHERE i % 3 IN (0, 1)
+        |), rgb_f AS (
+        |  SELECT i AS media_id, CAST(w AS DOUBLE) AS w, CAST(h AS DOUBLE) AS h,
+        |         CAST(SUM((31*i + 7*j) % 256) AS DOUBLE) AS px_sum,
+        |         CAST(MAX((31*i + 7*j) % 256) AS DOUBLE) AS px_max
+        |  FROM rgbimg CROSS JOIN range(0, 2880) r(j) WHERE j < w*h*3
+        |  GROUP BY i, w, h
+        |), gif_f AS (
+        |  SELECT i AS media_id, CAST(16 AS DOUBLE) AS w, CAST(12 AS DOUBLE) AS h,
+        |         CAST(3*SUM((11*i + 5*p) % 256) AS DOUBLE) AS px_sum,
+        |         CAST(MAX((11*i + 5*p) % 256) AS DOUBLE) AS px_max
+        |  FROM range(0, 240) t(i) CROSS JOIN range(0, 192) r(p) WHERE i % 3 = 2
+        |  GROUP BY i
+        |)
+        |SELECT CAST(media_id AS BIGINT) AS media_id, w, h, px_sum, px_max
+        |FROM (SELECT * FROM rgb_f UNION ALL SELECT * FROM gif_f)
+        |ORDER BY media_id""".stripMargin,
 
     // same closed-form CTEs aggregated per modality — the groupBy shape
     "m2_modality_stats" ->
@@ -3664,6 +3898,21 @@ ORDER BY id_a""",
         |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique_docs,
         |  CAST(sum(length(text)) AS BIGINT) AS n_chars
         |FROM corpus GROUP BY 1 ORDER BY host""".stripMargin,
+
+    // x5: DuckDB derives every per-host rollup from the documents
+    // table alone — the WET framing/parse layer must be an exact
+    // identity on url and text for the counts to line up.
+    "x5_wet_chain" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 6 = 0)
+        |SELECT 'h' || CAST(doc_id % 5 AS VARCHAR) || '.example' AS host,
+        |  count(*) AS n_docs,
+        |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique_docs,
+        |  CAST(sum(strlen(text)) AS BIGINT) AS n_bytes
+        |FROM corpus WHERE strlen(text) >= 200
+        |GROUP BY 1 ORDER BY host""".stripMargin,
 
     // w10: DuckDB rebuilds the identical synthetic fetch history and
     // recomputes the whole schedule — lag-based change detection

@@ -115,4 +115,70 @@ object LinkGraph {
     edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .filter(col("src") =!= col("dst")).distinct()
       .groupBy(col("dst").as("node")).agg(count(lit(1)).as("in_degree"))
+
+  /** Collapse a URL-level edge list to the weighted HOST graph: one
+    * edge per (src_host, dst_host) with weight = number of DISTINCT
+    * url-level links between the two hosts; intra-host links dropped
+    * (site navigation is not an endorsement). Rows whose url fails to
+    * yield a host are dropped.
+    *
+    * This is the scale move a real frontier makes: at 10^10 URLs the
+    * page graph has 10^11+ edges, but the HOST graph has ~10^7–10^8
+    * nodes — rank hosts ([[weightedPagerank]]), then every URL inherits
+    * its host's rank (joined broadcast-style onto the frontier). Two
+    * map-side-combinable aggregates (url-pair distinct, then host-pair
+    * count), both keyed by host pairs — a mega-site's million pages
+    * collapse in partial aggregation. */
+  def hostGraph(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val hostUdf = udf((u: String) => graft.url.UrlCanonical.hostOf(u))
+    edges.select(col(srcCol).as("_src_url"), col(dstCol).as("_dst_url")).distinct()
+      .select(hostUdf(col("_src_url")).as("src_host"), hostUdf(col("_dst_url")).as("dst_host"))
+      .filter(col("src_host").isNotNull && col("dst_host").isNotNull &&
+        length(col("src_host")) > 0 && length(col("dst_host")) > 0 &&
+        col("src_host") =!= col("dst_host"))
+      .groupBy("src_host", "dst_host").agg(count(lit(1)).as("weight"))
+  }
+
+  /** Weighted damped PageRank over a (src, dst, weight) edge list:
+    *
+    *   r_0(v)     = 1
+    *   r_{t+1}(v) = (1 - d) + d · Σ_{u→v} r_t(u) · w(u,v) / W(u),
+    *   W(u) = Σ_x w(u,x)
+    *
+    * — [[pagerank]] generalized to weighted edges, the form that runs
+    * over [[hostGraph]] (an edge carrying 10,000 distinct links should
+    * pull more rank than one carrying 1). Same contracts as
+    * [[pagerank]]: self-loops dropped, dangling nodes contribute
+    * nothing, fixed iteration count, and the same scale shape — per
+    * iteration one src-keyed equi-join plus one map-side-combinable
+    * dst-keyed aggregate, ranks localCheckpoint'ed so the iterative
+    * lineage never doubles. Non-positive weights are rejected (a zero
+    * edge is a non-edge; drop it upstream). */
+  def weightedPagerank(edges: DataFrame, srcCol: String, dstCol: String,
+                       weightCol: String, iters: Int = 3,
+                       damping: Double = 0.85): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    require(damping >= 0.0 && damping < 1.0, s"damping must be in [0, 1), got $damping")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        col(weightCol).cast("double").as("w"))
+      .filter(col("src") =!= col("dst")).localCheckpoint(true)
+    // one action validates instead of a per-row throw inside the hot loop
+    val nBad = e.filter(col("w").isNull || col("w") <= 0.0).limit(1).count()
+    require(nBad == 0, s"weightedPagerank: found non-positive/null weights in '$weightCol'")
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct().localCheckpoint(true)
+    val outW = e.groupBy("src").agg(sum("w").as("wout")).localCheckpoint(true)
+    var ranks = nodes.withColumn("rank", lit(1.0))
+    for (_ <- 1 to iters) {
+      val contrib = e.join(outW, "src")
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), (col("rank") * col("w") / col("wout")).as("c"))
+        .groupBy("node").agg(sum("c").as("inflow"))
+      ranks = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(1.0 - damping) + lit(damping) * coalesce(col("inflow"), lit(0.0))).as("rank"))
+        .localCheckpoint(true)
+    }
+    ranks
+  }
 }

@@ -20,12 +20,15 @@ import org.apache.spark.sql.functions._
   *     2nd frame is decoded, the rest are skipped via their parsed
   *     lengths, the streaming analogue of ffmpeg `-vf select` thinning.
   *
-  * Compressed codecs (JPEG/MP3/H.264) need native libraries this
-  * container doesn't ship; the dispatch seam (`sniffAndDecode`) is where
-  * they would plug in. The Spark-side shape is the real thing either
-  * way: binary transport, `mapPartitions` batches (the JVM analogue of
-  * `mapInPandas` — per-batch codec/model setup paid once per partition),
-  * one blob per row, no driver collection.
+  * Compressed IMAGES (JPEG/PNG/GIF/BMP/TIFF) decode for real too, via
+  * the JDK's own javax.imageio readers (pure-JVM, headless) — see
+  * `compressedImageFeatures`. Compressed AUDIO/VIDEO codecs (MP3/H.264)
+  * need native libraries this container doesn't ship; the dispatch seam
+  * (`sniffAndDecode`) is where they would plug in. The Spark-side shape
+  * is the real thing either way: binary transport, `mapPartitions`
+  * batches (the JVM analogue of `mapInPandas` — per-batch codec/model
+  * setup paid once per partition), one blob per row, no driver
+  * collection.
   *
   * Synthetic media is closed-form (pixel j of media i = (i + 7j) mod
   * 256, etc.) so the m1 oracle can independently recompute every decoded
@@ -240,13 +243,133 @@ object Multimodal {
     Array(nf.toFloat, sampled.toFloat, sum.toFloat, mx.toFloat)
   }
 
-  /** Container dispatch by MAGIC BYTES (not the metadata column) — the
-    * seam where compressed codecs (JPEG/MP3/H.264 via native libs) would
-    * register at a real deployment. */
+  // ---------------------------------------------------------------------
+  // Compressed image codecs — REAL decode via the JDK's javax.imageio
+  // (JPEG, PNG, GIF, BMP, TIFF, WBMP readers ship with every JDK 17, no
+  // native libraries). This closes the compressed-IMAGE half of the codec
+  // seam for good; compressed AUDIO/VIDEO (MP3/H.264) still need native
+  // codecs the container doesn't ship and remain the documented seam.
+  // ---------------------------------------------------------------------
+
+  /** One-time ImageIO setup: headless AWT (executors have no display) and
+    * no disk-backed stream cache — decode stays in memory; the default
+    * tmp-file-per-stream cache would thrash executor-local disks at
+    * scale. Idempotent; every ImageIO entry point touches it first. */
+  private lazy val imageIoInit: Unit = {
+    if (!sys.props.contains("java.awt.headless")) sys.props("java.awt.headless") = "true"
+    javax.imageio.ImageIO.setUseCache(false)
+  }
+
+  /** Decode a compressed image via ImageIO and compute the image feature
+    * contract [width, height, sum(RGB components), max(RGB component)]
+    * over the decoded 8-bit sRGB raster.
+    *
+    * Codec fidelity (measured, not assumed): PNG and BMP round-trip
+    * bit-exactly; GIF is exact whenever the image fits one 256-entry
+    * palette (the m3 corpus uses grayscale, which always does); JPEG is
+    * lossy — ±1 per component from YCbCr rounding even on constant-color
+    * images — so JPEG correctness is asserted with a tolerance in
+    * OpsSpec, never in a bit-exact oracle. Feature sums are Long
+    * internally and exact in Float32 up to 2^24 (a ~147x147 RGB image);
+    * beyond that they round like any Float statistic. */
+  def compressedImageFeatures(bytes: Array[Byte]): Array[Float] = {
+    imageIoInit
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null, "undecodable image (no ImageIO codec claimed it)")
+    val w = img.getWidth; val h = img.getHeight
+    require(w > 0 && h > 0, s"implausible decoded dimensions ${w}x$h")
+    var sum = 0L; var mx = 0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y)
+        val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff; val b = p & 0xff
+        sum += r + g + b
+        if (r > mx) mx = r
+        if (g > mx) mx = g
+        if (b > mx) mx = b
+        x += 1
+      }
+      y += 1
+    }
+    Array(w.toFloat, h.toFloat, sum.toFloat, mx.toFloat)
+  }
+
+  /** Encode a raster through an ImageIO writer (`fmt` ∈ png/bmp/gif/
+    * jpg/...). `rgb(x, y)` returns a packed 0xRRGGBB pixel. Used by the
+    * synthetic compressed corpus and by tests; at a real deployment the
+    * bytes arrive from the crawl. */
+  def encodeCompressed(fmt: String, w: Int, h: Int, rgb: (Int, Int) => Int): Array[Byte] = {
+    imageIoInit
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb(x, y)); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, fmt, bos), s"no ImageIO writer for '$fmt'")
+    bos.toByteArray
+  }
+
+  /** Closed-form compressed-image corpus: i % 3 picks the codec.
+    *
+    *   png (i%3==0), bmp (i%3==1): w = 16+((i/3)%4)*8, h = 12+((i/3)%3)*4,
+    *     RGB component j (row-major, j = 3*(y*w+x)+c) = (31i + 7j) % 256
+    *   gif (i%3==2): 16x12 grayscale, pixel p = y*16+x has
+    *     r = g = b = (11i + 5p) % 256  (≤256 distinct colors → palette-exact)
+    *
+    * All three codecs round-trip these recipes bit-exactly, so the m3
+    * oracle recomputes every decoded statistic from the arithmetic alone
+    * — the probe is green only if the ImageIO decode path reproduces the
+    * planted raster exactly. JPEG is excluded here (lossy); it shares the
+    * same decode entry point and is tolerance-tested in OpsSpec. */
+  def synthCompressedOne(i: Long): MediaRow = (i % 3) match {
+    case 0 | 1 =>
+      val fmt = if (i % 3 == 0) "png" else "bmp"
+      val g = i / 3
+      val w = 16 + (g % 4).toInt * 8
+      val h = 12 + (g % 3).toInt * 4
+      def comp(j: Long): Int = ((31L * i + 7L * j) % 256).toInt
+      val bytes = encodeCompressed(fmt, w, h, (x, y) => {
+        val p = (y.toLong * w + x) * 3
+        (comp(p) << 16) | (comp(p + 1) << 8) | comp(p + 2)
+      })
+      MediaRow(i, "image", bytes, MediaMeta(s"image/$fmt", w, h, 0))
+    case _ =>
+      val bytes = encodeCompressed("gif", 16, 12, (x, y) => {
+        val v = ((11L * i + 5L * (y * 16 + x)) % 256).toInt
+        (v << 16) | (v << 8) | v
+      })
+      MediaRow(i, "image", bytes, MediaMeta("image/gif", 16, 12, 0))
+  }
+
+  /** Deterministic compressed-image table (PNG/BMP/GIF cycling). */
+  def synthCompressedImages(spark: SparkSession, n: Long, partitions: Int = 32): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(0, n, 1, partitions).map(i => synthCompressedOne(i))
+  }
+
+  /** Container dispatch by MAGIC BYTES (not the metadata column).
+    * Uncompressed containers (PPM/WAV/GVID) decode byte-level in-repo;
+    * compressed images (PNG/JPEG/GIF/BMP) route to the JDK ImageIO
+    * readers. Compressed audio/video (MP3/H.264) need native codecs this
+    * container doesn't ship — that residual seam registers here. */
   def sniffAndDecode(bytes: Array[Byte]): Array[Float] = {
+    def at(i: Int, c: Int) = bytes.length > i && (bytes(i) & 0xff) == c
     if (bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6') imageFeatures(bytes)
     else if (bytes.length >= 4 && bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F') audioFeatures(bytes)
     else if (bytes.length >= 4 && bytes(0) == 'G' && bytes(1) == 'V' && bytes(2) == 'I' && bytes(3) == 'D') videoFeatures(bytes)
+    else if (at(0, 0x89) && at(1, 'P') && at(2, 'N') && at(3, 'G') && at(4, 0x0d) && at(5, 0x0a) && at(6, 0x1a) && at(7, 0x0a))
+      compressedImageFeatures(bytes) // PNG
+    else if (at(0, 0xff) && at(1, 0xd8) && at(2, 0xff))
+      compressedImageFeatures(bytes) // JPEG
+    else if (at(0, 'G') && at(1, 'I') && at(2, 'F') && at(3, '8'))
+      compressedImageFeatures(bytes) // GIF87a/89a ('GI' ≠ GVID's 'GV')
+    else if (at(0, 'B') && at(1, 'M'))
+      compressedImageFeatures(bytes) // BMP (weak 2-byte magic — tried last)
     else throw new IllegalArgumentException("unknown media container")
   }
 

@@ -50,6 +50,36 @@ object CommonCrawl {
 
   def surtKey(url: Column): Column = surtKeyUdf(url)
 
+  /** Parse WAT metadata-record JSON envelopes into typed columns — the
+    * third Common-Crawl file type (WARC = payloads, WET = text extracts,
+    * WAT = per-capture metadata). Extracts the fields a link-graph /
+    * selection pipeline consumes: target url + capture date (envelope
+    * WARC header copy), HTTP status, page title, and the outlink array
+    * (`HTML-Metadata.Links`) as `array<struct<path,url,text>>` — the
+    * input shape of `graph.LinkGraph` without touching any HTML payload.
+    *
+    * One codegen'd projection: `get_json_object` for scalars, `from_json`
+    * for the links array (permissive mode — a malformed envelope yields
+    * null columns, never an exception; the `_corrupt` tell is the nulls,
+    * matching parseCdxj's bad-line contract). No UDF, no shuffle. */
+  def parseWat(df: DataFrame, jsonCol: String): DataFrame = {
+    val j = col(jsonCol)
+    val hdr = "$.Envelope.WARC-Header-Metadata"
+    val resp = "$.Envelope.Payload-Metadata.HTTP-Response-Metadata"
+    val linksSchema = org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("path", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("url", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType))))
+    df.select(
+      get_json_object(j, s"$hdr.WARC-Target-URI").as("url"),
+      try_to_timestamp(get_json_object(j, s"$hdr.WARC-Date"),
+        lit("yyyy-MM-dd'T'HH:mm:ss'Z'")).as("warc_ts"),
+      get_json_object(j, s"$resp.Response-Message.Status").cast("long").as("status"),
+      get_json_object(j, s"$resp.HTML-Metadata.Head.Title").as("title"),
+      from_json(get_json_object(j, s"$resp.HTML-Metadata.Links"), linksSchema).as("links"))
+  }
+
   /** Parse CDXJ index lines — `<urlkey> <ts14> <json>` — into typed
     * columns: one codegen'd projection (regexp field split +
     * get_json_object), no UDF, no shuffle; a malformed line yields

@@ -212,6 +212,81 @@ object Warc {
     }
   }
 
+  // ---------------------------------------------------------------------
+  // WET / WAT — Common Crawl's two derived file types, same WARC
+  // framing, different record types: WET carries `conversion` records
+  // whose payload is the page's extracted plain text (UTF-8 by spec);
+  // WAT carries `metadata` records whose payload is a JSON envelope of
+  // per-capture metadata (headers, title, outlinks). Together with the
+  // response WARCs and the CDXJ index they are the complete distribution
+  // set a Common-Crawl-style pipeline ingests.
+  // ---------------------------------------------------------------------
+
+  final case class WetRow(url: String, warc_ts: java.sql.Timestamp,
+                          content_length: Long, text: String, error: String)
+
+  /** Conversion records of a WET buffer (the leading warcinfo and any
+    * other record types are skipped); gzip magic-sniffed like [[rowsOf]];
+    * a corrupt tail quarantines as ONE error row after the good prefix;
+    * payloads decode as UTF-8 with U+FFFD replacement — WET is UTF-8 by
+    * spec, but a 100 TB corpus always carries a malformed tail
+    * somewhere, and one bad byte must not kill the file. */
+  def wetRowsOf(raw: Array[Byte]): Seq[WetRow] = {
+    val (bytes, gzErr) = if (isGzip(raw)) gunzipAll(raw) else (raw, None)
+    val (recs, err) = parseRecords(bytes)
+    val rows = recs.filter(_.headers.getOrElse("warc-type", "") == "conversion").map { r =>
+      WetRow(r.headers.getOrElse("warc-target-uri", null),
+        r.headers.get("warc-date").map(parseTs).orNull,
+        r.payload.length.toLong,
+        new String(r.payload, StandardCharsets.UTF_8), null)
+    }
+    rows ++ (gzErr.toSeq ++ err.toSeq).map(e => WetRow(null, null, 0L, null, e))
+  }
+
+  /** WET files → (url, warc_ts, text) — the pages-table shape with the
+    * text column already extracted (the entry point for pipelines that
+    * consume Common Crawl's text extracts instead of raw HTML). One
+    * task per file, like [[readWarcFiles]]. */
+  def readWetFiles(spark: SparkSession, pathGlob: String): DataFrame = {
+    import spark.implicits._
+    val bin = spark.read.format("binaryFile").load(pathGlob)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+    bin.flatMap { case (path, content) =>
+      wetRowsOf(content).map(r => (path, r.url, r.warc_ts, r.content_length, r.text, r.error))
+    }.toDF("path", "url", "warc_ts", "content_length", "text", "error")
+  }
+
+  final case class WatRow(url: String, warc_ts: java.sql.Timestamp,
+                          json: String, error: String)
+
+  /** Metadata records of a WAT buffer: the JSON envelope payload is
+    * returned as a STRING column — field extraction is a codegen'd
+    * projection ([[CommonCrawl.parseWat]]), not executor-side object
+    * work, so a 100 TB WAT scan prunes fields inside Tungsten. */
+  def watRowsOf(raw: Array[Byte]): Seq[WatRow] = {
+    val (bytes, gzErr) = if (isGzip(raw)) gunzipAll(raw) else (raw, None)
+    val (recs, err) = parseRecords(bytes)
+    val rows = recs.filter(_.headers.getOrElse("warc-type", "") == "metadata").map { r =>
+      WatRow(r.headers.getOrElse("warc-target-uri", null),
+        r.headers.get("warc-date").map(parseTs).orNull,
+        new String(r.payload, StandardCharsets.UTF_8), null)
+    }
+    rows ++ (gzErr.toSeq ++ err.toSeq).map(e => WatRow(null, null, null, e))
+  }
+
+  /** WAT files → (url, warc_ts, json) rows; chain
+    * [[CommonCrawl.parseWat]] over `json` for typed metadata columns. */
+  def readWatFiles(spark: SparkSession, pathGlob: String): DataFrame = {
+    import spark.implicits._
+    val bin = spark.read.format("binaryFile").load(pathGlob)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+    bin.flatMap { case (path, content) =>
+      watRowsOf(content).map(r => (path, r.url, r.warc_ts, r.json, r.error))
+    }.toDF("path", "url", "warc_ts", "json", "error")
+  }
+
   /** WARC files → the canonical pages-table shape (url, warc_ts,
     * html:binary, status) + per-file error rows. One task per file —
     * the layout WARC is distributed in. */

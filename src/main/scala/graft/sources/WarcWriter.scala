@@ -74,6 +74,30 @@ object WarcWriter {
     out
   }
 
+  /** One complete conversion record (the WET text-extract shape):
+    * payload = the extracted text as UTF-8, `Content-Type: text/plain`.
+    * Same determinism contract as [[responseRecord]] — whole-second
+    * WARC-Date, name-based record id, same row → same bytes. */
+  def conversionRecord(url: String, ts: java.sql.Timestamp, text: String): Array[Byte] = {
+    val tsIso = tsIsoOf(ts)
+    val body = text.getBytes(UTF_8)
+    val warcHead =
+      "WARC/1.0\r\n" +
+        "WARC-Type: conversion\r\n" +
+        s"WARC-Target-URI: $url\r\n" +
+        s"WARC-Date: $tsIso\r\n" +
+        s"WARC-Record-ID: ${recordId(url, tsIso)}\r\n" +
+        "Content-Type: text/plain\r\n" +
+        s"Content-Length: ${body.length}\r\n\r\n"
+    val wh = warcHead.getBytes(UTF_8)
+    val out = new Array[Byte](wh.length + body.length + 4)
+    System.arraycopy(wh, 0, out, 0, wh.length)
+    System.arraycopy(body, 0, out, wh.length, body.length)
+    out(out.length - 4) = '\r'; out(out.length - 3) = '\n'
+    out(out.length - 2) = '\r'; out(out.length - 1) = '\n'
+    out
+  }
+
   /** One gzip member holding exactly `bytes` (MTIME=0 header — the JDK
     * writes a fixed header, so the member is deterministic). */
   def gzipMember(bytes: Array[Byte]): Array[Byte] = {
@@ -111,6 +135,42 @@ object WarcWriter {
         val rows = try {
           it.map { case (url, ts, status, body) =>
             val rec = responseRecord(url, ts, status, body)
+            val bytes = if (gzip) gzipMember(rec) else rec
+            out.write(bytes)
+            val r = (name, url, ts, offset, bytes.length.toLong)
+            offset += bytes.length
+            r
+          }.toVector
+        } finally out.close()
+        if (rows.isEmpty) file.delete() // empty partition → no empty archive
+        rows.iterator
+      }
+      .toDF("filename", "url", "warc_ts", "offset", "length")
+      .localCheckpoint(true)
+  }
+
+  /** Write an extracted-text frame (url, warc_ts, text) as WET files —
+    * the text-extract distribution format downstream consumers read via
+    * [[Warc.readWetFiles]]. Same layout and index contract as
+    * [[writeWarcFiles]]: one file per partition, member-per-record gzip,
+    * (offset, length) rows drive [[Warc.recordAt]]. */
+  def writeWetFiles(df: DataFrame, dir: String, gzip: Boolean = false): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    new java.io.File(dir).mkdirs()
+    val ext = if (gzip) "warc.wet.gz" else "warc.wet"
+    df.select(col("url"), col("warc_ts"), col("text"))
+      .as[(String, java.sql.Timestamp, String)]
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val name = f"part-$pid%05d.$ext"
+        // seam: new Path(dir, name).getFileSystem(conf).create(...) on a cluster
+        val file = new java.io.File(dir, name)
+        val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(file))
+        var offset = 0L
+        val rows = try {
+          it.map { case (url, ts, text) =>
+            val rec = conversionRecord(url, ts, text)
             val bytes = if (gzip) gzipMember(rec) else rec
             out.write(bytes)
             val r = (name, url, ts, offset, bytes.length.toLong)

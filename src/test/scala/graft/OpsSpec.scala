@@ -781,6 +781,58 @@ class OpsSpec extends AnyFunSuite {
       && out(1).error.contains("unknown media container"))
   }
 
+  test("multimodal: compressed PNG/BMP/GIF decode reproduces the planted raster exactly") {
+    import graft.multimodal.Multimodal._
+    // recompute the closed-form expectations independently of the codec
+    for (i <- 0L until 24L) {
+      val row = synthCompressedOne(i)
+      val f = sniffAndDecode(row.bytes)
+      if (i % 3 == 2) {
+        val vals = (0 until 192).map(p => ((11L * i + 5L * p) % 256).toInt)
+        assert(f.toSeq == Seq(16f, 12f, (3 * vals.sum).toFloat, vals.max.toFloat), s"gif i=$i")
+      } else {
+        val g = i / 3
+        val w = 16 + (g % 4).toInt * 8; val h = 12 + (g % 3).toInt * 4
+        val comps = (0 until w * h * 3).map(j => ((31L * i + 7L * j) % 256).toInt)
+        assert(f.toSeq == Seq(w.toFloat, h.toFloat, comps.sum.toFloat, comps.max.toFloat),
+          s"${row.meta.mime} i=$i")
+      }
+    }
+  }
+
+  test("multimodal: JPEG decodes through the same path within YCbCr rounding tolerance") {
+    import graft.multimodal.Multimodal._
+    val (w, h) = (32, 32)
+    val (r0, g0, b0) = (200, 100, 50)
+    val jpg = encodeCompressed("jpg", w, h, (_, _) => (r0 << 16) | (g0 << 8) | b0)
+    assert((jpg(0) & 0xff) == 0xff && (jpg(1) & 0xff) == 0xd8) // really a JPEG
+    val f = sniffAndDecode(jpg)
+    assert(f(0) == w.toFloat && f(1) == h.toFloat)
+    // constant-color JPEG round-trips within ±2 per component (measured
+    // ±1 from RGB→YCbCr→RGB rounding; 2 leaves headroom across JDKs)
+    val exactSum = w * h * (r0 + g0 + b0)
+    assert(math.abs(f(2) - exactSum) <= (3 * w * h * 2).toFloat, s"sum ${f(2)} vs $exactSum")
+    assert(math.abs(f(3) - r0) <= 2f)
+  }
+
+  test("multimodal: compressed magic dispatch (GIF != GVID) and corrupt-image quarantine") {
+    import spark.implicits._
+    import graft.multimodal.Multimodal._
+    // 'GI' (GIF) and 'GV' (GVID) must route differently
+    val gif = synthCompressedOne(2).bytes
+    assert(gif(0) == 'G' && gif(1) == 'I' && gif(2) == 'F')
+    assert(sniffAndDecode(gif)(0) == 16f)
+    assert(sniffAndDecode(synthOne(2).bytes)(0) == 6f) // GVID still video
+    // a truncated PNG has valid magic but no decodable raster: one error
+    // row, not a job kill
+    val png = synthCompressedOne(0)
+    val bad = png.copy(media_id = 999L, bytes = png.bytes.take(20))
+    val out = extractFeaturesSafe(spark.createDataset(Seq(png, bad)))
+      .collect().sortBy(_.media_id)
+    assert(out(0).error == null && out(0).features(0) == 16f)
+    assert(out(1).features == null && out(1).error != null)
+  }
+
   test("fingerprint is whitespace-normalization stable") {
     import spark.implicits._
     val df = Seq((1, "hello   world\n\tfoo"), (2, "hello world foo")).toDF("id", "text")
@@ -958,6 +1010,61 @@ class OpsSpec extends AnyFunSuite {
     val ind = LinkGraph.indegree(star, "src", "dst")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(ind == Map(0L -> 7L))
+  }
+
+  test("weightedPagerank: uniform weights reduce to pagerank; sequential twin on a weighted graph") {
+    import spark.implicits._
+    import graft.graph.LinkGraph
+    val rnd = new scala.util.Random(23)
+    val edges = (0 until 40).map(_ => (rnd.nextInt(10).toLong, rnd.nextInt(10).toLong))
+      .filter(p => p._1 != p._2).distinct
+    // uniform weights ≡ unweighted pagerank
+    val uw = LinkGraph.weightedPagerank(
+        edges.map(e => (e._1, e._2, 1.0)).toDF("src", "dst", "w"), "src", "dst", "w", iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val pr = LinkGraph.pagerank(edges.toDF("src", "dst"), "src", "dst", iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(uw.keySet == pr.keySet)
+    pr.foreach { case (k, v) => assert(math.abs(uw(k) - v) < 1e-12, s"node $k") }
+    // weighted sequential twin
+    val wedges = edges.map { case (s, d) => (s, d, 1.0 + ((s * 7 + d * 3) % 5).toDouble) }
+    val got = LinkGraph.weightedPagerank(
+        wedges.toDF("src", "dst", "w"), "src", "dst", "w", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val nodes = wedges.flatMap(e => Seq(e._1, e._2)).distinct
+    val wout = wedges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    var r = nodes.map(_ -> 1.0).toMap
+    for (_ <- 1 to 3) {
+      val inflow = scala.collection.mutable.Map[Long, Double]().withDefaultValue(0.0)
+      wedges.foreach { case (u, v, w) => inflow(v) += r(u) * w / wout(u) }
+      r = nodes.map(v => v -> (0.15 + 0.85 * inflow(v))).toMap
+    }
+    assert(got.keySet == r.keySet)
+    r.foreach { case (k, v) => assert(math.abs(got(k) - v) < 1e-9, s"node $k: ${got(k)} vs $v") }
+    // non-positive weights rejected
+    intercept[IllegalArgumentException] {
+      LinkGraph.weightedPagerank(Seq((1L, 2L, 0.0)).toDF("src", "dst", "w"),
+        "src", "dst", "w", iters = 1)
+    }
+  }
+
+  test("hostGraph: url-level dedup, intra-host drop, bad-url drop, exact weights") {
+    import spark.implicits._
+    import graft.graph.LinkGraph
+    val urls = Seq(
+      ("https://a.example/1", "https://b.example/x"),
+      ("https://a.example/1", "https://b.example/x"), // exact dup url pair → one endorsement
+      ("https://a.example/2", "https://b.example/x"), // distinct src url → second endorsement
+      ("https://A.EXAMPLE:443/3", "https://b.example/y"), // case/port fold into the same host
+      ("https://a.example/4", "https://a.example/5"),  // intra-host → dropped
+      ("not a url", "https://b.example/z"),            // unparseable src → dropped
+      ("https://c.example/1", "https://a.example/9"))
+      .toDF("src_url", "dst_url")
+    val hg = LinkGraph.hostGraph(urls, "src_url", "dst_url")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(hg == Map(
+      ("a.example", "b.example") -> 3L,
+      ("c.example", "a.example") -> 1L))
   }
 
   test("gopher gate: each rule trips on its construction, good doc passes all") {

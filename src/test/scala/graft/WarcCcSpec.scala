@@ -325,4 +325,109 @@ class WarcCcSpec extends AnyFunSuite {
     }
     assert(!got.contains("https://wx4.example/p4"), "non-200 capture must not extract")
   }
+
+  test("wet: conversion records round-trip; warcinfo skipped; corrupt tail quarantined") {
+    import graft.sources.WarcWriter
+    val ts = java.sql.Timestamp.from(java.time.Instant.parse("2026-02-03T04:05:06Z"))
+    val rec = WarcWriter.conversionRecord("https://a.example/x", ts, "Extracted text.\nLine two — ünïcode.")
+    val rows = Warc.wetRowsOf(rec)
+    assert(rows.size == 1 && rows.head.error == null)
+    assert(rows.head.url == "https://a.example/x")
+    assert(rows.head.warc_ts == ts)
+    assert(rows.head.text == "Extracted text.\nLine two — ünïcode.")
+    assert(rows.head.content_length == "Extracted text.\nLine two — ünïcode.".getBytes(UTF_8).length.toLong)
+    // a WET file leads with warcinfo; only conversion records surface
+    val wetFile = (record("warcinfo", null, "software: graft\r\n") +
+      new String(rec, UTF_8) +
+      record("response", "https://a.example/y", httpPayload("ignored"))).getBytes(UTF_8)
+    val rows2 = Warc.wetRowsOf(wetFile)
+    assert(rows2.size == 1 && rows2.head.url == "https://a.example/x")
+    // corrupt tail: good prefix + one error row
+    val bad = wetFile ++ "NOT A WARC\r\n".getBytes(UTF_8)
+    val rows3 = Warc.wetRowsOf(bad)
+    assert(rows3.size == 2 && rows3(0).url == "https://a.example/x")
+    assert(rows3(1).text == null && rows3(1).error != null && rows3(1).error.contains("bad magic"))
+    // determinism: same row → same bytes
+    assert(java.util.Arrays.equals(rec,
+      WarcWriter.conversionRecord("https://a.example/x", ts, "Extracted text.\nLine two — ünïcode.")))
+  }
+
+  test("wet: file sink round-trips via readWetFiles and recordAt, both layouts") {
+    import spark.implicits._
+    import graft.sources.WarcWriter
+    val rows = (0 until 23).map { i =>
+      (s"https://w$i.example/p$i",
+        java.sql.Timestamp.from(java.time.Instant.parse("2026-01-01T00:00:00Z")
+          .plusSeconds(i * 61L)),
+        s"text of doc $i ${"y" * (i * 7 % 31)}")
+    }
+    val df = rows.toDF("url", "warc_ts", "text")
+      .repartition(3, $"url").sortWithinPartitions("url")
+    for (gzip <- Seq(false, true)) {
+      val dir = Files.createTempDirectory(s"graft_wet_out_$gzip").toString
+      val ext = if (gzip) "warc.wet.gz" else "warc.wet"
+      val idx = WarcWriter.writeWetFiles(df, dir, gzip = gzip)
+      assert(idx.count() == 23L)
+      val back = Warc.readWetFiles(spark, s"$dir/*.$ext")
+        .select("url", "warc_ts", "text")
+        .as[(String, java.sql.Timestamp, String)].collect().toSet
+      assert(back == rows.toSet)
+      // every index row addresses exactly its record
+      val files = idx.select("filename").distinct().as[String].collect()
+        .map(n => n -> java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(dir, n))).toMap
+      idx.as[(String, String, java.sql.Timestamp, Long, Long)].collect().foreach {
+        case (fn, url, _, off, len) =>
+          val got = Warc.recordAt(files(fn), off, len)
+          assert(got.isRight && got.toOption.get.headers("warc-target-uri") == url)
+      }
+    }
+  }
+
+  test("wat: envelope fields parse typed; malformed json yields nulls; links feed the graph shape") {
+    import spark.implicits._
+    val good =
+      """{"Envelope": {"WARC-Header-Metadata": {"WARC-Target-URI": "https://a.example/x",
+        |"WARC-Date": "2026-01-05T12:00:00Z"},
+        |"Payload-Metadata": {"HTTP-Response-Metadata": {
+        |"Response-Message": {"Status": "200"},
+        |"HTML-Metadata": {"Head": {"Title": "A page"},
+        |"Links": [{"path": "A@/href", "url": "https://b.example/1", "text": "one"},
+        |          {"path": "A@/href", "url": "https://b.example/2", "text": "two"}]}}}}}""".stripMargin.replace("\n", " ")
+    val noLinks =
+      """{"Envelope": {"WARC-Header-Metadata": {"WARC-Target-URI": "https://a.example/y",
+        |"WARC-Date": "2026-01-06T12:00:00Z"},
+        |"Payload-Metadata": {"HTTP-Response-Metadata": {
+        |"Response-Message": {"Status": "404"},
+        |"HTML-Metadata": {"Head": {}, "Links": []}}}}}""".stripMargin.replace("\n", " ")
+    val df = Seq(good, noLinks, "{not json").toDF("json")
+    val out = CommonCrawl.parseWat(df, "json").collect()
+    val byUrl = out.filter(_.getString(0) != null).map(r => r.getString(0) -> r).toMap
+    val g = byUrl("https://a.example/x")
+    assert(g.getTimestamp(1).toInstant.toString == "2026-01-05T12:00:00Z")
+    assert(g.getLong(2) == 200L && g.getString(3) == "A page")
+    val links = g.getSeq[org.apache.spark.sql.Row](4)
+    assert(links.map(_.getAs[String]("url")) == Seq("https://b.example/1", "https://b.example/2"))
+    assert(links.head.getAs[String]("text") == "one")
+    val n = byUrl("https://a.example/y")
+    assert(n.getLong(2) == 404L && n.getString(3) == null && n.getSeq[Any](4).isEmpty)
+    // the malformed line survives as all-nulls, never an exception
+    assert(out.count(_.getString(0) == null) == 1)
+  }
+
+  test("wat: watRowsOf surfaces metadata records only; readWatFiles chains into parseWat") {
+    import spark.implicits._
+    val env = """{"Envelope": {"WARC-Header-Metadata": {"WARC-Target-URI": "https://m.example/1", "WARC-Date": "2026-01-07T00:00:00Z"}, "Payload-Metadata": {"HTTP-Response-Metadata": {"Response-Message": {"Status": "200"}, "HTML-Metadata": {"Head": {"Title": "t1"}, "Links": []}}}}}"""
+    val buf = (record("warcinfo", null, "software: graft\r\n") +
+      record("metadata", "https://m.example/1", env) +
+      record("response", "https://m.example/1", httpPayload("<html/>"))).getBytes(UTF_8)
+    val rows = Warc.watRowsOf(buf)
+    assert(rows.size == 1 && rows.head.url == "https://m.example/1" && rows.head.json == env)
+    val dir = Files.createTempDirectory("graft_wat").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "f.warc.wat"), buf)
+    val parsed = CommonCrawl.parseWat(
+      Warc.readWatFiles(spark, s"$dir/*.warc.wat"), "json").collect()
+    assert(parsed.length == 1 && parsed.head.getString(0) == "https://m.example/1"
+      && parsed.head.getString(3) == "t1")
+  }
 }
