@@ -281,7 +281,11 @@ object CrawlJob {
     * the graph instead of sitemap declarations). "indegree" is exact
     * (integer counts — bit-identical across engines and runs);
     * "pagerank" ranks are rounded to 6 decimals so the float value a
-    * priority comparison sees is stable across partition orders.
+    * priority comparison sees is stable across partition orders;
+    * "hostrank" collapses to the weighted HOST graph first and lets
+    * every url inherit its host's rank — the form that stays cheap at
+    * 10^10 urls, where the page graph has 10^11+ edges but the host
+    * graph ~10^7 nodes.
     *
     * Scale shape: one flat multi-path read of the results tables
     * pruned to (url, outlinks), canonicalization at the explode, then
@@ -305,6 +309,22 @@ object CrawlJob {
           .select(col("node").as("url"), col("in_degree").cast("double").as("link_rank"))
         case "pagerank" => LinkGraph.pagerank(edges, "src", "dst", cfg.linkPriorityIters)
           .select(col("node").as("url"), round(col("rank"), 6).as("link_rank"))
+        case "hostrank" =>
+          // the 10^10-scale form: collapse to the host graph (orders of
+          // magnitude smaller), rank hosts with weighted PageRank, and
+          // every discovered url INHERITS its host's rank. Inner join:
+          // a url whose host has no inter-host edge stays absent from
+          // the table → NULL priority, like an unranked node in the
+          // other modes
+          val hg = LinkGraph.hostGraph(edges, "src", "dst")
+          val hr = LinkGraph.weightedPagerank(hg, "src_host", "dst_host", "weight",
+            cfg.linkPriorityIters)
+          val hostUdf = udf((u: String) => graft.url.UrlCanonical.hostOf(u))
+          edges.select(col("src").as("url"))
+            .unionByName(edges.select(col("dst").as("url"))).distinct()
+            .withColumn("host", hostUdf(col("url")))
+            .join(hr.withColumnRenamed("node", "host"), Seq("host"))
+            .select(col("url"), round(col("rank"), 6).as("link_rank"))
       }
     }
     ranked
@@ -315,8 +335,8 @@ object CrawlJob {
           cfg: Scheduler.Config = Scheduler.Config(),
           maxRounds: Int = 50,
           bloomThreshold: Long = 100000L): Int = {
-    require(cfg.linkPriorityMode.forall(Set("indegree", "pagerank", "urlshape")),
-      s"linkPriorityMode must be indegree|pagerank|urlshape, got ${cfg.linkPriorityMode}")
+    require(cfg.linkPriorityMode.forall(Set("indegree", "pagerank", "hostrank", "urlshape")),
+      s"linkPriorityMode must be indegree|pagerank|hostrank|urlshape, got ${cfg.linkPriorityMode}")
     require(Set("bloom", "cuckoo")(cfg.seenSketch),
       s"seenSketch must be bloom|cuckoo, got ${cfg.seenSketch}")
     require(cfg.linkPriorityEvery > 0,

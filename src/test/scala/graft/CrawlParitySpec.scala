@@ -173,6 +173,51 @@ class CrawlParitySpec extends AnyFunSuite {
     assert(sparkSeen(workDir, last) == ref.seen)
   }
 
+  test("host-graph priority feeds the frontier: hostrank re-scoring parity with reference") {
+    val (pages, robots, sitemaps, limits, seeds) = collectSite()
+    // sequential twin of linkRanks' "hostrank" branch: distinct url
+    // pairs → host pairs (UrlCanonical.hostOf, intra-host/invalid
+    // dropped) → integer weights → 3 weighted damped iterations → every
+    // url whose host is ranked inherits the rank, rounded like Spark's
+    // round(col, 6) (HALF_UP); urls from unranked hosts stay ABSENT
+    // (NULL priority on the Spark side, ranks.get(u) = None here)
+    def refHostRank(edges: Seq[(String, String)]): Map[String, Double] = {
+      import graft.url.UrlCanonical.hostOf
+      val pairs = edges.distinct.map { case (s, d) => (hostOf(s), hostOf(d)) }
+        .filter { case (s, d) => s.nonEmpty && d.nonEmpty && s != d }
+      val w = pairs.groupBy(identity).view.mapValues(_.size.toDouble).toMap
+      val nodes = w.keys.flatMap { case (s, d) => Seq(s, d) }.toList.distinct
+      val wout = w.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+      var r = nodes.map(_ -> 1.0).toMap
+      for (_ <- 1 to 3) {
+        val inflow = scala.collection.mutable.Map[String, Double]().withDefaultValue(0.0)
+        w.foreach { case ((u, v), wt) => inflow(v) += r(u) * wt / wout(u) }
+        r = nodes.map(n => n -> (0.15 + 0.85 * inflow(n))).toMap
+      }
+      edges.flatMap(e => Seq(e._1, e._2)).distinct.flatMap(u =>
+        r.get(hostOf(u)).map(rank => u ->
+          BigDecimal(rank).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)).toMap
+    }
+    val every = 2
+    val ref = RefCrawl.run(pages, robots, sitemaps, limits, seeds,
+      linkRankEvery = Some(every), linkRankOf = refHostRank)
+    val refPlain = RefCrawl.run(pages, robots, sitemaps, limits, seeds)
+    assert(ref.trace != refPlain.trace,
+      "hostrank re-scoring changed nothing — the parity case would not exercise the seam")
+
+    val workDir = java.nio.file.Files.createTempDirectory("graft_crawl_hr").toString
+    val cfg = graft.frontier.Scheduler.Config(
+      linkPriorityMode = Some("hostrank"), linkPriorityEvery = every)
+    val last = CrawlJob.run(spark, siteDir, workDir, cfg, bloomThreshold = 100L)
+    val got = sparkTrace(workDir, last)
+    val want = ref.trace.map(t => (t.round, t.host, t.rank, t.url)).sortBy(t => (t._1, t._2, t._3))
+    assert(got.size == want.size, s"trace size: spark=${got.size} ref=${want.size}")
+    got.zip(want).zipWithIndex.foreach { case ((g, w), i) =>
+      assert(g == w, s"trace row $i differs: spark=$g ref=$w")
+    }
+    assert(sparkSeen(workDir, last) == ref.seen)
+  }
+
   test("URL-shape priority feeds the frontier: urlshape re-scoring parity with reference") {
     val (pages, robots, sitemaps, limits, seeds) = collectSite()
     val every = 2
