@@ -622,6 +622,18 @@ object SparkEntry {
         .orderBy("dst", "anchor_rank")
     }),
 
+    // ---- b1: BM25 keyword scoring (the lexical half of hybrid
+    // retrieval, completing BM25 ∪ vector → W6 rerank). idf is driver-
+    // computed at a 6-decimal granule (the ln discipline of f13); every
+    // distributed op is IEEE arithmetic in a pinned order; the per-doc
+    // sum left-folds in ascending term order — DuckDB recomputes the
+    // identical doubles from raw text. ----
+    "b1_bm25" -> ((s, dir) => {
+      graft.search.Bm25.score(pq(s, dir, "documents"), "doc_id", "text",
+          Seq("join", "filter", "scan", "batch"))
+        .orderBy("doc_id")
+    }),
+
     // ---- l3: HOST-graph weighted PageRank — the rank a 10^10-URL
     // frontier actually computes (page-level PR is 10^11+ edges; the
     // host graph is ~10^7 nodes, and every URL inherits its host's
@@ -2435,6 +2447,33 @@ object SparkEntry {
          |r0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS rank FROM nodes),
          |${pagerankIterCtes(3)}
          |SELECT CAST(node AS BIGINT) AS node, round(rank, 6) AS rank FROM r3 ORDER BY node""".stripMargin,
+
+    // b1: DuckDB retokenizes the raw text, recomputes dl/avgdl/df, the
+    // same 6dp-rounded idf (its own ln — the granule absorbs ulp
+    // drift), the pinned-order contribution expression, and the same
+    // ascending-term left-fold (list_reduce from acc=first element —
+    // 0.0 + x == x, so the folds are bit-identical).
+    "b1_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |           x -> x <> '')) AS token
+        |  FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+        |st AS (SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks
+        |       WHERE token IN ('batch', 'filter', 'join', 'scan') GROUP BY 1, 2),
+        |dft AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |idf AS (SELECT token,
+        |          round(ln((((SELECT n FROM st) - df + 0.5) / (df + 0.5)) + 1), 6) AS idf
+        |        FROM dft),
+        |c AS (SELECT tf.doc_id, tf.token,
+        |        idf.idf * (tf.tf * (1.2 + 1)) /
+        |          (tf.tf + 1.2 * ((1 - 0.75) + (0.75 * dl.dl) / (SELECT avgdl FROM st))) AS c
+        |      FROM tf JOIN idf ON idf.token = tf.token JOIN dl ON dl.doc_id = tf.doc_id)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit,
+        |  list_reduce(list(c ORDER BY token), (acc, x) -> acc + x) AS score
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // l3: DuckDB rebuilds the url pairs from doc_id mod 60, extracts
     // hosts by string split (an independent path from UrlCanonical),

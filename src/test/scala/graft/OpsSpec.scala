@@ -1012,6 +1012,49 @@ class OpsSpec extends AnyFunSuite {
     assert(ind == Map(0L -> 7L))
   }
 
+  test("bm25: hand-computed scores on a known corpus; stats injection; topK determinism") {
+    import spark.implicits._
+    import graft.search.Bm25
+    val docs = Seq(
+      (1L, "spark spark join fast"),        // dl 4: spark x2, join x1
+      (2L, "join join join slow engine"),   // dl 5: join x3
+      (3L, "nothing relevant here at all"), // dl 5: no hit
+      (4L, "spark")                         // dl 1: spark x1
+    ).toDF("doc_id", "text")
+    val q = Seq("Spark", "  join ", "spark", "") // normalization: dedup/case/trim/blank
+    assert(Bm25.normalizeQuery(q) == Seq("join", "spark"))
+    val got = Bm25.score(docs, "doc_id", "text", q)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // sequential twin: N=4, avgdl=15/4; df(join)=2, df(spark)=2
+    val n = 4L; val avgdl = 15.0 / 4
+    def round6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def idf(df: Long) = round6(math.log((n - df + 0.5) / (df + 0.5) + 1))
+    // pinned order mirror: (idf * (tf*(k1+1))) / denom — multiply by idf
+    // BEFORE the division, as the distributed expression associates
+    def c(df: Long, tf: Long, dl: Long) =
+      (idf(df) * (tf * (1.2 + 1))) / (tf + 1.2 * ((1 - 0.75) + (0.75 * dl) / avgdl))
+    val exp = Map(
+      1L -> (2L, (0.0 + c(2, 1, 4)) + c(2, 2, 4)), // join then spark (ascending fold)
+      2L -> (1L, 0.0 + c(2, 3, 5)),
+      4L -> (1L, 0.0 + c(2, 1, 1)))
+    assert(got.keySet == exp.keySet) // doc 3 matches nothing → absent
+    exp.foreach { case (k, (nt, sc)) =>
+      assert(got(k)._1 == nt && got(k)._2 == sc, s"doc $k: ${got(k)} vs ($nt, $sc)")
+    }
+    // injected stats reproduce the in-plan path exactly
+    val st = Bm25.stats(docs, "doc_id", "text", q)
+    assert(st.nDocs == 4 && st.avgdl == avgdl && st.df == Map("join" -> 2L, "spark" -> 2L))
+    val got2 = Bm25.score(docs, "doc_id", "text", q, corpusStats = Some(st))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got2 == got)
+    // topK: highest score first, doc_id tiebreak, deterministic
+    val top = Bm25.topK(docs, "doc_id", "text", q, k = 2).collect().map(_.getLong(0)).toSeq
+    assert(top == got.toSeq.sortBy { case (id, (_, s)) => (-s, id) }.take(2).map(_._1))
+    // degenerate inputs rejected
+    intercept[IllegalArgumentException](Bm25.score(docs, "doc_id", "text", Seq(" ", "")))
+    intercept[IllegalArgumentException](Bm25.score(docs, "doc_id", "text", Seq("x"), b = 1.5))
+  }
+
   test("weightedPagerank: uniform weights reduce to pagerank; sequential twin on a weighted graph") {
     import spark.implicits._
     import graft.graph.LinkGraph
