@@ -622,6 +622,18 @@ object SparkEntry {
         .orderBy("dst", "anchor_rank")
     }),
 
+    // ---- a12: gap-based sessionization (crawl-ops politeness/burst
+    // auditing over any (key, ts) log) — integer-exact: break = epoch
+    // difference comparison, session id = running break count, ties
+    // ordered by event_id; DuckDB reproduces every id and aggregate
+    // bit-for-bit with its own windows. ----
+    "a12_sessions" -> ((s, dir) => {
+      graft.stats.Sessions.sessionStats(
+          pq(s, dir, "events").select(col("user_id"), col("ts"), col("event_id")),
+          "user_id", "ts", "event_id", gapSec = 1800L)
+        .orderBy("user_id", "session_id")
+    }),
+
     // ---- b1: BM25 keyword scoring (the lexical half of hybrid
     // retrieval, completing BM25 ∪ vector → W6 rerank). idf is driver-
     // computed at a 6-decimal granule (the ln discipline of f13); every
@@ -2447,6 +2459,27 @@ object SparkEntry {
          |r0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS rank FROM nodes),
          |${pagerankIterCtes(3)}
          |SELECT CAST(node AS BIGINT) AS node, round(rank, 6) AS rank FROM r3 ORDER BY node""".stripMargin,
+
+    // a12: DuckDB recomputes sessionization with its own windows —
+    // same (ts, event_id) order, same epoch-difference break rule,
+    // same running-sum ids — all integer-exact.
+    "a12_sessions" ->
+      """WITH b AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL THEN 0
+        |         WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800 * 1000000 THEN 1
+        |         ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sid AS (
+        |  SELECT user_id, ts,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                   ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM b)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  count(*) AS n_events, min(ts) AS start_ts, max(ts) AS end_ts,
+        |  CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS duration_us
+        |FROM sid GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin,
 
     // b1: DuckDB retokenizes the raw text, recomputes dl/avgdl/df, the
     // same 6dp-rounded idf (its own ln — the granule absorbs ulp

@@ -1,0 +1,61 @@
+package graft.stats
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Gap-based sessionization of an event/fetch log — the crawl-ops
+  * analytics view over the engine's own trace tables (and any
+  * (key, timestamp) log): consecutive events of one key belong to one
+  * session while the gap stays ≤ `gapSec`; a larger gap starts a new
+  * session. Per-host fetch sessions are how a crawl audits its own
+  * politeness (burst length, inter-burst spacing) and how request-log
+  * anomalies (hammering, stuck retries) surface.
+  *
+  * Semantics are integer-exact: the session break compares epoch-
+  * MICROsecond differences (timestamps carry sub-second precision —
+  * second-truncated arithmetic would misclassify sub-second gaps and
+  * no independent engine could reproduce it), the session index is a
+  * running count of breaks — any engine reproduces every id and
+  * aggregate bit-for-bit (no floats anywhere). Events are ordered
+  * (ts, tiebreak) so equal timestamps have a deterministic order.
+  *
+  * Scale shape: one window partitioned by key (lag + running sum in
+  * the SAME window — one Exchange, one Sort), then a map-side-
+  * combinable groupBy(key, session). A key's partition holds only its
+  * own history; for the politeness-trace use the per-key volume is
+  * bounded by the crawl's own rate limit (a host fetched at r rps for
+  * a day is ~86400·r rows — window-safe by construction). For
+  * unbounded external logs, pre-split the key by time range first. */
+object Sessions {
+
+  /** Per-event session assignment: adds `session_id` (0-based per key,
+    * in time order) to the input rows. `tieCol` breaks equal-timestamp
+    * orders deterministically. */
+  def assignSessions(df: DataFrame, keyCol: String, tsCol: String,
+                     tieCol: String, gapSec: Long): DataFrame = {
+    require(gapSec > 0, s"gapSec must be positive, got $gapSec")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    // cast: parquet NTZ timestamps → session-zone instants (UTC by
+    // session convention) so unix_micros accepts both timestamp kinds
+    val us = unix_micros(col(tsCol).cast("timestamp"))
+    val prev = lag(us, 1).over(w)
+    val isBreak = when(prev.isNull, lit(0L))
+      .when(us - prev > gapSec * 1000000L, lit(1L))
+      .otherwise(lit(0L))
+    df.withColumn("session_id",
+      sum(isBreak).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** Per-session rollup: (key, session_id, n_events, start_ts, end_ts,
+    * duration_us — exact microseconds, no truncation). */
+  def sessionStats(df: DataFrame, keyCol: String, tsCol: String,
+                   tieCol: String, gapSec: Long): DataFrame =
+    assignSessions(df, keyCol, tsCol, tieCol, gapSec)
+      .groupBy(col(keyCol), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col(tsCol)).as("start_ts"),
+        max(col(tsCol)).as("end_ts"),
+        (unix_micros(max(col(tsCol)).cast("timestamp"))
+          - unix_micros(min(col(tsCol)).cast("timestamp"))).as("duration_us"))
+}

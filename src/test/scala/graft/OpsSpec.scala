@@ -1012,6 +1012,34 @@ class OpsSpec extends AnyFunSuite {
     assert(ind == Map(0L -> 7L))
   }
 
+  test("sessionize: gap rule, tie order, running ids, exact stats") {
+    import spark.implicits._
+    import graft.stats.Sessions
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val log = Seq(
+      ("h1", ts("2026-01-01 00:00:00"), 1L),
+      ("h1", ts("2026-01-01 00:10:00"), 2L),  // gap 600 ≤ 1800 → same session
+      ("h1", ts("2026-01-01 00:40:01"), 3L),  // gap 1801 > 1800 → break
+      ("h1", ts("2026-01-01 01:10:01"), 4L),  // gap 1800 exactly → same session
+      ("h2", ts("2026-01-01 00:00:00"), 6L),  // tie on ts with id 5: id order decides
+      ("h2", ts("2026-01-01 00:00:00"), 5L),
+      ("h2", ts("2026-01-01 02:00:00"), 7L))  // break
+      .toDF("host", "ts", "event_id")
+    val ids = Sessions.assignSessions(log, "host", "ts", "event_id", 1800L)
+      .collect().map(r => (r.getString(0), r.getLong(2)) -> r.getLong(3)).toMap
+    assert(ids == Map(("h1", 1L) -> 0L, ("h1", 2L) -> 0L, ("h1", 3L) -> 1L,
+      ("h1", 4L) -> 1L, ("h2", 5L) -> 0L, ("h2", 6L) -> 0L, ("h2", 7L) -> 1L))
+    val stats = Sessions.sessionStats(log, "host", "ts", "event_id", 1800L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getTimestamp(3), r.getLong(5))).toMap
+    assert(stats(("h1", 0L)) == (2L, ts("2026-01-01 00:00:00"), 600L * 1000000))
+    assert(stats(("h1", 1L)) == (2L, ts("2026-01-01 00:40:01"), 1800L * 1000000))
+    assert(stats(("h2", 0L)) == (2L, ts("2026-01-01 00:00:00"), 0L))
+    assert(stats(("h2", 1L)) == (1L, ts("2026-01-01 02:00:00"), 0L))
+    intercept[IllegalArgumentException](
+      Sessions.assignSessions(log, "host", "ts", "event_id", 0L))
+  }
+
   test("bm25: hand-computed scores on a known corpus; stats injection; topK determinism") {
     import spark.implicits._
     import graft.search.Bm25
