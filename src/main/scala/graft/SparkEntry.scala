@@ -622,6 +622,27 @@ object SparkEntry {
         .orderBy("dst", "anchor_rank")
     }),
 
+    // ---- s18: sitemap-protocol export (the crawl publishing its url
+    // catalog in the format its own S3 scanner consumes). Entries carry
+    // an &-bearing query to exercise XML escaping; file assignment is
+    // the deterministic md5 shard, so DuckDB rebuilds every file's
+    // byte-exact XML (f12's shard idiom + ordered string_agg). ----
+    "s18_sitemap_files" -> ((s, dir) => {
+      val docs = pq(s, dir, "documents").select(
+        concat(lit("https://h"), (col("doc_id") % 4).cast("string"),
+          lit(".example/doc/"), col("doc_id").cast("string"),
+          lit("?a=1&b=2")).as("loc"),
+        when(col("doc_id") % 2 === 0,
+          concat(lit("2026-01-"), lpad(((col("doc_id") % 28) + 1).cast("string"), 2, "0")))
+          .otherwise(lit(null).cast("string")).as("lastmod"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit("0."), (col("doc_id") % 10).cast("string")))
+          .otherwise(lit(null).cast("string")).as("priority"))
+      graft.sources.Sinks.sitemapFiles(docs, "loc", "lastmod", "priority",
+          maxPerFile = 64, salt = "sm")
+        .orderBy("file_no")
+    }),
+
     // ---- a12: gap-based sessionization (crawl-ops politeness/burst
     // auditing over any (key, ts) log) — integer-exact: break = epoch
     // difference comparison, session id = running break count, ties
@@ -2459,6 +2480,39 @@ object SparkEntry {
          |r0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS rank FROM nodes),
          |${pagerankIterCtes(3)}
          |SELECT CAST(node AS BIGINT) AS node, round(rank, 6) AS rank FROM r3 ORDER BY node""".stripMargin,
+
+    // s18: DuckDB rebuilds the url catalog, escapes, shards with the
+    // f12 md5 idiom (nFiles = ceil(500/51.2) = 10 at the verify scale),
+    // and reassembles every file's XML byte-for-byte with an ordered
+    // string_agg.
+    "s18_sitemap_files" ->
+      """WITH cat AS (
+        |  SELECT
+        |    'https://h' || (doc_id % 4) || '.example/doc/' || doc_id || '?a=1&b=2' AS loc,
+        |    CASE WHEN doc_id % 2 = 0
+        |         THEN '2026-01-' || lpad(CAST((doc_id % 28) + 1 AS VARCHAR), 2, '0')
+        |         ELSE NULL END AS lastmod,
+        |    CASE WHEN doc_id % 3 = 0 THEN '0.' || (doc_id % 10) ELSE NULL END AS priority
+        |  FROM documents),
+        |nf AS (SELECT CAST(ceil(count(*) / (64 * 0.8)) AS BIGINT) AS n FROM cat),
+        |e AS (
+        |  SELECT loc,
+        |    '<url><loc>' ||
+        |    replace(replace(replace(replace(replace(loc,
+        |      '&', '&amp;'), '<', '&lt;'), '>', '&gt;'), '"', '&quot;'), '''', '&apos;')
+        |    || '</loc>' ||
+        |    coalesce('<lastmod>' || lastmod || '</lastmod>', '') ||
+        |    coalesce('<priority>' || priority || '</priority>', '') ||
+        |    '</url>' AS entry,
+        |    md5(loc || 'sm') AS h
+        |  FROM cat),
+        |s AS (SELECT loc, entry, h,
+        |        ('0x' || substr(h, 1, 8))::BIGINT % (SELECT n FROM nf) AS file_no FROM e)
+        |SELECT CAST(file_no AS BIGINT) AS file_no, count(*) AS n_urls,
+        |  '<?xml version="1.0" encoding="UTF-8"?>' || chr(10) ||
+        |  '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">' || chr(10) ||
+        |  string_agg(entry, chr(10) ORDER BY h, loc) || chr(10) || '</urlset>' || chr(10) AS xml
+        |FROM s GROUP BY file_no ORDER BY file_no""".stripMargin,
 
     // a12: DuckDB recomputes sessionization with its own windows —
     // same (ts, event_id) order, same epoch-difference break rule,

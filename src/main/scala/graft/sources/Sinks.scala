@@ -111,4 +111,88 @@ object Sinks {
   /** S11: url export line column. */
   def urlExportLines(df: DataFrame, loc: String, priority: String, lastmod: String): DataFrame =
     df.select(PipelineOps.urlExportLine(col(loc), col(priority), col(lastmod)).as("line"))
+
+  // ---------------------------------------------------------------------
+  // Sitemap-protocol export (sitemaps.org 0.9) — the crawl publishing
+  // its own url catalog in the same format its sitemap SCANNER (S3)
+  // consumes: writer and reader close the loop like WarcWriter/Warc.
+  // The protocol caps a sitemap file at 50,000 urls; file assignment
+  // reuses the deterministic md5 shard machinery (Sampling.assignShards)
+  // so the file a url lands in — and the file contents byte-for-byte —
+  // are invariant under partitioning, retries, and cluster size.
+  // ---------------------------------------------------------------------
+
+  /** XML text escaping for element content (& first, then the brackets
+    * and quotes — the five predefined entities). */
+  def xmlEscapeCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    replace(replace(replace(replace(replace(c,
+      lit("&"), lit("&amp;")), lit("<"), lit("&lt;")), lit(">"), lit("&gt;")),
+      lit("\""), lit("&quot;")), lit("'"), lit("&apos;"))
+
+  /** One `<url>` entry: loc escaped; lastmod/priority are pre-formatted
+    * STRING columns, each omitted when null (the protocol makes both
+    * optional). */
+  def sitemapEntry(loc: org.apache.spark.sql.Column,
+                   lastmod: org.apache.spark.sql.Column,
+                   priority: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(lit("<url><loc>"), xmlEscapeCol(loc), lit("</loc>"),
+      when(lastmod.isNotNull, concat(lit("<lastmod>"), lastmod, lit("</lastmod>")))
+        .otherwise(lit("")),
+      when(priority.isNotNull, concat(lit("<priority>"), priority, lit("</priority>")))
+        .otherwise(lit("")),
+      lit("</url>"))
+
+  /** Sitemap files for a url catalog: one row per file, `(file_no,
+    * n_urls, xml)`. Files are assigned by the deterministic md5 shard
+    * (20% headroom under `maxPerFile`, spec default 50,000) and entries
+    * within a file concatenate in (digest, loc) shard order — same
+    * catalog, same bytes, any cluster. The per-file cap is VALIDATED
+    * (one action over the file-count-sized result), not assumed.
+    *
+    * Scale shape: one count (file-count derivation), one shard window
+    * bounded at ~maxPerFile rows per partition (the writer's own
+    * sequential unit — the same argument as `Sampling.assignShards`),
+    * one map-side-combinable groupBy(file_no) whose `collect_list` is
+    * capped by the spec's own 50k-entries/50MB file bound. */
+  def sitemapFiles(df: DataFrame, locCol: String, lastmodCol: String,
+                   priorityCol: String, maxPerFile: Int = 50000,
+                   salt: String = ""): DataFrame = {
+    require(maxPerFile > 0, s"maxPerFile must be positive, got $maxPerFile")
+    val entries = df.select(col(locCol).as("_loc"),
+      sitemapEntry(col(locCol), col(lastmodCol), col(priorityCol)).as("_entry"))
+    val n = entries.count()
+    val nFiles = math.max(1L, math.ceil(n / (maxPerFile * 0.8)).toLong).toInt
+    val sharded = graft.sample.Sampling.assignShards(
+      entries, col("_loc"), nFiles, salt, shardCol = "file_no", posCol = "pos")
+    val body = array_join(
+      transform(array_sort(collect_list(struct(col("pos"), col("_entry")))),
+        x => x.getField("_entry")),
+      "\n")
+    val out = sharded.groupBy(col("file_no"))
+      .agg(count(lit(1)).as("n_urls"),
+        concat(
+          lit("<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
+            "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n"),
+          body, lit("\n</urlset>\n")).as("xml"))
+      .localCheckpoint(true)
+    val worst = out.agg(max("n_urls")).collect()(0).getLong(0)
+    require(worst <= maxPerFile,
+      s"shard skew exceeded the sitemap cap: $worst > $maxPerFile urls in one file " +
+        s"(raise nFiles headroom or maxPerFile)")
+    out
+  }
+
+  /** Sitemap index XML over the generated files — file count is bounded
+    * by construction (catalog/40k), so this is a driver-side string. */
+  def sitemapIndexXml(fileNos: Seq[Long], urlForFile: Long => String,
+                      lastmod: Option[String] = None): String = {
+    def esc(s: String) = s.replace("&", "&amp;").replace("<", "&lt;")
+      .replace(">", "&gt;").replace("\"", "&quot;").replace("'", "&apos;")
+    val lm = lastmod.map(l => s"<lastmod>$l</lastmod>").getOrElse("")
+    fileNos.sorted.map(i => s"<sitemap><loc>${esc(urlForFile(i))}</loc>$lm</sitemap>")
+      .mkString(
+        "<?xml version=\"1.0\" encoding=\"UTF-8\"?>\n" +
+          "<sitemapindex xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n",
+        "\n", "\n</sitemapindex>\n")
+  }
 }

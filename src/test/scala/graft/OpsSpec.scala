@@ -1012,6 +1012,43 @@ class OpsSpec extends AnyFunSuite {
     assert(ind == Map(0L -> 7L))
   }
 
+  test("sitemap writer: files round-trip through the engine's own parser, cap enforced, deterministic") {
+    import spark.implicits._
+    import graft.sources.Sinks
+    val catalog = (0 until 120).map { i =>
+      (s"https://w.example/p$i?a=1&b=<2>",
+        if (i % 2 == 0) f"2026-02-${i % 28 + 1}%02d" else null,
+        if (i % 3 == 0) s"0.${i % 10}" else null)
+    }
+    val df = catalog.toDF("loc", "lastmod", "priority")
+    val files = Sinks.sitemapFiles(df, "loc", "lastmod", "priority", maxPerFile = 32, salt = "t")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(files.map(_._2).sum == 120L)
+    assert(files.forall(_._2 <= 32L))
+    // every file parses with the S3 scanner; the union reproduces the
+    // catalog exactly — writer and reader close the loop (entities
+    // decode: &amp; and &lt; come back as raw & and <)
+    val parsed = files.flatMap { case (_, _, xml) =>
+      val r = graft.sitemap.Sitemap.parseXml(xml)
+      assert(r.childSitemaps.isEmpty)
+      r.entries
+    }
+    val want = catalog.map { case (l, lm, p) =>
+      (l, Option(lm), Option(p).map(_.toDouble)) }.toSet
+    assert(parsed.map(e => (e.loc, e.lastmod, e.priority)).toSet == want)
+    // determinism: a repartitioned input yields byte-identical files
+    val again = Sinks.sitemapFiles(df.repartition(7), "loc", "lastmod", "priority",
+        maxPerFile = 32, salt = "t")
+      .collect().map(r => (r.getLong(0), r.getString(2))).toMap
+    files.foreach { case (no, _, xml) => assert(again(no) == xml, s"file $no differs") }
+    // index parses as a sitemapindex pointing at every file
+    val idx = Sinks.sitemapIndexXml(files.map(_._1).toSeq,
+      i => s"https://w.example/sitemap-$i.xml?x=1&y=2")
+    val pr = graft.sitemap.Sitemap.parseXml(idx)
+    assert(pr.entries.isEmpty &&
+      pr.childSitemaps.toSet == files.map(f => s"https://w.example/sitemap-${f._1}.xml?x=1&y=2").toSet)
+  }
+
   test("sessionize: gap rule, tie order, running ids, exact stats") {
     import spark.implicits._
     import graft.stats.Sessions
