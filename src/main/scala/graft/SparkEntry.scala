@@ -622,6 +622,26 @@ object SparkEntry {
         .orderBy("dst", "anchor_rank")
     }),
 
+    // ---- a13: crawl-over-crawl diff (the recrawl ops view: unchanged/
+    // changed/gone/new per url + per-host drift rollup). Both snapshots
+    // derived from doc_id arithmetic (prev drops %7==3, curr drops
+    // %5==0, %4==1 mutates content) — DuckDB replays the full-outer
+    // classification and rollup exactly (strings and counts only). ----
+    "a13_crawl_diff" -> ((s, dir) => {
+      val docs = pq(s, dir, "documents").select(col("doc_id"), col("text"))
+      def urlOf = concat(lit("https://h"), (col("doc_id") % 6).cast("string"),
+        lit(".example/p"), col("doc_id").cast("string"))
+      val prev = docs.filter(col("doc_id") % 7 =!= 3)
+        .select(urlOf.as("url"), md5(col("text")).as("fp"))
+      val curr = docs.filter(col("doc_id") % 5 =!= 0)
+        .select(urlOf.as("url"),
+          md5(when(col("doc_id") % 4 === 1, concat(col("text"), lit(" v2")))
+            .otherwise(col("text"))).as("fp"))
+      graft.stats.CrawlDiff.hostSummary(
+          graft.stats.CrawlDiff.diff(prev, curr, "url", "fp"))
+        .orderBy("host")
+    }),
+
     // ---- s18: sitemap-protocol export (the crawl publishing its url
     // catalog in the format its own S3 scanner consumes). Entries carry
     // an &-bearing query to exercise XML escaping; file assignment is
@@ -2480,6 +2500,33 @@ object SparkEntry {
          |r0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS rank FROM nodes),
          |${pagerankIterCtes(3)}
          |SELECT CAST(node AS BIGINT) AS node, round(rank, 6) AS rank FROM r3 ORDER BY node""".stripMargin,
+
+    // a13: DuckDB replays the two snapshot derivations, the full-outer
+    // classification, and the per-host rollup — strings and counts
+    // only, exact.
+    "a13_crawl_diff" ->
+      """WITH p AS (
+        |  SELECT 'https://h' || (doc_id % 6) || '.example/p' || doc_id AS url,
+        |         md5(text) AS prev_fp, doc_id % 6 AS h
+        |  FROM documents WHERE doc_id % 7 <> 3),
+        |c AS (
+        |  SELECT 'https://h' || (doc_id % 6) || '.example/p' || doc_id AS url,
+        |         md5(CASE WHEN doc_id % 4 = 1 THEN text || ' v2' ELSE text END) AS curr_fp,
+        |         doc_id % 6 AS h
+        |  FROM documents WHERE doc_id % 5 <> 0),
+        |d AS (
+        |  SELECT coalesce(p.h, c.h) AS h,
+        |    CASE WHEN p.url IS NULL THEN 'new'
+        |         WHEN c.url IS NULL THEN 'gone'
+        |         WHEN p.prev_fp = c.curr_fp THEN 'unchanged'
+        |         ELSE 'changed' END AS status
+        |  FROM p FULL OUTER JOIN c ON p.url = c.url)
+        |SELECT 'h' || h || '.example' AS host,
+        |  CAST(sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged,
+        |  CAST(sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+        |  CAST(sum(CASE WHEN status = 'gone' THEN 1 ELSE 0 END) AS BIGINT) AS n_gone,
+        |  CAST(sum(CASE WHEN status = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+        |FROM d GROUP BY h ORDER BY host""".stripMargin,
 
     // s18: DuckDB rebuilds the url catalog, escapes, shards with the
     // f12 md5 idiom (nFiles = ceil(500/51.2) = 10 at the verify scale),

@@ -1,0 +1,63 @@
+package graft.stats
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Crawl-over-crawl change classification — the ops view a continuous
+  * crawl reads between rounds: given the previous and current snapshot
+  * of (url, content-fingerprint), every url is exactly one of
+  *
+  *   unchanged  — in both, same fingerprint
+  *   changed    — in both, different fingerprint
+  *   gone       — only in the previous crawl
+  *   new        — only in the current crawl
+  *
+  * The per-url table feeds `frontier.Recrawl`'s change history (a
+  * `changed` row is precisely the fingerprint-flip observation its
+  * Cho–Garcia-Molina estimator counts) and the per-host rollup is the
+  * drift dashboard (a host going 80% `gone` just restructured; a host
+  * 100% `unchanged` for months earns the recrawl back-off).
+  *
+  * Exactness: string equality and counts only — no floats; any engine
+  * reproduces every row. Inputs must be url-unique (one fingerprint
+  * per url per crawl — the shape the crawl's own `results` tables
+  * have); violations are rejected, not silently last-wins.
+  *
+  * Scale shape: ONE full-outer equi-join on url (both sides shuffle
+  * by the join key once — at 10^10 urls a sort-merge join AQE handles;
+  * with bucketed snapshots it is exchange-free) and a map-side-
+  * combinable rollup. */
+object CrawlDiff {
+
+  /** Per-url classification: (url, status, prev_fp, curr_fp). */
+  def diff(prev: DataFrame, curr: DataFrame,
+           urlCol: String, fpCol: String): DataFrame = {
+    val p = prev.select(col(urlCol).as("url"), col(fpCol).as("prev_fp"))
+    val c = curr.select(col(urlCol).as("url"), col(fpCol).as("curr_fp"))
+    for ((side, name) <- Seq(p -> "prev", c -> "curr")) {
+      val dup = side.groupBy("url").count().filter(col("count") > 1).limit(1).count()
+      require(dup == 0, s"$name crawl has duplicate urls — one fingerprint per url required")
+    }
+    p.join(c, Seq("url"), "full_outer")
+      .select(col("url"),
+        when(col("prev_fp").isNull, lit("new"))
+          .when(col("curr_fp").isNull, lit("gone"))
+          .when(col("prev_fp") === col("curr_fp"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"),
+        col("prev_fp"), col("curr_fp"))
+  }
+
+  /** Per-host drift rollup over [[diff]] output: one row per host with
+    * the four status counts (hosts derived with the engine's
+    * canonicalizer). */
+  def hostSummary(diffed: DataFrame): DataFrame = {
+    val hostUdf = udf((u: String) => graft.url.UrlCanonical.hostOf(u))
+    diffed.withColumn("host", hostUdf(col("url")))
+      .groupBy("host")
+      .agg(
+        sum(when(col("status") === "unchanged", 1L).otherwise(0L)).as("n_unchanged"),
+        sum(when(col("status") === "changed", 1L).otherwise(0L)).as("n_changed"),
+        sum(when(col("status") === "gone", 1L).otherwise(0L)).as("n_gone"),
+        sum(when(col("status") === "new", 1L).otherwise(0L)).as("n_new"))
+  }
+}

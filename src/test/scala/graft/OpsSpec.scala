@@ -1012,6 +1012,34 @@ class OpsSpec extends AnyFunSuite {
     assert(ind == Map(0L -> 7L))
   }
 
+  test("crawl diff: four statuses exact, dup urls rejected, host rollup") {
+    import spark.implicits._
+    import graft.stats.CrawlDiff
+    val prev = Seq(
+      ("https://a.example/1", "f1"), ("https://a.example/2", "f2"),
+      ("https://a.example/3", "f3"), ("https://b.example/1", "f4"))
+      .toDF("url", "fp")
+    val curr = Seq(
+      ("https://a.example/1", "f1"),   // unchanged
+      ("https://a.example/2", "f2x"),  // changed
+      ("https://b.example/2", "f9"),   // new
+      ("https://b.example/1", "f4"))   // unchanged; a/3 gone
+      .toDF("url", "fp")
+    val d = CrawlDiff.diff(prev, curr, "url", "fp")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(d == Map(
+      "https://a.example/1" -> "unchanged", "https://a.example/2" -> "changed",
+      "https://a.example/3" -> "gone", "https://b.example/1" -> "unchanged",
+      "https://b.example/2" -> "new"))
+    val hs = CrawlDiff.hostSummary(CrawlDiff.diff(prev, curr, "url", "fp"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(hs == Map("a.example" -> (1L, 1L, 1L, 0L), "b.example" -> (1L, 0L, 0L, 1L)))
+    intercept[IllegalArgumentException] {
+      CrawlDiff.diff(prev.unionAll(prev.limit(1)), curr, "url", "fp")
+    }
+  }
+
   test("sitemap writer: files round-trip through the engine's own parser, cap enforced, deterministic") {
     import spark.implicits._
     import graft.sources.Sinks
