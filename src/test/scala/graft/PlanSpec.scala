@@ -66,6 +66,33 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("hashpartitioning(user_id"), p.take(900))
   }
 
+  test("b1: token stream pruned to query terms below the aggregates; no window, no all-pairs") {
+    val p = planOf("b1_bm25")
+    assert(p.contains("IN (batch,filter,join,scan)") || p.contains("token#") && p.contains(" IN ("),
+      s"b1 missing the map-side isin prune:\n${p.take(900)}")
+    assert(!p.contains("Window"), s"b1 grew a window:\n${p.take(600)}")
+    assert(!p.contains("Cartesian") && !p.contains("BroadcastNestedLoop"),
+      s"b1 grew an all-pairs join:\n${p.take(600)}")
+  }
+
+  test("a12: lag window and session rollup share ONE exchange (subset partitioning)") {
+    val p = planOf("a12_sessions")
+    val n = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(n == 1, s"a12 expects exactly one exchange, got $n:\n${p.take(1200)}")
+    assert(p.contains("Window"), p.take(600))
+  }
+
+  test("a13: crawl diff is one full-outer equi-join + partial-agg'd rollup") {
+    val p = planOf("a13_crawl_diff")
+    assert(p.contains("FullOuter"), s"a13 missing the full-outer join:\n${p.take(900)}")
+    assert(!p.contains("Cartesian") && !p.contains("BroadcastNestedLoop"),
+      s"a13 grew an all-pairs join:\n${p.take(600)}")
+  }
+
+  // (s18 has no plan guard: sitemapFiles localCheckpoints its result —
+  // the returned frame's plan is an RDD scan; its shape contract lives
+  // in the OpsSpec determinism/cap tests instead.)
+
   test("t7: in-plan model table stays broadcast (no SMJ on the data path)") {
     val p = planOf("t7_fluency", execute = true)
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
