@@ -1534,6 +1534,28 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // ---- m4: G.711 compressed-audio decode (μ-law/A-law WAV — the
+    // closed-form integer companding codecs, verified bit-for-bit
+    // against javax.sound in OpsSpec). Sample byte k of stream i =
+    // (7i+13k) mod 256; |decoded| = the expansion magnitude, so DuckDB
+    // recomputes every statistic from pure integer arithmetic. ----
+    "m4_g711_audio" -> ((s, dir) => {
+      val mk = udf((i: Long) => {
+        val n = 256 + (i % 128).toInt
+        val samples = Array.tabulate(n)(k => ((7L * i + 13L * k) % 256).toByte)
+        val fmt: Short = if (i % 2 == 0) 7 else 6
+        Multimodal.sniffAndDecode(Multimodal.encodeWavG711(8000, samples, fmt))
+      })
+      s.range(0, 200, 1, 8).toDF("i")
+        .select(col("i").as("media_id"), mk(col("i")).as("f"))
+        .select(col("media_id"),
+          element_at(col("f"), 1).cast("double").as("sample_rate"),
+          element_at(col("f"), 2).cast("double").as("n_samples"),
+          element_at(col("f"), 3).cast("double").as("sum_abs"),
+          element_at(col("f"), 4).cast("double").as("max_abs"))
+        .orderBy("media_id")
+    }),
+
     // ---- t8: line-frequency boilerplate removal (CCNet/RefinedWeb line
     // dedup). The probe plants two universal footer lines per source
     // (doc frequency 100% → dropped) plus one 1-in-7 line that must
@@ -3409,6 +3431,31 @@ ORDER BY id_a""",
         |SELECT CAST(media_id AS BIGINT) AS media_id, CAST(modality AS VARCHAR) AS modality,
         |       CAST(n_bytes AS INTEGER) AS n_bytes, f0, f1, f2, f3
         |FROM allf ORDER BY media_id""".stripMargin,
+
+    // m4: DuckDB replays the G.711 expansions as pure integer
+    // arithmetic (μ-law: complement, exponent shift, -132 bias; A-law:
+    // xor 0x55, segment expansion) — |decoded| is the magnitude term,
+    // so sums/maxes need no sign handling.
+    "m4_g711_audio" ->
+      """WITH s AS (
+        |  SELECT i, k, (7*i + 13*k) % 256 AS b
+        |  FROM range(0, 200) t(i) CROSS JOIN range(0, 384) r(k)
+        |  WHERE k < 256 + (i % 128)),
+        |m AS (
+        |  SELECT i,
+        |    CASE WHEN i % 2 = 0 THEN
+        |      ((((255 - b) % 16) * 8 + 132) << (((255 - b) // 16) % 8)) - 132
+        |    ELSE
+        |      CASE WHEN ((xor(b, 85) // 16) % 8) = 0
+        |           THEN (xor(b, 85) % 16) * 16 + 8
+        |           ELSE ((xor(b, 85) % 16) * 16 + 264) << (((xor(b, 85) // 16) % 8) - 1)
+        |      END
+        |    END AS mag
+        |  FROM s)
+        |SELECT i AS media_id, CAST(8000 AS DOUBLE) AS sample_rate,
+        |  CAST(256 + (i % 128) AS DOUBLE) AS n_samples,
+        |  CAST(SUM(mag) AS DOUBLE) AS sum_abs, CAST(MAX(mag) AS DOUBLE) AS max_abs
+        |FROM m GROUP BY i ORDER BY media_id""".stripMargin,
 
     // independent oracle for the ImageIO decode path: the compressed
     // corpus is closed-form (Multimodal.synthCompressedOne: png/bmp RGB

@@ -172,14 +172,38 @@ object Multimodal {
     Array(hd.w.toFloat, hd.h.toFloat, sum.toFloat, mx.toFloat)
   }
 
-  /** RIFF/WAVE chunk walk: find "fmt " (must be PCM 16-bit) and "data",
-    * wherever they sit in the chunk list, then decode LE int16 samples. */
+  /** G.711 μ-law byte → linear PCM16 — the closed-form integer expansion
+    * (companded telephony audio is a REAL compressed codec in web
+    * corpora, and unlike MP3 it needs no native library: the decode is
+    * pure integer arithmetic). Verified bit-for-bit against the JDK's
+    * own javax.sound ULAW converter over all 256 code points. */
+  def ulawToPcm16(b: Int): Int = {
+    val u = (~b) & 0xff
+    val exp = (u >> 4) & 7
+    val mag = ((((u & 0x0f) << 3) + 0x84) << exp) - 0x84
+    if ((u & 0x80) != 0) -mag else mag
+  }
+
+  /** G.711 A-law byte → linear PCM16; same all-256 cross-check against
+    * javax.sound's ALAW converter (bit 7 set = positive). */
+  def alawToPcm16(b: Int): Int = {
+    val a = b ^ 0x55
+    val exp = (a >> 4) & 7
+    val man = a & 0x0f
+    val mag = if (exp == 0) (man << 4) + 8 else ((man << 4) + 0x108) << (exp - 1)
+    if ((a & 0x80) != 0) mag else -mag
+  }
+
+  /** RIFF/WAVE chunk walk: find "fmt " and "data" wherever they sit in
+    * the chunk list, then decode samples — PCM16 (format 1), G.711
+    * μ-law (7) or A-law (6, both 8-bit, expanded via the closed-form
+    * integer decode). MP3/AAC-in-WAV stay the native-codec seam. */
   def audioFeatures(bytes: Array[Byte]): Array[Float] = {
     val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     def fourcc(off: Int) = new String(bytes, off, 4, "US-ASCII")
     require(fourcc(0) == "RIFF" && fourcc(8) == "WAVE", "not a RIFF/WAVE file")
     var p = 12
-    var sampleRate = -1; var bits = -1; var channels = -1
+    var fmtCode = -1; var sampleRate = -1; var bits = -1; var channels = -1
     var dataOff = -1; var dataLen = -1
     while (p + 8 <= bytes.length && (dataOff < 0 || sampleRate < 0)) {
       val id = fourcc(p); val len = bb.getInt(p + 4)
@@ -188,7 +212,7 @@ object Multimodal {
       require(len >= 0, s"negative RIFF chunk length $len at offset $p")
       id match {
         case "fmt " =>
-          require(bb.getShort(p + 8) == 1, "not PCM")
+          fmtCode = bb.getShort(p + 8).toInt
           channels = bb.getShort(p + 10).toInt
           sampleRate = bb.getInt(p + 12)
           bits = bb.getShort(p + 22).toInt
@@ -198,16 +222,48 @@ object Multimodal {
       p += 8 + len + (len & 1) // chunks are 2-byte aligned
     }
     require(sampleRate > 0 && dataOff >= 0, "missing fmt/data chunk")
-    require(bits == 16 && channels == 1, s"unsupported PCM layout ${bits}bit x$channels")
     require(dataOff.toLong + dataLen <= bytes.length, "truncated WAV data chunk")
-    val n = dataLen / 2
-    var sumAbs = 0L; var maxAbs = 0; var k = 0
-    while (k < n) {
-      val s = bb.getShort(dataOff + 2 * k).toInt
-      val a = math.abs(s)
-      sumAbs += a; if (a > maxAbs) maxAbs = a; k += 1
+    var sumAbs = 0L; var maxAbs = 0
+    var n = 0
+    fmtCode match {
+      case 1 =>
+        require(bits == 16 && channels == 1, s"unsupported PCM layout ${bits}bit x$channels")
+        n = dataLen / 2
+        var k = 0
+        while (k < n) {
+          val a = math.abs(bb.getShort(dataOff + 2 * k).toInt)
+          sumAbs += a; if (a > maxAbs) maxAbs = a; k += 1
+        }
+      case 6 | 7 =>
+        require(bits == 8 && channels == 1, s"unsupported G.711 layout ${bits}bit x$channels")
+        n = dataLen
+        val dec: Int => Int = if (fmtCode == 7) ulawToPcm16 else alawToPcm16
+        var k = 0
+        while (k < n) {
+          val a = math.abs(dec(bytes(dataOff + k) & 0xff))
+          sumAbs += a; if (a > maxAbs) maxAbs = a; k += 1
+        }
+      case other => throw new IllegalArgumentException(
+        s"unsupported WAV format code $other (PCM=1, A-law=6, mu-law=7)")
     }
     Array(sampleRate.toFloat, n.toFloat, sumAbs.toFloat, maxAbs.toFloat)
+  }
+
+  /** WAV container around raw G.711 bytes (format code 7 = μ-law,
+    * 6 = A-law; 8-bit mono). */
+  def encodeWavG711(sampleRate: Int, samples: Array[Byte], formatCode: Short): Array[Byte] = {
+    require(formatCode == 6 || formatCode == 7, s"formatCode must be 6 or 7, got $formatCode")
+    val out = java.nio.ByteBuffer.allocate(44 + samples.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + samples.length)
+      .put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(formatCode).putShort(1) // mono
+      .putInt(sampleRate).putInt(sampleRate) // byte rate (1 byte/sample)
+      .putShort(1).putShort(8) // block align, bits/sample
+    out.put("data".getBytes("US-ASCII")).putInt(samples.length)
+    out.put(samples)
+    out.array()
   }
 
   /** GVID frame walk with sampling: every `step`-th frame is decoded;

@@ -815,6 +815,42 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(f(3) - r0) <= 2f)
   }
 
+  test("multimodal: G.711 decode matches javax.sound bit-for-bit over all 256 code points") {
+    import graft.multimodal.Multimodal._
+    import javax.sound.sampled._
+    val codes = Array.tabulate(256)(_.toByte)
+    val pcmFmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, 8000f, 16, 1, 2, 8000f, false)
+    def jdkDecode(enc: AudioFormat.Encoding): Array[Int] = {
+      val in = new AudioInputStream(new java.io.ByteArrayInputStream(codes),
+        new AudioFormat(enc, 8000f, 8, 1, 1, 8000f, false), 256)
+      val out = AudioSystem.getAudioInputStream(pcmFmt, in).readAllBytes()
+      Array.tabulate(256)(i => ((out(2 * i) & 0xff) | (out(2 * i + 1) << 8)).toShort.toInt)
+    }
+    val jdkU = jdkDecode(AudioFormat.Encoding.ULAW)
+    val jdkA = jdkDecode(AudioFormat.Encoding.ALAW)
+    (0 until 256).foreach { b =>
+      assert(ulawToPcm16(b) == jdkU(b), s"ulaw $b: ${ulawToPcm16(b)} vs jdk ${jdkU(b)}")
+      assert(alawToPcm16(b) == jdkA(b), s"alaw $b: ${alawToPcm16(b)} vs jdk ${jdkA(b)}")
+    }
+  }
+
+  test("multimodal: G.711 WAV routes by format code; stats exact; unknown codes rejected") {
+    import graft.multimodal.Multimodal._
+    val samples = Array.tabulate(300)(k => ((k * 31) % 256).toByte)
+    for ((fmt, dec) <- Seq(7.toShort -> (ulawToPcm16 _), 6.toShort -> (alawToPcm16 _))) {
+      val f = sniffAndDecode(encodeWavG711(8000, samples, fmt))
+      val decoded = samples.map(b => math.abs(dec(b & 0xff)))
+      assert(f.toSeq == Seq(8000f, 300f, decoded.map(_.toLong).sum.toFloat, decoded.max.toFloat),
+        s"fmt $fmt")
+    }
+    // PCM path unchanged; unknown format code fails loudly
+    assert(sniffAndDecode(synthOne(1).bytes)(0) == 8000f)
+    val weird = encodeWavG711(8000, samples, 7)
+    java.nio.ByteBuffer.wrap(weird).order(java.nio.ByteOrder.LITTLE_ENDIAN).putShort(20, 3)
+    val e = intercept[IllegalArgumentException](audioFeatures(weird))
+    assert(e.getMessage.contains("unsupported WAV format code"))
+  }
+
   test("multimodal: compressed magic dispatch (GIF != GVID) and corrupt-image quarantine") {
     import spark.implicits._
     import graft.multimodal.Multimodal._
