@@ -12,36 +12,57 @@ import graft.frontier.Scheduler
   *
   * Usage: runMain graft.jobs.ExtractJob <siteDir> <outDir> [cpus]
   *
-  * `siteDir` is either a synthetic-site dir (reads `pages.parquet`) or
+  * `siteDir` is either a synthetic-site dir (reads `pages.parquet`),
   * `warc:<glob>` — raw WARC archives (incl. the crawl's own
   * `Config.archiveWarc` output) read via [[graft.sources.Warc
   * .readWarcFiles]] and re-extracted: the write-once-re-extract-forever
-  * loop closed at the CLI. Only 200-status response records with a
-  * payload extract; revisit/request/error rows fall away.
+  * loop closed at the CLI; only 200-status response records with a
+  * payload extract — or `wet:<glob>` — Common-Crawl text extracts
+  * ([[graft.sources.Warc.readWetFiles]]): the HTML stage is already
+  * done upstream, so the text chunks directly (plain text is valid
+  * chunker input), title is empty (WET records carry none) and the
+  * outlink set is empty (no HTML to extract from).
   */
 object ExtractJob {
 
   def run(spark: SparkSession, siteDir: String, outDir: String,
           cfg: Scheduler.Config = Scheduler.Config()): (Long, Long) = {
     import spark.implicits._
-    val source =
-      if (siteDir.startsWith("warc:"))
-        graft.sources.Warc.readWarcFiles(spark, siteDir.stripPrefix("warc:"))
-          .filter(col("rec_type") === "response" && col("status") === 200 &&
-            col("html").isNotNull)
-          .select(col("url"), col("html"), col("warc_ts"))
-      else spark.read.parquet(s"$siteDir/pages.parquet")
-        .select(col("url"), col("html"), col("warc_ts"))
-    val pages = source
-      .select(col("url"), xxhash64(col("url")).as("url_hash"),
-        graft.frontier.Frontier.hostUdf(col("url")).as("host"),
-        lit(0).as("depth"), col("html"), col("warc_ts"))
+    val extracted: org.apache.spark.sql.Dataset[CrawlJob.Extracted] =
+      if (siteDir.startsWith("wet:")) {
+        graft.sources.Warc.readWetFiles(spark, siteDir.stripPrefix("wet:"))
+          .filter(col("error").isNull && col("url").isNotNull)
+          .select(col("url"), xxhash64(col("url")).as("url_hash"),
+            graft.frontier.Frontier.hostUdf(col("url")).as("host"),
+            col("warc_ts"), col("text"))
+          .as[(String, Long, String, java.sql.Timestamp, String)]
+          .map { case (url, hash, host, ts, text) =>
+            val chunks = graft.chunk.Chunker.semanticChunks(text, url,
+              ts.toInstant.toString, cfg.chunkSize, cfg.chunkOverlap)
+            CrawlJob.Extracted(url, hash, host, 0, "", text, Seq.empty,
+              chunks, 200, chunks.length)
+          }
+      } else {
+        val source =
+          if (siteDir.startsWith("warc:"))
+            graft.sources.Warc.readWarcFiles(spark, siteDir.stripPrefix("warc:"))
+              .filter(col("rec_type") === "response" && col("status") === 200 &&
+                col("html").isNotNull)
+              .select(col("url"), col("html"), col("warc_ts"))
+          else spark.read.parquet(s"$siteDir/pages.parquet")
+            .select(col("url"), col("html"), col("warc_ts"))
+        val pages = source
+          .select(col("url"), xxhash64(col("url")).as("url_hash"),
+            graft.frontier.Frontier.hostUdf(col("url")).as("host"),
+            lit(0).as("depth"), col("html"), col("warc_ts"))
+        CrawlJob.extract(spark, pages, cfg)
+      }
     // One extract pass written straight to parquet; derived outputs come
     // from pruned read-back. A MEMORY_AND_DISK persist here kept the wide
     // rows (markdown + chunk structs) live across the whole job — a
     // 10+ GB live set that turned every young GC into a multi-second
     // old-gen scan (measured 12.5 s young pauses / 14 GB retained).
-    CrawlJob.extract(spark, pages, cfg).write
+    extracted.write
       .mode("overwrite").parquet(s"$outDir/extracted.parquet")
     val back = spark.read.parquet(s"$outDir/extracted.parquet")
     back.select(explode(col("chunks")).as("c")).select("c.*")

@@ -430,4 +430,37 @@ class WarcCcSpec extends AnyFunSuite {
     assert(parsed.length == 1 && parsed.head.getString(0) == "https://m.example/1"
       && parsed.head.getString(3) == "t1")
   }
+
+  test("wet extract: ExtractJob chunks a WET archive identically to direct chunker calls") {
+    import spark.implicits._
+    import graft.sources.WarcWriter
+    val texts = (0 until 6).map { i =>
+      val body =
+        if (i % 2 == 0) s"# Doc $i\n\n" + (0 until 120).map(w => s"word$w").mkString(" ")
+        else (0 until 150).map(w => s"plain$i-$w").mkString(" ") // no heading → text_chunk path
+      (s"https://wet$i.example/p$i",
+        java.sql.Timestamp.from(java.time.Instant.parse("2026-01-01T00:00:00Z")
+          .plusSeconds(i * 61L)),
+        body)
+    }
+    val dir = Files.createTempDirectory("graft_wet_ex").toString
+    WarcWriter.writeWetFiles(texts.toDF("url", "warc_ts", "text").repartition(2, $"url"),
+      dir, gzip = true)
+    val out = Files.createTempDirectory("graft_wet_ex_out").toString
+    val (nPages, nChunks) = graft.jobs.ExtractJob.run(spark, s"wet:$dir/*.warc.wet.gz", out)
+    assert(nPages == 6L && nChunks > 0L)
+    val got = spark.read.parquet(s"$out/extracted.parquet")
+      .select("url", "markdown", "n_chunks").collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getInt(2))).toMap
+    texts.foreach { case (u, ts, body) =>
+      val want = graft.chunk.Chunker.semanticChunks(body, u, ts.toInstant.toString)
+      assert(got(u)._1 == body, s"markdown must be the WET text verbatim for $u")
+      assert(got(u)._2 == want.length, s"chunk count differs for $u")
+    }
+    val chunkIds = spark.read.parquet(s"$out/chunks.parquet")
+      .select("id").as[String].collect().toSet
+    val wantIds = texts.flatMap { case (u, ts, body) =>
+      graft.chunk.Chunker.semanticChunks(body, u, ts.toInstant.toString).map(_.id) }.toSet
+    assert(chunkIds == wantIds)
+  }
 }
