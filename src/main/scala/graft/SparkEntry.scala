@@ -1265,6 +1265,36 @@ object SparkEntry {
         .orderBy("url")
     }),
 
+    // ---- s19: WAT writer→parser round trip (CommonCrawl.watEnvelope →
+    // parseWat) — the metadata-publishing half: the envelope is built
+    // by the engine's own writer this time (s17 builds it by string
+    // concat), parsed back, and checked against the same recipe-derived
+    // oracle. Green only if build/parse are exact inverses. ----
+    "s19_wat_write" -> ((s, dir) => {
+      val host = (col("doc_id") % 4).cast("string")
+      val idStr = col("doc_id").cast("string")
+      val linkStruct = (k: Int) => struct(
+        lit("A@/href").as("path"),
+        concat(lit("https://h"), host, lit(".example/l/"), idStr, lit(s"-$k")).as("url"),
+        lit(s"anchor $k").as("text"))
+      val emptyLinks = array().cast("array<struct<path:string,url:string,text:string>>")
+      val links = when(col("doc_id") % 3 === 0, emptyLinks)
+        .when(col("doc_id") % 3 === 1, array(linkStruct(0)))
+        .otherwise(array(linkStruct(0), linkStruct(1)))
+      val env = graft.sources.CommonCrawl.watEnvelope(
+        concat(lit("https://h"), host, lit(".example/doc/"), idStr),
+        concat(lit("2026-01-"), lpad(((col("doc_id") % 28) + 1).cast("string"), 2, "0"),
+          lit("T12:00:00Z")),
+        when(col("doc_id") % 7 === 3, lit(404L)).otherwise(lit(200L)),
+        md5(col("text")), links)
+      graft.sources.CommonCrawl.parseWat(
+          pq(s, dir, "documents").select(env.as("json")), "json")
+        .select(col("url"), col("warc_ts"), col("status"), col("title"),
+          size(col("links")).cast("long").as("n_links"),
+          try_element_at(col("links"), lit(1)).getField("url").as("link1_url"))
+        .orderBy("url")
+    }),
+
     // ---- s13: CDXJ capture-index lines (the selection plane a 100 TB
     // pipeline scans BEFORE touching WARC payloads) — constructed from
     // the documents table, parsed by the codegen'd projection. ----
@@ -2063,6 +2093,21 @@ object SparkEntry {
          |    CAST(0.15 AS DOUBLE) + CAST(0.85 AS DOUBLE) * coalesce(c$i.inflow, 0) AS rank
          |  FROM nodes n LEFT JOIN c$i ON c$i.node = n.node)""".stripMargin
     }.mkString(",\n")
+
+  /** Shared oracle for s17 (concat-built WAT) and s19 (writer-built
+    * WAT): the parsed columns re-derived from the doc_id recipe. */
+  private val watParsedOracle: String =
+    """SELECT
+      |  'https://h' || (doc_id % 4) || '.example/doc/' || doc_id AS url,
+      |  strptime('2026-01-' || lpad(CAST((doc_id % 28) + 1 AS VARCHAR), 2, '0')
+      |    || ' 12:00:00', '%Y-%m-%d %H:%M:%S') AS warc_ts,
+      |  CAST(CASE WHEN doc_id % 7 = 3 THEN 404 ELSE 200 END AS BIGINT) AS status,
+      |  md5(text) AS title,
+      |  CAST(doc_id % 3 AS BIGINT) AS n_links,
+      |  CASE WHEN doc_id % 3 = 0 THEN NULL
+      |       ELSE 'https://h' || (doc_id % 4) || '.example/l/' || doc_id || '-0'
+      |  END AS link1_url
+      |FROM documents ORDER BY url""".stripMargin
 
   /** Weighted variant of [[pagerankIterCtes]]: contribution
     * rank·w/wout, with `e(src, dst, w)` and `ow(src, wout)` CTEs. */
@@ -3054,19 +3099,11 @@ object SparkEntry {
 
     // s17: every parsed WAT column re-derived from the doc_id recipe
     // (title is md5(text), links are pure doc_id arithmetic) — DuckDB
-    // never sees the JSON envelope or the parser.
-    "s17_wat_parse" ->
-      """SELECT
-        |  'https://h' || (doc_id % 4) || '.example/doc/' || doc_id AS url,
-        |  strptime('2026-01-' || lpad(CAST((doc_id % 28) + 1 AS VARCHAR), 2, '0')
-        |    || ' 12:00:00', '%Y-%m-%d %H:%M:%S') AS warc_ts,
-        |  CAST(CASE WHEN doc_id % 7 = 3 THEN 404 ELSE 200 END AS BIGINT) AS status,
-        |  md5(text) AS title,
-        |  CAST(doc_id % 3 AS BIGINT) AS n_links,
-        |  CASE WHEN doc_id % 3 = 0 THEN NULL
-        |       ELSE 'https://h' || (doc_id % 4) || '.example/l/' || doc_id || '-0'
-        |  END AS link1_url
-        |FROM documents ORDER BY url""".stripMargin,
+    // never sees the JSON envelope or the parser. s19 shares the oracle:
+    // same recipe, but the Spark side builds the envelope with the
+    // engine's own writer (watEnvelope) instead of string concat.
+    "s17_wat_parse" -> watParsedOracle,
+    "s19_wat_write" -> watParsedOracle,
 
     "s13_cdxj_parse" ->
       """SELECT

@@ -80,6 +80,28 @@ object CommonCrawl {
       from_json(get_json_object(j, s"$resp.HTML-Metadata.Links"), linksSchema).as("links"))
   }
 
+  /** Build a WAT metadata envelope from extract outputs — the writer
+    * half of [[parseWat]] (the crawl publishing link-graph metadata
+    * without shipping payloads). One codegen'd `to_json` projection;
+    * null title is omitted from the JSON (Spark's generator default),
+    * which [[parseWat]] reads back as null — symmetric. `links` is the
+    * same `array<struct<path,url,text>>` shape parseWat returns, so
+    * parse(build(x)) round-trips every column. */
+  def watEnvelope(url: Column, warcDateIso: Column, status: Column,
+                  title: Column, links: Column): Column =
+    to_json(struct(
+      struct(
+        struct(url.as("WARC-Target-URI"), warcDateIso.as("WARC-Date"))
+          .as("WARC-Header-Metadata"),
+        struct(
+          struct(
+            struct(status.cast("string").as("Status")).as("Response-Message"),
+            struct(struct(title.as("Title")).as("Head"), links.as("Links"))
+              .as("HTML-Metadata"))
+            .as("HTTP-Response-Metadata"))
+          .as("Payload-Metadata"))
+        .as("Envelope")))
+
   /** Parse CDXJ index lines — `<urlkey> <ts14> <json>` — into typed
     * columns: one codegen'd projection (regexp field split +
     * get_json_object), no UDF, no shuffle; a malformed line yields

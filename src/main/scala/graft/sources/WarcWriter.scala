@@ -98,6 +98,30 @@ object WarcWriter {
     out
   }
 
+  /** One complete metadata record (the WAT shape): payload = a JSON
+    * envelope ([[CommonCrawl.watEnvelope]]), `Content-Type:
+    * application/json`. Same determinism contract as the other record
+    * writers. */
+  def metadataRecord(url: String, ts: java.sql.Timestamp, json: String): Array[Byte] = {
+    val tsIso = tsIsoOf(ts)
+    val body = json.getBytes(UTF_8)
+    val warcHead =
+      "WARC/1.0\r\n" +
+        "WARC-Type: metadata\r\n" +
+        s"WARC-Target-URI: $url\r\n" +
+        s"WARC-Date: $tsIso\r\n" +
+        s"WARC-Record-ID: ${recordId(url, tsIso)}\r\n" +
+        "Content-Type: application/json\r\n" +
+        s"Content-Length: ${body.length}\r\n\r\n"
+    val wh = warcHead.getBytes(UTF_8)
+    val out = new Array[Byte](wh.length + body.length + 4)
+    System.arraycopy(wh, 0, out, 0, wh.length)
+    System.arraycopy(body, 0, out, wh.length, body.length)
+    out(out.length - 4) = '\r'; out(out.length - 3) = '\n'
+    out(out.length - 2) = '\r'; out(out.length - 1) = '\n'
+    out
+  }
+
   /** One gzip member holding exactly `bytes` (MTIME=0 header — the JDK
     * writes a fixed header, so the member is deterministic). */
   def gzipMember(bytes: Array[Byte]): Array[Byte] = {

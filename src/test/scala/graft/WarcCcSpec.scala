@@ -431,6 +431,39 @@ class WarcCcSpec extends AnyFunSuite {
       && parsed.head.getString(3) == "t1")
   }
 
+  test("wat writer: envelope + metadata record round-trip through watRowsOf and parseWat") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.sources.WarcWriter
+    // envelope built by the writer, parsed back typed — null title omitted
+    // from the JSON and read back as null (symmetric)
+    val df = Seq(
+      ("https://a.example/x", "2026-01-05T12:00:00Z", 200L, "A & B <page>", 2),
+      ("https://a.example/y", "2026-01-06T12:00:00Z", 404L, null, 0))
+      .toDF("url", "wdate", "status", "title", "nl")
+    val emptyLinks = array().cast("array<struct<path:string,url:string,text:string>>")
+    val links = when(col("nl") === 0, emptyLinks).otherwise(array(
+      struct(lit("A@/href").as("path"), lit("https://b.example/1").as("url"), lit("one").as("text")),
+      struct(lit("A@/href").as("path"), lit("https://b.example/2").as("url"), lit("two").as("text"))))
+    val env = CommonCrawl.watEnvelope(col("url"), col("wdate"), col("status"), col("title"), links)
+    val parsed = CommonCrawl.parseWat(df.select(env.as("json")), "json")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val g = parsed("https://a.example/x")
+    assert(g.getTimestamp(1).toInstant.toString == "2026-01-05T12:00:00Z")
+    assert(g.getLong(2) == 200L && g.getString(3) == "A & B <page>")
+    assert(g.getSeq[org.apache.spark.sql.Row](4).map(_.getAs[String]("url"))
+      == Seq("https://b.example/1", "https://b.example/2"))
+    val n = parsed("https://a.example/y")
+    assert(n.getLong(2) == 404L && n.getString(3) == null && n.getSeq[Any](4).isEmpty)
+    // full WARC framing: metadataRecord → watRowsOf → the same json
+    val json = df.select(env.as("json")).orderBy("json").as[String].collect().head
+    val ts = java.sql.Timestamp.from(java.time.Instant.parse("2026-01-05T12:00:00Z"))
+    val rec = WarcWriter.metadataRecord("https://a.example/x", ts, json)
+    val rows = Warc.watRowsOf(rec)
+    assert(rows.size == 1 && rows.head.url == "https://a.example/x" && rows.head.json == json)
+    assert(java.util.Arrays.equals(rec, WarcWriter.metadataRecord("https://a.example/x", ts, json)))
+  }
+
   test("wet extract: ExtractJob chunks a WET archive identically to direct chunker calls") {
     import spark.implicits._
     import graft.sources.WarcWriter
