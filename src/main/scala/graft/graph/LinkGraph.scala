@@ -130,7 +130,7 @@ object LinkGraph {
     * count), both keyed by host pairs — a mega-site's million pages
     * collapse in partial aggregation. */
   def hostGraph(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    val hostUdf = udf((u: String) => graft.url.UrlCanonical.hostOf(u))
+    val hostUdf = graft.frontier.Frontier.hostUdf // the one shared canonicalizer
     edges.select(col(srcCol).as("_src_url"), col(dstCol).as("_dst_url")).distinct()
       .select(hostUdf(col("_src_url")).as("src_host"), hostUdf(col("_dst_url")).as("dst_host"))
       .filter(col("src_host").isNotNull && col("dst_host").isNotNull &&
@@ -162,9 +162,12 @@ object LinkGraph {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
         col(weightCol).cast("double").as("w"))
       .filter(col("src") =!= col("dst")).localCheckpoint(true)
-    // one action validates instead of a per-row throw inside the hot loop
-    val nBad = e.filter(col("w").isNull || col("w") <= 0.0).limit(1).count()
-    require(nBad == 0, s"weightedPagerank: found non-positive/null weights in '$weightCol'")
+    // one action validates instead of a per-row throw inside the hot
+    // loop; NaN checked explicitly (NaN <= 0.0 is false — it would
+    // otherwise pass the gate and silently poison every rank)
+    val nBad = e.filter(col("w").isNull || col("w") <= 0.0 || isnan(col("w")))
+      .limit(1).count()
+    require(nBad == 0, s"weightedPagerank: found non-positive/null/NaN weights in '$weightCol'")
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct().localCheckpoint(true)
     val outW = e.groupBy("src").agg(sum("w").as("wout")).localCheckpoint(true)

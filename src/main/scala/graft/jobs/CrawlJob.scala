@@ -319,10 +319,9 @@ object CrawlJob {
           val hg = LinkGraph.hostGraph(edges, "src", "dst")
           val hr = LinkGraph.weightedPagerank(hg, "src_host", "dst_host", "weight",
             cfg.linkPriorityIters)
-          val hostUdf = udf((u: String) => graft.url.UrlCanonical.hostOf(u))
           edges.select(col("src").as("url"))
             .unionByName(edges.select(col("dst").as("url"))).distinct()
-            .withColumn("host", hostUdf(col("url")))
+            .withColumn("host", Frontier.hostUdf(col("url")))
             .join(hr.withColumnRenamed("node", "host"), Seq("host"))
             .select(col("url"), round(col("rank"), 6).as("link_rank"))
       }

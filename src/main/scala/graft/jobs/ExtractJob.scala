@@ -31,7 +31,10 @@ object ExtractJob {
     val extracted: org.apache.spark.sql.Dataset[CrawlJob.Extracted] =
       if (siteDir.startsWith("wet:")) {
         graft.sources.Warc.readWetFiles(spark, siteDir.stripPrefix("wet:"))
-          .filter(col("error").isNull && col("url").isNotNull)
+          // warc_ts null = a missing/malformed WARC-Date (parseTs's
+          // quarantine contract) — such records must drop here, not NPE
+          // the chunk map below
+          .filter(col("error").isNull && col("url").isNotNull && col("warc_ts").isNotNull)
           .select(col("url"), xxhash64(col("url")).as("url_hash"),
             graft.frontier.Frontier.hostUdf(col("url")).as("host"),
             col("warc_ts"), col("text"))

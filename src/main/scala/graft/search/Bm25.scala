@@ -28,14 +28,16 @@ import org.apache.spark.sql.functions._
   *     order (`sort_array` + `aggregate`), so the score is one
   *     deterministic double — no partial-aggregation association drift.
   *
-  * Scale shape: the token stream explodes once and is pruned MAP-SIDE
-  * to the query terms (an `isin` over literals) before any shuffle; tf
-  * and dl are map-side-combinable aggregates (a doc's own tokens bound
-  * every key); df is an aggregate over the already-tiny tf table; no
-  * window, no all-pairs. Corpus stats (N, avgdl, df) are injectable via
-  * [[stats]]/[[Stats]] so a 100 TB deployment scores a query with ONE
-  * pruned scan instead of re-aggregating document lengths per query —
-  * the same counts-injection pattern as `Sampling.temperatureMix`. */
+  * Scale shape: the tf branch prunes the token stream MAP-SIDE to the
+  * query terms (an `isin` over literals) before any shuffle; tf and dl
+  * are map-side-combinable aggregates (a doc's own tokens bound every
+  * key); df is an aggregate over the already-tiny tf table; no window,
+  * no all-pairs. Per-query cost: the pruned tf pass PLUS a per-doc
+  * length aggregation — the latter is query-independent, so a 100 TB
+  * deployment precomputes it once: inject scalar stats via
+  * [[stats]]/[[Stats]] AND the (doc_id, dl) table via `docLengths`,
+  * and scoring a query is one pruned scan joined to the stored length
+  * table — the counts-injection pattern of `Sampling.temperatureMix`. */
 object Bm25 {
 
   /** Corpus statistics for [[score]]: total docs, average token length,
@@ -74,13 +76,20 @@ object Bm25 {
     Stats(n, avgdl, dfRows)
   }
 
+  /** Per-doc token lengths (doc_id, dl) — the query-independent half of
+    * the corpus statistics; persist it once and pass to [[score]]. */
+  def docLengthTable(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docLengths(tokens(docs, idCol, textCol))
+
   /** BM25 scores for every document matching ≥1 query term: (doc_id,
     * n_terms_hit, score), score > 0, one row per matching doc. Pass a
-    * precomputed [[Stats]] to skip the corpus-stats aggregation (the
-    * 100 TB path); by default it is derived from `docs` in-plan. */
+    * precomputed [[Stats]] (scalars) and `docLengths`
+    * ([[docLengthTable]] output) to skip both corpus aggregations —
+    * the 100 TB path; by default both derive from `docs` in-plan. */
   def score(docs: DataFrame, idCol: String, textCol: String,
             query: Seq[String], k1: Double = 1.2, b: Double = 0.75,
-            corpusStats: Option[Stats] = None): DataFrame = {
+            corpusStats: Option[Stats] = None,
+            docLengths: Option[DataFrame] = None): DataFrame = {
     require(k1 >= 0 && b >= 0 && b <= 1, s"need k1 >= 0 and 0 <= b <= 1, got ($k1, $b)")
     val terms = normalizeQuery(query)
     require(terms.nonEmpty, "query has no usable terms")
@@ -95,6 +104,8 @@ object Bm25 {
       t -> round6(math.log((st.nDocs - df + 0.5) / (df + 0.5) + 1))
     }.toMap
     val toks = tokens(docs, idCol, textCol)
+    val dl = docLengths.map(_.select(col("doc_id"), col("dl")))
+      .getOrElse(Bm25.docLengths(toks))
     val tf = toks.filter(col("token").isin(terms: _*))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
     val idfCol: Column = terms.tail.foldLeft(
@@ -104,7 +115,7 @@ object Bm25 {
     // pinned order: (idf * (tf*(k1+1))) / (tf + k1*((1-b) + (b*dl)/avgdl))
     val contrib = idfCol * (col("tf") * lit(k1 + 1)) /
       (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / lit(st.avgdl)))
-    tf.join(docLengths(toks), "doc_id")
+    tf.join(dl, "doc_id")
       .select(col("doc_id"), col("token"), contrib.as("c"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_terms_hit"),
@@ -116,9 +127,10 @@ object Bm25 {
     * doc id for a deterministic result set. */
   def topK(docs: DataFrame, idCol: String, textCol: String,
            query: Seq[String], k: Int, k1: Double = 1.2, b: Double = 0.75,
-           corpusStats: Option[Stats] = None): DataFrame = {
+           corpusStats: Option[Stats] = None,
+           docLengths: Option[DataFrame] = None): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    score(docs, idCol, textCol, query, k1, b, corpusStats)
+    score(docs, idCol, textCol, query, k1, b, corpusStats, docLengths)
       .orderBy(desc("score"), asc("doc_id")).limit(k)
   }
 }

@@ -175,6 +175,7 @@ object Sinks {
             "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n"),
           body, lit("\n</urlset>\n")).as("xml"))
       .localCheckpoint(true)
+    if (n == 0) return out // empty catalog → zero files (max() below would be null)
     val worst = out.agg(max("n_urls")).collect()(0).getLong(0)
     require(worst <= maxPerFile,
       s"shard skew exceeded the sitemap cap: $worst > $maxPerFile urls in one file " +

@@ -42,6 +42,29 @@ object WarcWriter {
   private def tsIsoOf(ts: java.sql.Timestamp): String =
     ts.toInstant.truncatedTo(java.time.temporal.ChronoUnit.SECONDS).toString
 
+  /** Shared WARC/1.0 record framing — version line, typed headers,
+    * Content-Length payload, CRLF CRLF trailer. Every record writer
+    * (response/conversion/metadata) goes through here, so a framing
+    * change lands exactly once. */
+  private def framedRecord(warcType: String, contentType: String, url: String,
+                           tsIso: String, payload: Array[Byte]): Array[Byte] = {
+    val warcHead =
+      "WARC/1.0\r\n" +
+        s"WARC-Type: $warcType\r\n" +
+        s"WARC-Target-URI: $url\r\n" +
+        s"WARC-Date: $tsIso\r\n" +
+        s"WARC-Record-ID: ${recordId(url, tsIso)}\r\n" +
+        s"Content-Type: $contentType\r\n" +
+        s"Content-Length: ${payload.length}\r\n\r\n"
+    val wh = warcHead.getBytes(UTF_8)
+    val out = new Array[Byte](wh.length + payload.length + 4)
+    System.arraycopy(wh, 0, out, 0, wh.length)
+    System.arraycopy(payload, 0, out, wh.length, payload.length)
+    out(out.length - 4) = '\r'; out(out.length - 3) = '\n'
+    out(out.length - 2) = '\r'; out(out.length - 1) = '\n'
+    out
+  }
+
   /** One complete response record (uncompressed bytes, trailer
     * included): [[Warc.parseRecords]] of the result yields exactly this
     * record; [[Warc.httpResponse]] of its payload yields (status,
@@ -55,23 +78,10 @@ object WarcWriter {
         s"content-type: $contentType\r\n" +
         s"content-length: ${body.length}\r\n\r\n"
     val headBytes = httpHead.getBytes(US_ASCII)
-    val payloadLen = headBytes.length + body.length
-    val warcHead =
-      "WARC/1.0\r\n" +
-        "WARC-Type: response\r\n" +
-        s"WARC-Target-URI: $url\r\n" +
-        s"WARC-Date: $tsIso\r\n" +
-        s"WARC-Record-ID: ${recordId(url, tsIso)}\r\n" +
-        "Content-Type: application/http; msgtype=response\r\n" +
-        s"Content-Length: $payloadLen\r\n\r\n"
-    val wh = warcHead.getBytes(UTF_8)
-    val out = new Array[Byte](wh.length + payloadLen + 4)
-    System.arraycopy(wh, 0, out, 0, wh.length)
-    System.arraycopy(headBytes, 0, out, wh.length, headBytes.length)
-    System.arraycopy(body, 0, out, wh.length + headBytes.length, body.length)
-    out(out.length - 4) = '\r'; out(out.length - 3) = '\n'
-    out(out.length - 2) = '\r'; out(out.length - 1) = '\n'
-    out
+    val payload = new Array[Byte](headBytes.length + body.length)
+    System.arraycopy(headBytes, 0, payload, 0, headBytes.length)
+    System.arraycopy(body, 0, payload, headBytes.length, body.length)
+    framedRecord("response", "application/http; msgtype=response", url, tsIso, payload)
   }
 
   /** One complete conversion record (the WET text-extract shape):
@@ -80,22 +90,7 @@ object WarcWriter {
     * WARC-Date, name-based record id, same row → same bytes. */
   def conversionRecord(url: String, ts: java.sql.Timestamp, text: String): Array[Byte] = {
     val tsIso = tsIsoOf(ts)
-    val body = text.getBytes(UTF_8)
-    val warcHead =
-      "WARC/1.0\r\n" +
-        "WARC-Type: conversion\r\n" +
-        s"WARC-Target-URI: $url\r\n" +
-        s"WARC-Date: $tsIso\r\n" +
-        s"WARC-Record-ID: ${recordId(url, tsIso)}\r\n" +
-        "Content-Type: text/plain\r\n" +
-        s"Content-Length: ${body.length}\r\n\r\n"
-    val wh = warcHead.getBytes(UTF_8)
-    val out = new Array[Byte](wh.length + body.length + 4)
-    System.arraycopy(wh, 0, out, 0, wh.length)
-    System.arraycopy(body, 0, out, wh.length, body.length)
-    out(out.length - 4) = '\r'; out(out.length - 3) = '\n'
-    out(out.length - 2) = '\r'; out(out.length - 1) = '\n'
-    out
+    framedRecord("conversion", "text/plain", url, tsIso, text.getBytes(UTF_8))
   }
 
   /** One complete metadata record (the WAT shape): payload = a JSON
@@ -104,22 +99,7 @@ object WarcWriter {
     * writers. */
   def metadataRecord(url: String, ts: java.sql.Timestamp, json: String): Array[Byte] = {
     val tsIso = tsIsoOf(ts)
-    val body = json.getBytes(UTF_8)
-    val warcHead =
-      "WARC/1.0\r\n" +
-        "WARC-Type: metadata\r\n" +
-        s"WARC-Target-URI: $url\r\n" +
-        s"WARC-Date: $tsIso\r\n" +
-        s"WARC-Record-ID: ${recordId(url, tsIso)}\r\n" +
-        "Content-Type: application/json\r\n" +
-        s"Content-Length: ${body.length}\r\n\r\n"
-    val wh = warcHead.getBytes(UTF_8)
-    val out = new Array[Byte](wh.length + body.length + 4)
-    System.arraycopy(wh, 0, out, 0, wh.length)
-    System.arraycopy(body, 0, out, wh.length, body.length)
-    out(out.length - 4) = '\r'; out(out.length - 3) = '\n'
-    out(out.length - 2) = '\r'; out(out.length - 1) = '\n'
-    out
+    framedRecord("metadata", "application/json", url, tsIso, json.getBytes(UTF_8))
   }
 
   /** One gzip member holding exactly `bytes` (MTIME=0 header — the JDK
@@ -145,11 +125,23 @@ object WarcWriter {
   def writeWarcFiles(df: DataFrame, dir: String, gzip: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    writeRecordFiles(
+      df.select(col("url"), col("warc_ts"), col("status").cast("long"), col("html"))
+        .as[(String, java.sql.Timestamp, Long, Array[Byte])]
+        .map { case (url, ts, status, body) => (url, ts, responseRecord(url, ts, status, body)) },
+      dir, ext = if (gzip) "warc.gz" else "warc", gzip = gzip)
+  }
+
+  /** Shared per-partition archive writer: one file per partition, one
+    * task per file, optional member-per-record gzip, (offset, length)
+    * index rows driving [[Warc.recordAt]]; index eagerly materialized
+    * so the write runs exactly once per call. */
+  private def writeRecordFiles(recs: Dataset[(String, java.sql.Timestamp, Array[Byte])],
+                               dir: String, ext: String, gzip: Boolean): DataFrame = {
+    val spark = recs.sparkSession
+    import spark.implicits._
     new java.io.File(dir).mkdirs()
-    val ext = if (gzip) "warc.gz" else "warc"
-    df.select(col("url"), col("warc_ts"), col("status").cast("long"), col("html"))
-      .as[(String, java.sql.Timestamp, Long, Array[Byte])]
-      .mapPartitions { it =>
+    recs.mapPartitions { it =>
         val pid = org.apache.spark.TaskContext.getPartitionId()
         val name = f"part-$pid%05d.$ext"
         // seam: new Path(dir, name).getFileSystem(conf).create(...) on a cluster
@@ -157,8 +149,7 @@ object WarcWriter {
         val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(file))
         var offset = 0L
         val rows = try {
-          it.map { case (url, ts, status, body) =>
-            val rec = responseRecord(url, ts, status, body)
+          it.map { case (url, ts, rec) =>
             val bytes = if (gzip) gzipMember(rec) else rec
             out.write(bytes)
             val r = (name, url, ts, offset, bytes.length.toLong)
@@ -181,31 +172,10 @@ object WarcWriter {
   def writeWetFiles(df: DataFrame, dir: String, gzip: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    new java.io.File(dir).mkdirs()
-    val ext = if (gzip) "warc.wet.gz" else "warc.wet"
-    df.select(col("url"), col("warc_ts"), col("text"))
-      .as[(String, java.sql.Timestamp, String)]
-      .mapPartitions { it =>
-        val pid = org.apache.spark.TaskContext.getPartitionId()
-        val name = f"part-$pid%05d.$ext"
-        // seam: new Path(dir, name).getFileSystem(conf).create(...) on a cluster
-        val file = new java.io.File(dir, name)
-        val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(file))
-        var offset = 0L
-        val rows = try {
-          it.map { case (url, ts, text) =>
-            val rec = conversionRecord(url, ts, text)
-            val bytes = if (gzip) gzipMember(rec) else rec
-            out.write(bytes)
-            val r = (name, url, ts, offset, bytes.length.toLong)
-            offset += bytes.length
-            r
-          }.toVector
-        } finally out.close()
-        if (rows.isEmpty) file.delete() // empty partition → no empty archive
-        rows.iterator
-      }
-      .toDF("filename", "url", "warc_ts", "offset", "length")
-      .localCheckpoint(true)
+    writeRecordFiles(
+      df.select(col("url"), col("warc_ts"), col("text"))
+        .as[(String, java.sql.Timestamp, String)]
+        .map { case (url, ts, text) => (url, ts, conversionRecord(url, ts, text)) },
+      dir, ext = if (gzip) "warc.wet.gz" else "warc.wet", gzip = gzip)
   }
 }

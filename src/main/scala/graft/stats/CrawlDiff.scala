@@ -29,14 +29,23 @@ import org.apache.spark.sql.functions._
   * combinable rollup. */
 object CrawlDiff {
 
-  /** Per-url classification: (url, status, prev_fp, curr_fp). */
+  /** Per-url classification: (url, status, prev_fp, curr_fp).
+    * `validate = false` skips the url-uniqueness check — the 10^10 path
+    * when both inputs are the crawl's own results tables (url-unique by
+    * construction); the check itself is ONE job over both sides
+    * (side-tagged union, single groupBy), not a scan per snapshot. */
   def diff(prev: DataFrame, curr: DataFrame,
-           urlCol: String, fpCol: String): DataFrame = {
+           urlCol: String, fpCol: String, validate: Boolean = true): DataFrame = {
     val p = prev.select(col(urlCol).as("url"), col(fpCol).as("prev_fp"))
     val c = curr.select(col(urlCol).as("url"), col(fpCol).as("curr_fp"))
-    for ((side, name) <- Seq(p -> "prev", c -> "curr")) {
-      val dup = side.groupBy("url").count().filter(col("count") > 1).limit(1).count()
-      require(dup == 0, s"$name crawl has duplicate urls — one fingerprint per url required")
+    if (validate) {
+      val dup = p.select(col("url"), lit("prev").as("side"))
+        .unionByName(c.select(col("url"), lit("curr").as("side")))
+        .groupBy("side", "url").count().filter(col("count") > 1)
+        .select("side").limit(1).collect()
+      require(dup.isEmpty,
+        s"${dup.headOption.map(_.getString(0)).getOrElse("")} crawl has duplicate urls — " +
+          "one fingerprint per url required")
     }
     p.join(c, Seq("url"), "full_outer")
       .select(col("url"),
@@ -51,8 +60,7 @@ object CrawlDiff {
     * the four status counts (hosts derived with the engine's
     * canonicalizer). */
   def hostSummary(diffed: DataFrame): DataFrame = {
-    val hostUdf = udf((u: String) => graft.url.UrlCanonical.hostOf(u))
-    diffed.withColumn("host", hostUdf(col("url")))
+    diffed.withColumn("host", graft.frontier.Frontier.hostUdf(col("url")))
       .groupBy("host")
       .agg(
         sum(when(col("status") === "unchanged", 1L).otherwise(0L)).as("n_unchanged"),

@@ -1170,10 +1170,15 @@ class OpsSpec extends AnyFunSuite {
     exp.foreach { case (k, (nt, sc)) =>
       assert(got(k)._1 == nt && got(k)._2 == sc, s"doc $k: ${got(k)} vs ($nt, $sc)")
     }
-    // injected stats reproduce the in-plan path exactly
+    // injected stats + injected doc-length table (the 100 TB path)
+    // reproduce the in-plan path exactly
     val st = Bm25.stats(docs, "doc_id", "text", q)
     assert(st.nDocs == 4 && st.avgdl == avgdl && st.df == Map("join" -> 2L, "spark" -> 2L))
-    val got2 = Bm25.score(docs, "doc_id", "text", q, corpusStats = Some(st))
+    val dlTable = Bm25.docLengthTable(docs, "doc_id", "text")
+    assert(dlTable.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      == Map(1L -> 4L, 2L -> 5L, 3L -> 5L, 4L -> 1L))
+    val got2 = Bm25.score(docs, "doc_id", "text", q,
+        corpusStats = Some(st), docLengths = Some(dlTable))
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
     assert(got2 == got)
     // topK: highest score first, doc_id tiebreak, deterministic
