@@ -1113,6 +1113,31 @@ class OpsSpec extends AnyFunSuite {
       pr.childSitemaps.toSet == files.map(f => s"https://w.example/sitemap-${f._1}.xml?x=1&y=2").toSet)
   }
 
+  test("sitemap writer: binomial shard skew over the cap escalates file count instead of aborting") {
+    import spark.implicits._
+    import graft.sources.Sinks
+    // the exact r5 bench-failure shape: 5,000 urls at maxPerFile = 64 →
+    // the 20%-headroom derivation yields 98 files at mean ~51, and the
+    // md5 shard puts 68 urls in the hottest file (> cap). The writer must
+    // deterministically re-derive with more files, not throw.
+    val df = (0 until 5000).map { i =>
+      (s"https://h${i % 4}.example/doc/$i?a=1&b=2",
+        if (i % 2 == 0) f"2026-01-${i % 28 + 1}%02d" else null,
+        if (i % 3 == 0) s"0.${i % 10}" else null)
+    }.toDF("loc", "lastmod", "priority")
+    val files = Sinks.sitemapFiles(df, "loc", "lastmod", "priority", maxPerFile = 64, salt = "sm")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(files.map(_._2).sum == 5000L)
+    assert(files.forall(_._2 <= 64L), s"hottest file: ${files.map(_._2).max}")
+    // escalation happened (the 20%-headroom count was 98 and failed)
+    assert(files.length > 98, s"expected > 98 files after escalation, got ${files.length}")
+    // still deterministic: repartitioned input yields byte-identical files
+    val again = Sinks.sitemapFiles(df.repartition(13), "loc", "lastmod", "priority",
+        maxPerFile = 64, salt = "sm")
+      .collect().map(r => (r.getLong(0), r.getString(2))).toMap
+    files.foreach { case (no, _, xml) => assert(again(no) == xml, s"file $no differs") }
+  }
+
   test("sessionize: gap rule, tie order, running ids, exact stats") {
     import spark.implicits._
     import graft.stats.Sessions
