@@ -56,28 +56,34 @@ object Dsir {
       .groupBy("bucket").agg(count(lit(1)).as("n"))
   }
 
+  /** Unigrams + bigrams of the lowercased whitespace tokens as one
+    * array. The token array is bound ONCE as a lambda variable
+    * (`transform(array(w), ws -> ...)`): HOF lambdas are interpreted
+    * with no common-subexpression elimination, so the previous inline
+    * form re-ran the full tokenize (trim+lower+split+filter) TWICE per
+    * bigram index — O(tokens²) chars per document, the dominant cost of
+    * both gram scans (see [[graft.text.TextOps.shingles]]). */
+  private def gramArr(text: Column): Column = {
+    val w = filter(split(lower(trim(text)), "\\s+"), x => length(x) > 0)
+    flatten(transform(array(w), ws =>
+      concat(ws,
+        when(size(ws) < 2, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(0), size(ws) - 2),
+            i => concat_ws(" ", element_at(ws, i + 1), element_at(ws, i + 2)))))))
+  }
+
   /** Unigram+bigram md5-prefix buckets of `textCol`, one row per gram
     * occurrence (id columns of `df` are retained by the caller's
     * select; here only the bucket stream). */
-  private def gramBuckets(text: Column, hexChars: Int, df: DataFrame): DataFrame = {
-    val w = filter(split(lower(trim(text)), "\\s+"), x => length(x) > 0)
-    val bigrams = when(size(w) < 2, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(0), size(w) - 2),
-        i => concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2))))
-    df.select(explode(concat(w, bigrams)).as("gram"))
+  private def gramBuckets(text: Column, hexChars: Int, df: DataFrame): DataFrame =
+    df.select(explode(gramArr(text)).as("gram"))
       .select(substring(md5(col("gram")), 1, hexChars).as("bucket"))
-  }
 
   /** Same gram stream keyed by document id. */
   private def docGramBuckets(df: DataFrame, idCol: String, textCol: String,
-                             hexChars: Int): DataFrame = {
-    val w = filter(split(lower(trim(col(textCol))), "\\s+"), x => length(x) > 0)
-    val bigrams = when(size(w) < 2, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(0), size(w) - 2),
-        i => concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2))))
-    df.select(col(idCol), explode(concat(w, bigrams)).as("gram"))
+                             hexChars: Int): DataFrame =
+    df.select(col(idCol), explode(gramArr(col(textCol))).as("gram"))
       .select(col(idCol), substring(md5(col("gram")), 1, hexChars).as("bucket"))
-  }
 
   /** Score every `raw` doc: (idCol, n_grams, score). `score` is the
     * scaled log importance weight (LONG); higher = more target-like.

@@ -93,9 +93,13 @@ object TextOps {
   def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val base = df.filter(length(trim(col(textCol))) > 0)
     val warr = split(trim(col(textCol)), "\\s+")
-    val bgArr = when(size(warr) < 2, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(0), size(warr) - 2),
-        i => concat_ws(" ", slice(warr, i + 1, lit(2)))))
+    // token array bound once as a lambda variable (no CSE inside HOF
+    // lambdas — see [[shingles]]): the inline form re-split the doc once
+    // per bigram index
+    val bgArr = flatten(transform(array(warr), ws =>
+      when(size(ws) < 2, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(0), size(ws) - 2),
+          i => concat_ws(" ", slice(ws, i + 1, lit(2)))))))
 
     def sig(tokens: Column, total: String, distinct: String, top: String): DataFrame =
       base.select(col(idCol), explode(tokens).as("_tok"))
@@ -165,8 +169,12 @@ object TextOps {
     * (guarded: Spark's `sequence(1, 0)` would DESCEND, not return []). */
   def charBigrams(text: Column): Column = {
     val t = lower(regexp_replace(trim(text), "\\s+", " "))
-    when(length(t) < 2, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), length(t) - 1), i => t.substr(i, lit(2))))
+    // bind the normalized string once as a lambda variable — the same
+    // no-CSE-inside-HOF trap as [[shingles]]: `t.substr(i, 2)` inside the
+    // per-index lambda would re-run the regexp_replace once per character
+    flatten(transform(array(t), s =>
+      when(length(s) < 2, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), length(s) - 1), i => s.substr(i, lit(2))))))
   }
 
   /** CCNet-style fluency scoring: a character-bigram language model
@@ -322,14 +330,24 @@ object TextOps {
       .select(col("grp").as(groupCol), col("w1"), col("w2"), col("n"), col("rank"))
   }
 
-  /** Word w-shingles as an array column (for n-gram Jaccard / MinHash). */
+  /** Word w-shingles as an array column (for n-gram Jaccard / MinHash).
+    *
+    * The token array is bound ONCE as a lambda variable
+    * (`transform(array(words), ws -> ...)` then `flatten`): higher-order
+    * functions are interpreted with no common-subexpression elimination,
+    * so referencing the `split` expression directly inside the per-index
+    * lambda would re-tokenize the document once per window — O(n²) chars
+    * per doc (the mergePairTopK lesson, measured 5.3× there; here it sat
+    * under every shingle consumer: decontamination, window stats/removal,
+    * Jaccard verify). The lambda binding keeps the one-expression
+    * `Column => Column` API while evaluating the split exactly once. */
   def shingles(text: Column, w: Int): Column = {
     val words = split(lower(trim(text)), "\\s+")
     // sliding windows via transform over indices; empty when < w words
-    val n = size(words)
-    when(n < w, array().cast("array<string>")).otherwise(
-      transform(sequence(lit(0), n - w),
-        i => concat_ws(" ", slice(words, i + 1, lit(w)))))
+    flatten(transform(array(words), ws =>
+      when(size(ws) < w, array().cast("array<string>")).otherwise(
+        transform(sequence(lit(0), size(ws) - w),
+          i => concat_ws(" ", slice(ws, i + 1, lit(w)))))))
   }
 
   /** Gopher DOCUMENT-level quality rules (Rae et al. 2021, "Scaling
