@@ -408,9 +408,13 @@ object Dedup {
       val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
       val mins = sym.groupBy("u").agg(min("v").as("mn"))
         .select(col("u"), least(col("u"), col("mn")).as("m"))
+      // no trailing distinct: the only consumer is smallStar, whose
+      // groupBy-min is duplicate-insensitive and whose own trailing
+      // distinct dedups the joined rows — dropping it removes one
+      // exchange per iteration with an identical fixpoint
       sym.join(mins, "u").filter(col("v") > col("u"))
         .select(col("v").as("u"), col("m").as("v"))
-        .filter(col("u") =!= col("v")).distinct()
+        .filter(col("u") =!= col("v"))
     }
     def smallStar(e: DataFrame): DataFrame = {
       val mins = e.groupBy("u").agg(min("v").as("m"))
@@ -425,10 +429,14 @@ object Dedup {
     // that aren't paired with each other — no target is a source, yet doc
     // 10 would land in two clusters and component {1,2,10} stay unmerged).
     def isStarForest(e: DataFrame): Boolean = {
-      val singleParent =
-        e.groupBy("u").agg(count(lit(1)).as("deg")).filter(col("deg") > 1).limit(1).isEmpty
-      singleParent &&
-        e.select(col("v").as("j")).join(e, col("j") === col("u")).limit(1).isEmpty
+      // both violation kinds probed in ONE action (the loop runs this
+      // every iteration over the checkpointed edge set — two separate
+      // limit-1 jobs doubled the per-iteration scheduling cost)
+      val multiParent = e.groupBy("u").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") > 1).select(lit(1).as("one"))
+      val rootWithEdge = e.select(col("v").as("j"))
+        .join(e, col("j") === col("u")).select(lit(1).as("one"))
+      multiParent.unionByName(rootWithEdge).limit(1).isEmpty
     }
 
     var iters = 0

@@ -44,10 +44,13 @@ object LinkGraph {
       .filter(col("src") =!= col("dst")).distinct().localCheckpoint(true)
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct().localCheckpoint(true)
-    val outdeg = e.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint(true)
+    // out-degree attached to the edge table ONCE — it is loop-invariant,
+    // so joining it inside the iteration paid one extra join per round
+    val ew = e.join(e.groupBy("src").agg(count(lit(1)).as("deg")), "src")
+      .localCheckpoint(true)
     var ranks = nodes.withColumn("rank", lit(1.0))
     for (_ <- 1 to iters) {
-      val contrib = e.join(outdeg, "src")
+      val contrib = ew
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), (col("rank") / col("deg")).as("w"))
         .groupBy("node").agg(sum("w").as("inflow"))
@@ -170,10 +173,14 @@ object LinkGraph {
     require(nBad == 0, s"weightedPagerank: found non-positive/null/NaN weights in '$weightCol'")
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct().localCheckpoint(true)
-    val outW = e.groupBy("src").agg(sum("w").as("wout")).localCheckpoint(true)
+    // loop-invariant out-weight attached once (same hoist as [[pagerank]];
+    // the rank * w / wout expression is kept verbatim so every iteration's
+    // doubles are bit-identical to the unhoisted plan)
+    val ew = e.join(e.groupBy("src").agg(sum("w").as("wout")), "src")
+      .localCheckpoint(true)
     var ranks = nodes.withColumn("rank", lit(1.0))
     for (_ <- 1 to iters) {
-      val contrib = e.join(outW, "src")
+      val contrib = ew
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), (col("rank") * col("w") / col("wout")).as("c"))
         .groupBy("node").agg(sum("c").as("inflow"))

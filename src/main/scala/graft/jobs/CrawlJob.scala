@@ -193,13 +193,29 @@ object CrawlJob {
         org.apache.spark.sql.expressions.Window.partitionBy("sm_host").orderBy("cand_rank")))
       .filter(col("rn") === 1)
       .select("sm_host", "sm_url")
+    val ifTiming = sys.env.contains("GRAFT_TIMING")
+    var tIf = System.nanoTime()
+    def ifPhase(name: String): Unit = if (ifTiming) {
+      val now = System.nanoTime()
+      println(f"[timing] initial-frontier $name: ${(now - tIf) / 1e9}%.1fs")
+      tIf = now
+    }
+    // Fixpoint job discipline: each level runs exactly TWO jobs — the
+    // eager parse checkpoint (entryParts re-reads it later, so it must
+    // materialize) and one count() that lazily materializes BOTH the
+    // next pending set and the processed union while doubling as the
+    // emptiness test. The previous shape ran four (two more eager
+    // checkpoints plus a separate isEmpty), pure scheduling latency at
+    // two levels per crawl.
     var pending = declared.unionByName(fallback)
       .groupBy("sm_url").agg(min("sm_host").as("sm_host")) // F5: one parse per sitemap url
-      .localCheckpoint()
+      .localCheckpoint(false)
+    var nPending = pending.count()
+    ifPhase("pending0")
     var processed = pending.select("sm_url").limit(0)
     val entryParts = scala.collection.mutable.ListBuffer.empty[DataFrame]
     var level = 0
-    while (level < 16 && !pending.isEmpty) {
+    while (level < 16 && nPending > 0) {
       val parsed = pending.join(bodies, Seq("sm_url"))
         .select("sm_host", "sm_url", "xml").as[(String, String, String)]
         .map { case (h, u, xml) =>
@@ -207,13 +223,17 @@ object CrawlJob {
           (h, r.entries.map(e => (e.loc, e.priority)), r.childSitemaps)
         }.toDF("sm_host", "locs", "children")
         .localCheckpoint() // materialize: one parse pass, lineage cut per level
+      ifPhase(s"level$level-parse")
       entryParts += parsed.select(col("sm_host"), explode(col("locs")).as("e"))
         .select(col("sm_host"), col("e._1").as("loc"), col("e._2").as("pr"))
-      processed = processed.unionByName(pending.select("sm_url")).distinct().localCheckpoint()
+      processed = processed.unionByName(pending.select("sm_url")).distinct()
+        .localCheckpoint(false)
       pending = parsed.select(col("sm_host"), explode(col("children")).as("sm_url"))
         .join(processed, Seq("sm_url"), "left_anti")
         .groupBy("sm_url").agg(min("sm_host").as("sm_host"))
-        .localCheckpoint()
+        .localCheckpoint(false)
+      nPending = pending.count()
+      ifPhase(s"level$level-next")
       level += 1
     }
 
@@ -702,7 +722,7 @@ object CrawlJob {
           seen = seenWithDue(round)
         }
         val input =
-          if (round == 0) initialFrontier(spark, siteDir, rules)
+          if (round == 0) { val f = initialFrontier(spark, siteDir, rules); phase("epoch-assign/initial-frontier"); f }
           // assignedTotal == 0 → the assigned dir is a zero-row
           // partitionBy write (only _SUCCESS; no readable schema) —
           // re-invoking run() on a completed workDir lands here
@@ -727,6 +747,7 @@ object CrawlJob {
           val (alw, den, gate) = Scheduler.robotsGate(fresh, robotsDf)
           epochDenied = den; epochGate = gate
           nEpochDenied = den.count()
+          phase("epoch-assign/robots-gate")
           alw
         } else fresh
         val toAssign =

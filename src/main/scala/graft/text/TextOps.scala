@@ -142,15 +142,22 @@ object TextOps {
     * may normalize differently across engines and are documented as
     * engine-local (the NORMALIZED key never leaves the engine — only
     * dedup DECISIONS do, and those are deterministic given the key). */
+  // patterns compiled once (String.replaceAll recompiles its regex on
+  // EVERY call — four compiles per row in the dedup-key hot loop)
+  private val NormMarks = java.util.regex.Pattern.compile("\\p{M}")
+  private val NormDigits = java.util.regex.Pattern.compile("[0-9]")
+  private val NormOther = java.util.regex.Pattern.compile("[^a-z0-9\\s]")
+  private val NormWs = java.util.regex.Pattern.compile("\\s+")
+
   val normalizeForDedupUdf = udf { (s: String) =>
     if (s == null) null
     else {
       val lower = s.toLowerCase
-      val stripped = java.text.Normalizer.normalize(lower, java.text.Normalizer.Form.NFD)
-        .replaceAll("\\p{M}", "")
-      stripped.replaceAll("[0-9]", "0")
-        .replaceAll("[^a-z0-9\\s]", "")
-        .replaceAll("\\s+", " ").trim
+      val stripped = NormMarks.matcher(
+        java.text.Normalizer.normalize(lower, java.text.Normalizer.Form.NFD)).replaceAll("")
+      NormWs.matcher(
+        NormOther.matcher(
+          NormDigits.matcher(stripped).replaceAll("0")).replaceAll("")).replaceAll(" ").trim
     }
   }
 

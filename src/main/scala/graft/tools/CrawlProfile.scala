@@ -1,0 +1,27 @@
+package graft.tools
+
+import graft.jobs.CrawlJob
+
+/** Dev-only: one gated headline-shaped crawl run (bucketed pages layout,
+  * bench rps/depth) with GRAFT_TIMING-style phase output, for profiling.
+  * Never invoked by the driver. */
+object CrawlProfile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = CrawlJob.session(cpus, "graft-crawl-profile")
+    val siteDir = graft.Bench.ensureBenchSite(spark, sfDir, cpus, rps = 8000.0)
+    val bkTable = "bench_pages_bucketed"
+    graft.sources.BucketedPages.createBucketedTable(
+      spark, s"$siteDir/pages.parquet", bkTable, buckets = cpus)
+    val wd = java.nio.file.Files
+      .createTempDirectory(java.nio.file.Paths.get("/dev/shm"), "graft_profile_crawl").toString
+    val (llc0, _) = graft.Bench.memLatNs()
+    val (fetched, chunks, sec) = graft.Bench.crawlBench(
+      spark, siteDir, wd, rps = 8000.0, maxDepth = 99, bucketedTable = Some(bkTable))
+    val (llc1, _) = graft.Bench.memLatNs()
+    graft.util.LocalFs.deleteRecursively(wd)
+    println(f"""{"profile_crawl_sec":$sec%.1f,"urls":$fetched,"chunks":$chunks,"urls_per_sec":${fetched / sec}%.1f,"llc_ns":[$llc0%.1f,$llc1%.1f]}""")
+    spark.stop()
+  }
+}

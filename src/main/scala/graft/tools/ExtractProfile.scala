@@ -1,0 +1,44 @@
+package graft.tools
+
+/** Dev-only single-threaded microprofile of the extract path's stages
+  * (decode → parse → Doc → markdown → chunks) over bench-site pages.
+  * Never invoked by the driver. */
+object ExtractProfile {
+  def main(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toInt else 3000
+    val spark = graft.jobs.CrawlJob.session(8, "graft-extract-profile")
+    val rows = spark.read.parquet("/dev/shm/graft_bench_site_480000_8000/pages.parquet")
+      .select("url", "html").limit(n).collect()
+      .map(r => (r.getString(0), r.getAs[Array[Byte]]("html")))
+    spark.stop()
+    // warm up JIT
+    rows.take(500).foreach { case (u, h) =>
+      val s = graft.sources.Charset.decodeHtml(h)._2
+      val root = graft.html.HtmlParser.parse(s)
+      val doc = graft.html.Doc.fromRoot(root, u)
+      val md = graft.html.DocRender.toMarkdown(doc)
+      graft.html.Doc.extractLinksFromRoot(root, u)
+      graft.chunk.Chunker.semanticChunks(md, u, "2026-01-01T00:00:00Z", 1000, 200)
+    }
+    var tDecode = 0L; var tParse = 0L; var tDoc = 0L; var tMd = 0L; var tLinks = 0L; var tChunk = 0L
+    var bytes = 0L
+    rows.foreach { case (u, h) =>
+      bytes += h.length
+      var t0 = System.nanoTime()
+      val s = graft.sources.Charset.decodeHtml(h)._2
+      var t1 = System.nanoTime(); tDecode += t1 - t0
+      val root = graft.html.HtmlParser.parse(s)
+      t0 = System.nanoTime(); tParse += t0 - t1
+      val doc = graft.html.Doc.fromRoot(root, u)
+      t1 = System.nanoTime(); tDoc += t1 - t0
+      val md = graft.html.DocRender.toMarkdown(doc)
+      t0 = System.nanoTime(); tMd += t0 - t1
+      graft.html.Doc.extractLinksFromRoot(root, u)
+      t1 = System.nanoTime(); tLinks += t1 - t0
+      graft.chunk.Chunker.semanticChunks(md, u, "2026-01-01T00:00:00Z", 1000, 200)
+      t0 = System.nanoTime(); tChunk += t0 - t1
+    }
+    def ms(t: Long) = t / 1e6
+    println(f"pages=$n bytes=$bytes decode=${ms(tDecode)}%.0fms parse=${ms(tParse)}%.0fms doc=${ms(tDoc)}%.0fms markdown=${ms(tMd)}%.0fms links=${ms(tLinks)}%.0fms chunk=${ms(tChunk)}%.0fms total=${ms(tDecode + tParse + tDoc + tMd + tLinks + tChunk)}%.0fms")
+  }
+}

@@ -1,0 +1,49 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+/** Dev-only: isolate the cost components of one crawl round's
+  * fetch+extract cell — bare pages scan, join+extract to noop, and the
+  * full parquet write. Never invoked by the driver. */
+object FetchPhaseProfile {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = graft.jobs.CrawlJob.session(cpus, "graft-fetch-profile")
+    val site = "/dev/shm/graft_bench_site_480000_8000"
+    val bkTable = "bench_pages_bucketed"
+    graft.sources.BucketedPages.createBucketedTable(
+      spark, s"$site/pages.parquet", bkTable, buckets = cpus)
+    val pages = spark.table(bkTable)
+    def time(name: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime(); f
+      println(f"[fpp] $name: ${(System.nanoTime() - t0) / 1e9}%.1fs")
+    }
+    // a round-sized batch: ~60k urls (every 8th page)
+    val batch = spark.read.parquet(s"$site/pages.parquet").select("url")
+      .filter(xxhash64(col("url")) % 8 === 0)
+      .select(col("url"), xxhash64(col("url")).as("url_hash"),
+        graft.frontier.Frontier.hostUdf(col("url")).as("host"),
+        lit(1).as("depth"), lit(1).as("rank"))
+      .localCheckpoint(true)
+    println("batch rows=" + batch.count())
+    for (i <- 1 to 2) {
+      time(s"bare-scan sum(octet_length(html)) #$i") {
+        pages.selectExpr("sum(octet_length(html))").collect()
+      }
+    }
+    val cfg = graft.frontier.Scheduler.Config(defaultRps = 8000.0, roundSeconds = 5.0,
+      maxDepth = 99, bucketedPagesTable = Some(bkTable))
+    val joined = pages.join(batch, Seq("url"), "inner")
+    for (i <- 1 to 2) time(s"join-only count #$i") { joined.select("url").count() }
+    val ext = graft.jobs.CrawlJob.extract(spark, joined, cfg).toDF()
+      .withColumn("round", lit(0)).withColumn("fp", xxhash64(col("markdown")))
+    for (i <- 1 to 3) time(s"join+extract noop #$i") {
+      ext.write.format("noop").mode("overwrite").save()
+    }
+    for (i <- 1 to 2) time(s"join+extract parquet write #$i") {
+      ext.write.mode("overwrite").parquet("/dev/shm/graft_fpp_results")
+    }
+    graft.util.LocalFs.deleteRecursively("/dev/shm/graft_fpp_results")
+    spark.stop()
+  }
+}

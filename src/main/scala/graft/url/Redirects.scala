@@ -92,8 +92,24 @@ object Redirects {
       .localCheckpoint(true)
     val done = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
 
-    for (_ <- 1 to maxHops) {
+    // Per hop, ONE materialized table: the stepped join is LAZILY
+    // checkpointed and materialized by the in-flight count — so the
+    // hop's single job both truncates lineage and tells us whether any
+    // chain is still walking. All three consumers (the two retirement
+    // branches and the next active set) then read the cached blocks;
+    // the previous shape checkpointed only the active side, which made
+    // the final union re-execute every hop's join twice more (once per
+    // retirement branch). Chains that all retire before maxHops stop
+    // the walk early — the remaining hops could only contribute empty
+    // branches.
+    var inflight = 1L
+    var hop = 0
+    while (hop < maxHops && inflight > 0) {
+      hop += 1
       val stepped = active.join(rmap, active("cur") === rmap("src"), "left")
+        .localCheckpoint(false)
+      val walking = col("src").isNotNull && !array_contains(col("path"), col("dst"))
+      inflight = stepped.filter(walking).count() // materializes the checkpoint
       // no outgoing redirect → chain ended at cur (terminal or dangling)
       done += stepped.filter(col("src").isNull)
         .select(col("start"), col("cur"), col("hops"), lit("terminal").as("k"))
@@ -101,18 +117,19 @@ object Redirects {
       done += stepped.filter(col("src").isNotNull && array_contains(col("path"), col("dst")))
         .select(col("start"), col("dst").as("cur"), (col("hops") + 1).as("hops"),
           lit("loop").as("k"))
-      active = stepped
-        .filter(col("src").isNotNull && !array_contains(col("path"), col("dst")))
+      active = stepped.filter(walking)
         .select(col("start"), col("dst").as("cur"), (col("hops") + 1).as("hops"),
           concat(col("path"), array(col("dst"))).as("path"))
-        .localCheckpoint(true)
     }
-    // still in flight after maxHops: redirecting → too_many; else terminal
-    val tail = active.join(rmap, active("cur") === rmap("src"), "left")
-    done += tail.filter(col("src").isNull)
-      .select(col("start"), col("cur"), col("hops"), lit("terminal").as("k"))
-    done += tail.filter(col("src").isNotNull)
-      .select(col("start"), col("cur"), col("hops"), lit("too_many").as("k"))
+    if (inflight > 0) {
+      // still in flight after maxHops: redirecting → too_many; else terminal
+      val tail = active.join(rmap, active("cur") === rmap("src"), "left")
+        .localCheckpoint(true)
+      done += tail.filter(col("src").isNull)
+        .select(col("start"), col("cur"), col("hops"), lit("terminal").as("k"))
+      done += tail.filter(col("src").isNotNull)
+        .select(col("start"), col("cur"), col("hops"), lit("too_many").as("k"))
+    }
 
     done.reduce(_ unionByName _)
   }
