@@ -1,0 +1,50 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+
+/** Dev-only: stage decomposition of the d10 near-dedup chain. */
+object D10Profile {
+  def main(args: Array[String]): Unit = {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = graft.jobs.CrawlJob.session(cpus, "graft-d10-profile")
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      println(f"[d10] $name: ${(System.nanoTime() - t0) / 1e9}%.2fs  (rows=$n)")
+    }
+    for (round <- 1 to 2) {
+      println(s"== pass $round ==")
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val nearDup = docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 1000000).as("doc_id"),
+          concat(lit("zzz "), substring_index(col("text"), " ", -200)).as("text"))
+      val all = docs.select(col("doc_id"), col("text")).unionByName(nearDup)
+        .localCheckpoint(true)
+      time("sig-only (minhash_sig count)") {
+        all.select(Dedup.minhashSignature(col("text"), 3, 32).as("sig"))
+          .filter(size(col("sig")) === 32).count()
+      }
+      val cand = Dedup.minhashLshPairs(all, "doc_id", "text", w = 3, m = 32, bands = 8, threshold = 0.5)
+      var candCp: org.apache.spark.sql.DataFrame = null
+      time("lsh-pairs") { candCp = cand.localCheckpoint(true); candCp.count() }
+      var pairsCp: org.apache.spark.sql.DataFrame = null
+      time("verify-jaccard") {
+        pairsCp = Dedup.verifyJaccard(candCp, all, "doc_id", "text", w = 3)
+          .filter(col("jaccard") >= 0.5).select("id_a", "id_b").localCheckpoint(true)
+        pairsCp.count()
+      }
+      var assign: org.apache.spark.sql.DataFrame = null
+      time("resolve-clusters") { assign = Dedup.resolveClusters(pairsCp).localCheckpoint(true); assign.count() }
+      time("anti-join") {
+        val dropIds = assign.filter(col("doc_id") =!= col("cluster_id"))
+          .select(col("doc_id").as("__drop_doc_id"))
+        val kept = all.join(dropIds, all("doc_id") === dropIds("__drop_doc_id"), "left_anti")
+        all.select(col("doc_id"))
+          .join(kept.select(col("doc_id")), Seq("doc_id"), "left_anti").count()
+      }
+    }
+    spark.stop()
+  }
+}
