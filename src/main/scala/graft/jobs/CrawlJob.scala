@@ -80,6 +80,13 @@ object CrawlJob {
       dflt("spark.sql.adaptive.enabled", "true"),
       dflt("spark.sql.adaptive.skewJoin.enabled", "true"),
       dflt("spark.sql.adaptive.coalescePartitions.enabled", "true"),
+      // let the planner pick shuffled-hash over sort-merge when its size
+      // conditions hold (optimization-guide §3.1/§9 baseline: SHJ skips
+      // both sort passes and spills per-partition; AQE's skew-join and
+      // the broadcast conversions are unaffected). Scale-independent —
+      // the same preference is the recommended cluster baseline — and
+      // overridable like every default here.
+      dflt("spark.sql.join.preferSortMergeJoin", "false"),
       // v1's two sequential driver-side rename passes cost ~1.5 s of
       // pure latency per dynamic-partition write (measured: the
       // next-epoch partitionBy write dropped 24.6 s → 10.4 s over a
