@@ -82,10 +82,15 @@ object CrawlJob {
       dflt("spark.sql.adaptive.coalescePartitions.enabled", "true"),
       // let the planner pick shuffled-hash over sort-merge when its size
       // conditions hold (optimization-guide §3.1/§9 baseline: SHJ skips
-      // both sort passes and spills per-partition; AQE's skew-join and
-      // the broadcast conversions are unaffected). Scale-independent —
-      // the same preference is the recommended cluster baseline — and
-      // overridable like every default here.
+      // both sort passes). Trade-off, stated honestly: the SHJ build-side
+      // hash relation does NOT spill — that is why Spark's default
+      // prefers sort-merge — so a badly under-estimated build side can
+      // OOM where SMJ would have spilled. The planner's size gate
+      // (per-partition build under the broadcast threshold) bounds the
+      // exposure, every join in this engine's hot paths keys the small
+      // side by construction (politeness batches, deltas, indices), and
+      // the default is overridable like every other here for corpora
+      // whose statistics misestimate.
       dflt("spark.sql.join.preferSortMergeJoin", "false"),
       // v1's two sequential driver-side rename passes cost ~1.5 s of
       // pure latency per dynamic-partition write (measured: the

@@ -158,8 +158,12 @@ object Sinks {
                    priorityCol: String, maxPerFile: Int = 50000,
                    salt: String = ""): DataFrame = {
     require(maxPerFile > 0, s"maxPerFile must be positive, got $maxPerFile")
+    // materialize the rendered entries ONCE: the count, every shard
+    // attempt, and the final file build all reuse the same XML-escaped
+    // rows instead of re-rendering the catalog per escalation attempt
     val entries = df.select(col(locCol).as("_loc"),
       sitemapEntry(col(locCol), col(lastmodCol), col(priorityCol)).as("_entry"))
+      .localCheckpoint(true)
     val n = entries.count()
     val body = array_join(
       transform(array_sort(collect_list(struct(col("pos"), col("_entry")))),

@@ -6,8 +6,10 @@ package graft.tools
 object ExtractProfile {
   def main(args: Array[String]): Unit = {
     val n = if (args.nonEmpty) args(0).toInt else 3000
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = graft.jobs.CrawlJob.session(8, "graft-extract-profile")
-    val rows = spark.read.parquet("/dev/shm/graft_bench_site_480000_8000/pages.parquet")
+    val site = graft.Bench.ensureBenchSite(spark, sfDir, 8, rps = 8000.0)
+    val rows = spark.read.parquet(s"$site/pages.parquet")
       .select("url", "html").limit(n).collect()
       .map(r => (r.getString(0), r.getAs[Array[Byte]]("html")))
     spark.stop()

@@ -8,8 +8,9 @@ import org.apache.spark.sql.functions._
 object FetchPhaseProfile {
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = graft.jobs.CrawlJob.session(cpus, "graft-fetch-profile")
-    val site = "/dev/shm/graft_bench_site_480000_8000"
+    val site = graft.Bench.ensureBenchSite(spark, sfDir, cpus, rps = 8000.0)
     val bkTable = "bench_pages_bucketed"
     graft.sources.BucketedPages.createBucketedTable(
       spark, s"$site/pages.parquet", bkTable, buckets = cpus)

@@ -27,6 +27,11 @@ object ProbeTool {
     new File(outDir).mkdirs()
     val wanted = args(2).split(",").map(_.trim).filter(_.nonEmpty).toSet
     val spark = CrawlJob.session(cpus, "graft-probe-tool")
+    val known = SparkEntry.queries.keySet
+    val unknown = wanted - "all" -- known
+    require(unknown.isEmpty,
+      s"unknown query name(s): ${unknown.mkString(", ")} — a typo here would " +
+        "silently produce no evidence file and let a stale one be diffed")
     val qs = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => wanted.contains("all") || wanted.contains(n) }
     qs.foreach { case (name, fn) =>
