@@ -15,6 +15,11 @@ import graft.jobs.CrawlJob
   *     — collect each query's full result, render rows as sorted text,
   *       write to <outDir>/<name>.rows — before/after diffing proves an
   *       optimization did not change what a query computes
+  *   runMain graft.tools.ProbeTool explainexec <outDir> <name>[,<name>...]
+  *     — EXECUTE the query (collect), then write the final
+  *       ADAPTIVE plan (`isFinalPlan=true`) — AQE join re-selection
+  *       (e.g. SMJ → shuffled-hash under runtime sizes) only appears
+  *       here, never in the pre-execution `explain` output
   *
   * Env: SPARK_GRAFT_SF_DIR / SPARK_GRAFT_CPUS as in Bench. */
 object ProbeTool {
@@ -38,6 +43,14 @@ object ProbeTool {
       val df = fn(spark, sfDir)
       mode match {
         case "explain" =>
+          val w = new PrintWriter(new File(outDir, s"$name.txt"))
+          try w.write(df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode))
+          finally w.close()
+        case "explainexec" =>
+          // collect() executes THIS df's QueryExecution (count()/noop-write
+          // would build a separate one and leave this plan un-finalized)
+          df.collect()
           val w = new PrintWriter(new File(outDir, s"$name.txt"))
           try w.write(df.queryExecution.explainString(
             org.apache.spark.sql.execution.FormattedMode))
